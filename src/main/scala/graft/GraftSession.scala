@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory — every entry point (Verify, Bench, tests)
+  * builds its session here so the engine-critical confs are applied once:
+  *
+  *  - shuffle.partitions=32: matches local[32]; on a real cluster this is
+  *    overridden by AQE coalescing (adaptive.enabled=true).
+  *  - AQE on: runtime re-plan (broadcast promotion, skew-join splitting,
+  *    partition coalescing) — the 100 TB safety net.
+  *  - ansi=false: the reference engine's coercion contract is
+  *    null-on-unparseable (src/transform.py:18-105 in the reference);
+  *    ANSI mode would throw instead.
+  *  - nanosAsLong: the `events` table carries TIMESTAMP(NANOS) which
+  *    Spark's vectorized reader otherwise rejects; we read ns-as-long and
+  *    convert explicitly (Tables/EventsView).
+  *  - session timezone UTC: reference normalizes all timestamps to UTC
+  *    (src/transform.py:22-37).
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
