@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S6/J3/J4 — last-writer-wins upsert into staging + audit diff, the
+  * set-based re-expression of the reference's ON CONFLICT (raw_id) DO
+  * UPDATE (src/transform.py:240-334) and its AFTER UPDATE audit trigger
+  * (alembic 7a8b9c0d1e2f:21-46).
+  *
+  * Plain-Parquet strategy (no ACID table format in the image): compute the
+  * merged snapshot and atomically swap directories (ParquetTableStore).
+  * The audit diff is computed from the SAME (existing, updates) pair as the
+  * merge — SURVEY §7.4 hard-item 3.
+  */
+object StagingMerge {
+
+  /** Collapse an update batch to one row per key, newest received_at wins
+    * (ties: higher payload_hash, then deterministic). The reference gets
+    * this for free from sequential executemany order; a distributed batch
+    * must make the winner explicit.
+    */
+  def dedupeBatch(updates: DataFrame, key: String = "raw_id"): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("received_at").desc, col("payload_hash").desc)
+    updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** New snapshot: updates win over existing rows with the same raw_id. */
+  def merge(existing: DataFrame, updates: DataFrame, key: String = "raw_id"): DataFrame = {
+    val u = dedupeBatch(updates, key)
+    u.unionByName(
+      existing.join(u.select(col(key)), Seq(key), "left_anti"))
+  }
+
+  /** Audit rows for keys whose content hash changed (J4): one append-only
+    * record per change, old/new canonical payload JSON, like the
+    * reference's trigger (field_name literally 'payload').
+    */
+  def auditDiff(existing: DataFrame, updates: DataFrame,
+      changedBy: String = "etl_pipeline"): DataFrame = {
+    val u = dedupeBatch(updates)
+    val oldS = existing.select(
+      col("raw_id"),
+      col("payload_hash").as("__old_hash"),
+      to_json(col("raw_payload")).as("old_value"))
+    val newS = u.select(
+      col("raw_id"),
+      col("payload_hash").as("__new_hash"),
+      to_json(col("raw_payload")).as("new_value"))
+    oldS.join(newS, Seq("raw_id"))
+      .filter(col("__old_hash") =!= col("__new_hash"))
+      .select(
+        col("raw_id").as("record_id"),
+        lit("payload").as("field_name"),
+        col("old_value"),
+        col("new_value"),
+        current_timestamp().as("changed_at"),
+        lit(changedBy).as("changed_by"))
+  }
+}

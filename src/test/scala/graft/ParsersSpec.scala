@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+import graft.functions.Parsers
+
+/** Ports of the reference's parser unit suite (tests/test_transform.py in
+  * the reference repo) — every assert is a Column-expression expectation.
+  * Golden hashes computed with CPython json.dumps/hashlib (parity spec).
+  */
+class ParsersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def evalStr(in: String, f: Column => Column): Option[String] = {
+    val r = Seq(Option(in)).toDF("v").select(f($"v").cast("string").as("r")).head()
+    Option(r.getString(0))
+  }
+
+  // ── F4 decimal coercion (ref tests/test_transform.py:76-96) ──
+  val decimalCases: Seq[(String, Option[String])] = Seq(
+    "1 234,56" -> Some("1234.56"),
+    "195103,50" -> Some("195103.5"),
+    "195103.50" -> Some("195103.5"),
+    "1,234.56" -> Some("1234.56"),
+    "₽ 1 234,56" -> Some("1234.56"),
+    "$1,234.56" -> Some("1234.56"),
+    "(100)" -> Some("-100"),
+    "($1,234.56)" -> Some("-1234.56"),
+    "1.234.567,89" -> Some("1234567.89"),
+    "50000,00" -> Some("50000"),
+    "8.5" -> Some("8.5"),
+    "" -> None,
+    "garbage" -> None,
+    (null: String) -> None)
+
+  test("toDecimal matches the reference separator/currency/paren semantics") {
+    decimalCases.foreach { case (in, want) =>
+      val got = evalStr(in, Parsers.toDecimal)
+        .map(s => BigDecimal(s).bigDecimal.stripTrailingZeros.toPlainString)
+      assert(got == want, s"toDecimal($in) = $got, want $want")
+    }
+  }
+
+  // ── F5 int coercion (ref tests/test_transform.py:98-107) ──
+  test("toInt truncates toward zero; European '1,234' reads as 1") {
+    assert(evalStr("42", Parsers.toInt) == Some("42"))
+    assert(evalStr("8.9", Parsers.toInt) == Some("8"))
+    assert(evalStr("1,234", Parsers.toInt) == Some("1")) // documented quirk
+    assert(evalStr("(5)", Parsers.toInt) == Some("-5"))
+    assert(evalStr("", Parsers.toInt) == None)
+    assert(evalStr("x", Parsers.toInt) == None)
+  }
+
+  // ── F1 date parsing (ref tests/test_transform.py:52-74) ──
+  test("toTimestamptz parses the reference's format list, first match wins") {
+    val cases = Seq(
+      "2023-07-20T00:00:00Z" -> Some("2023-07-20 00:00:00"),
+      "2023-07-20T10:30:00+05:00" -> Some("2023-07-20 05:30:00"), // aware → UTC
+      "16.07.2023" -> Some("2023-07-16 00:00:00"),
+      "20.12.2023 10:00:00" -> Some("2023-12-20 10:00:00"),
+      "2023-09-15" -> Some("2023-09-15 00:00:00"),
+      "03/04/2023" -> Some("2023-03-04 00:00:00"), // M/d/yyyy first
+      "16/07/2023" -> Some("2023-07-16 00:00:00"), // falls through to d/M/yyyy
+      "" -> None,
+      "not a date" -> None)
+    cases.foreach { case (in, want) =>
+      val got = evalStr(in, c => date_format(Parsers.toTimestamptz(c), "yyyy-MM-dd HH:mm:ss"))
+      assert(got == want, s"toTimestamptz($in) = $got, want $want")
+    }
+  }
+
+  // ── F6 canonical JSON + MD5 (golden parity with CPython json.dumps) ──
+  test("payloadHash is byte-parity with python json.dumps(sort_keys) md5") {
+    val p1 = Map(
+      "Date" -> "16.07.2023", "Client" -> "АО \"Первая компания\"", "Type" -> "Расход",
+      "Category" -> "Сопровождение", "Vendor" -> "ООО \"Поставщик\"",
+      "Total RUB" -> "195103.50", "Currency" -> "RUB",
+      "Payment date" -> "2023-07-20T00:00:00Z")
+    val p2 = Map(
+      "Дата" -> "01.08.2023", "Клиент" -> "ИП Иванов", "Тип" -> "Доход",
+      "Категория" -> "Продажи", "РУБ Сумма" -> "50000,00", "Валюта" -> "rub")
+    val simple = Map("b" -> "2", "a" -> "1")
+    val df = Seq(p1, p2, simple).toDF("payload")
+      .select(Parsers.canonicalJson($"payload").as("canon"),
+        Parsers.payloadHash($"payload").as("h"))
+    val rows = df.collect()
+    assert(rows(2).getString(0) == """{"a":"1","b":"2"}""")
+    assert(rows(2).getString(1) == "8018d630c38e45a64531824279891103")
+    assert(rows(0).getString(1) == "10f2ac1ba2fe4bd500a2efff2b2a9913")
+    assert(rows(1).getString(1) == "d3df20ae6ab7b059bc5187abf3064873")
+  }
+
+  test("hash determinism: same payload same hash, different differ") {
+    val df = Seq(Map("a" -> "1"), Map("a" -> "1"), Map("a" -> "2"))
+      .toDF("payload").select(Parsers.payloadHash($"payload").as("h"))
+    val hs = df.collect().map(_.getString(0))
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+  }
+
+  // ── P1 key-variant projection (ref tests/test_transform.py:109-122) ──
+  test("getVariant: exact first, then case/space-insensitive") {
+    val payload = Map("Total RUB" -> "100", "клиент х" -> "c1")
+    val df = Seq(payload).toDF("p")
+      .select(
+        Parsers.getVariant($"p", Parsers.normalizeKeys($"p"),
+          Seq("total_rub", "Total RUB")).as("exact"),
+        Parsers.getVariant($"p", Parsers.normalizeKeys($"p"),
+          Seq("КЛИЕНТ Х")).as("insens"),
+        Parsers.getVariant($"p", Parsers.normalizeKeys($"p"),
+          Seq("missing")).as("none"))
+    val r = df.head()
+    assert(r.getString(0) == "100")
+    assert(r.getString(1) == "c1")
+    assert(r.isNullAt(2))
+  }
+
+  // ── F8 id pick / synth (ref main.py:179-212) ──
+  test("pickOrSynthId picks pk/id/row_id/uuid case-insensitively, else synthesizes") {
+    val withPk = Map("PK" -> "550e8400-e29b-41d4-a716-446655440000", "x" -> "1")
+    val noId = Map("x" -> "1")
+    val df = Seq((withPk, 2), (noId, 3)).toDF("p", "rownum")
+      .select(Parsers.pickOrSynthId($"p", Parsers.normalizeKeys($"p"), $"rownum").as("id"))
+    val ids = df.collect().map(_.getString(0))
+    assert(ids(0) == "550e8400-e29b-41d4-a716-446655440000")
+    assert(ids(1).matches("gsheet_auto_[0-9a-f]{12}_3"))
+  }
+}
