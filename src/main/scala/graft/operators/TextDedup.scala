@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication operators for large-scale training-data curation:
+  * exact (content-hash), exact n-gram Jaccard, MinHash+LSH near-dup, and
+  * SimHash. All are pure DataFrame transformations — the shuffle keys are
+  * content-derived (hash / shingle / band bucket), so every stage
+  * partitions correctly at any scale.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one hash-groupBy — embarrassingly parallel.
+  *  - exact pairwise Jaccard self-joins on the shingle; it is the
+  *    CORRECTNESS baseline. The scale path is MinHash+LSH: candidate
+  *    generation touches only (doc, band-bucket) pairs, never n².
+  *  - SimHash pair search joins on a 16-bit prefix band, not all-pairs.
+  */
+object TextDedup {
+
+  /** Normalized text: lowercase, collapsed whitespace, trimmed. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Word n-gram shingle set (distinct), space-joined. Documents shorter
+    * than n tokens yield an empty set (sequence() would otherwise count
+    * DOWN when size-n < 0 and fabricate shingles).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Exact dedup by content hash: one row per distinct normalized content,
+    * with the group size and the smallest doc id as the canonical survivor.
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(normalizeText(col(textCol))).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** (doc_id, shingle) exploded — the join fabric for exact Jaccard. */
+  def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ minJaccard.
+    * Output jac_micro = floor(1e6 · |A∩B| / |A∪B|) as BIGINT — integer
+    * micro-units so the oracle compare never hits a float-tie: both engines
+    * run the identical IEEE double ops (c·1e6 then ÷ then floor).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val ca = cnt.as("ca"); val cb = cnt.as("cb")
+    common
+      .join(ca, col("id_a") === col("ca.doc_id"))
+      .join(cb, col("id_b") === col("cb.doc_id"))
+      .withColumn("u", col("ca.n_sh") + col("cb.n_sh") - col("c"))
+      .filter(col("c").cast(DoubleType) / col("u") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        floor(col("c").cast(DoubleType) * 1000000d / col("u")).as("jac_micro"))
+  }
+
+  // ───── MinHash + LSH ─────
+
+  val NumHashes = 64
+  val Bands = 16 // × 4 rows per band
+
+  /** Deterministic affine permutation coefficients over the 64-bit base
+    * hash (wrapping multiply/add — exact, reproducible across runs).
+    */
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signature per doc: array of NumHashes longs.
+    * One explode + one groupBy(doc) — shuffle keyed by doc_id only.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int): DataFrame = {
+    val sh = shingleRows(docs, n).withColumn("h0", xxhash64(col("s")))
+    val mins = perms.zipWithIndex.map { case ((a, b), j) =>
+      min(col("h0") * lit(a) + lit(b)).as(s"m$j")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** LSH banding: explode each signature into Bands (band_id, band_hash)
+    * bucket keys; docs sharing any bucket are candidate pairs.
+    */
+  def lshCandidates(sigs0: DataFrame): DataFrame = {
+    val r = NumHashes / Bands
+    // same self-join dedup as simhashPairs: signatures computed once
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          bnd => xxhash64(concat_ws(",", slice(col("sig"), bnd * r + 1, lit(r))), bnd))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_hash"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** MinHash near-dup pairs: LSH candidates whose estimated Jaccard
+    * (fraction of agreeing signature components) ≥ minEst. est_micro in
+    * integer micro-units (n_agree/64 is dyadic — float ties are real).
+    */
+  def minhashPairs(docs: DataFrame, n: Int, minEst: Double): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(docs, n))
+    cands
+      .withColumn("n_agree",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .filter(col("n_agree") >= lit((minEst * NumHashes).ceil.toInt))
+      .select(col("id_a"), col("id_b"),
+        (col("n_agree") * 1000000L / NumHashes).cast(LongType).as("est_micro"))
+  }
+
+  // ───── SimHash ─────
+
+  /** 64-bit SimHash per doc from unigram token hashes: bit i of the
+    * fingerprint is the sign of Σ_tokens (±1 per token's hash bit i).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(normalizeText(col("text")), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: join on one of eight 8-bit bands, then filter
+    * by exact popcount of the XOR. With 8 bands, any pair within hamming
+    * distance ≤ 7 must agree on ≥1 full band (pigeonhole) — so for
+    * maxHamming ≤ 7 this is EXACT, never materializing n² pairs.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "band join is exact only for hamming <= bands-1 = 7")
+    // materialize signatures once: both self-join sides hit the same cache
+    // entry instead of recomputing the full-corpus hash aggregation twice
+    // (at 100 TB recomputing the corpus pass is the bigger waste by far)
+    val sig = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 8).map(k =>
+          shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL)): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("band_val"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis columns for training-data curation: token counting,
+  * quality scoring, language identification, fingerprinting. All pure
+  * Column expressions — narrow, codegen'd, no shuffle, linear at any
+  * scale.
+  *
+  * Ratio outputs are integer PER-MILLE units computed with the identical
+  * IEEE double op sequence the DuckDB oracle runs (count·1000 then ÷ then
+  * floor) — never raw doubles (the driver compares float repr exactly)
+  * and never decimal casts of dyadic rationals (tie-rounding differs
+  * across engines).
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword unit count: letter runs, digit runs, single
+    * non-alphanumeric marks — the usual pre-tokenizer regex shape.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Per-mille of tokens drawn from a stopword list. */
+  def stopwordCount(tokens: Column, stopwords: Seq[String]): Column = {
+    val sw = typedLit(stopwords)
+    size(filter(tokens, t => array_contains(sw, t)))
+  }
+
+  private def permille(num: Column, den: Column): Column =
+    when(den > 0, floor(num.cast(DoubleType) * 1000d / den)).otherwise(lit(0L)).cast(LongType)
+
+  /** English-ish stopwords present in the synthetic corpus vocabulary. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+
+  /** Quality metrics per doc: lengths, token counts, punctuation and
+    * stopword per-mille, and a composite integer score (higher = better):
+    *   score = stop_permille + min(n_tokens, 100)·10 − punct_permille.
+    */
+  def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(TextDedup.normalizeText(t), " ")
+    docs
+      .withColumn("n_chars_m", length(t).cast(LongType))
+      .withColumn("n_tokens", size(split(trim(t), "\\s+")).cast(LongType))
+      .withColumn("n_subwords", subwordCount(t).cast(LongType))
+      .withColumn("punct_permille",
+        permille(regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast(LongType), length(t)))
+      .withColumn("stop_permille",
+        permille(stopwordCount(toks, EnStopwords), size(toks)))
+      .withColumn("quality_score",
+        col("stop_permille") + least(col("n_tokens"), lit(100L)) * 10L - col("punct_permille"))
+  }
+
+  // ───── language identification (stopword-profile heuristic) ─────
+
+  /** Tiny per-language function-word profiles. Real language ID uses
+    * character n-gram models; on a 100 TB corpus this exact shape —
+    * per-language match counts then argmax, all narrow — is what scales.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"))
+
+  /** Predicted language per doc: CJK script check first, then the profile
+    * with the highest match count (priority order breaks ties), 'und' when
+    * nothing matches.
+    */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(TextDedup.normalizeText(col(textCol)), " ")
+    val scored = LangProfiles.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang", stopwordCount(toks, words))
+    }
+    val maxScore = greatest(LangProfiles.map { case (l, _) => col(s"score_$l") }: _*)
+    // first profile (priority order) hitting the max wins ties
+    val best = LangProfiles.map(_._1).foldRight(lit("und")) { case (lang, alt) =>
+      when(col(s"score_$lang") === maxScore, lit(lang)).otherwise(alt)
+    }
+    scored.withColumn("pred_lang",
+      when(col(textCol).rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+        .when(maxScore <= 0, lit("und"))
+        .otherwise(best))
+  }
+
+  /** Document fingerprint: MD5 over the normalized text — the cheap
+    * content-identity key (the reference's payload-hash idea applied to
+    * documents; rolling-hash shingles feed MinHash in TextDedup).
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", md5(TextDedup.normalizeText(col(textCol))))
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.multimodal.Media
+import graft.operators.{Similarity, TextDedup, TextStats}
+
+/** Training-data-pipeline operators (beyond the reference's surface —
+  * SURVEY §7.4 north-star): deduplication, similarity search, text
+  * analysis, multimodal feature extraction, sessionization. Oracle parity
+  * notes:
+  *  - ratio/score outputs are integer micro/permille units produced by the
+  *    IDENTICAL double op sequence on both engines (float repr compare);
+  *  - cosine outputs are DECIMAL(18,6) — both engines agree to ~1e-15,
+  *    six decimals is far from any tie;
+  *  - hash-derived operators (MinHash/SimHash/LSH) can't be mirrored in
+  *    SQL → no oracle (rows-only check); their correctness is asserted
+  *    against the exact operators in DedupSpec instead.
+  */
+object PipelineQueries {
+
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  val all: Map[String, Q] = Map(
+
+    // ───── deduplication ─────
+
+    "d1_exact_dedup" -> Q(
+      (s, d) => TextDedup.exactDedup(Tables.documents(s, d))
+        .orderBy(col("content_hash")),
+      Some(s"""SELECT md5($normSql) AS content_hash, COUNT(*) AS n_docs,
+        MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1 ORDER BY content_hash"""),
+      "exact dedup via content-hash groupBy; one shuffle on the hash"),
+
+    "d2_ngram_jaccard" -> Q(
+      (s, d) => TextDedup.jaccardPairs(Tables.documents(s, d), n = 3, minJaccard = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / (ca.n + cb.n - c)) AS BIGINT) AS jac_micro
+        FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+        ORDER BY id_a, id_b"""),
+      "exact 3-gram Jaccard near-dup pairs — correctness baseline for MinHash"),
+
+    // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
+    // rows-only here, exactness asserted against d2 in DedupSpec.
+    "d3_minhash_lsh" -> Q(
+      (s, d) => TextDedup.minhashPairs(Tables.documents(s, d), n = 3, minEst = 0.7)
+        .orderBy(col("id_a"), col("id_b")),
+      None,
+      "MinHash(64)+LSH(16×4) near-dup candidates — the 100 TB dedup path"),
+
+    "d4_simhash" -> Q(
+      (s, d) => TextDedup.simhashPairs(Tables.documents(s, d), maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b")),
+      None,
+      "SimHash-64 near-dup pairs via 8-bit band join + popcount (exact ≤ 7)"),
+
+    "d5_embedding_neardup" -> Q(
+      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), minCos = 0.4)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        CAST(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS DECIMAL(18,6)) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        ORDER BY id_a, id_b"""),
+      "embedding-cosine near-dup pairs (exact baseline; ann2 is the scale path)"),
+
+    // ───── similarity search ─────
+
+    "ann1_bruteforce_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS DECIMAL(18,6)) AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+          c.vec_id) <= 3
+        ORDER BY query_id, cos DESC, neighbor_id"""),
+      "brute-force cosine top-k, query side broadcast — exact ANN baseline"),
+
+    "ann2_lsh_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      None,
+      "random-hyperplane LSH top-k (8 tables × 4 bits) — approximate scale path"),
+
+    // ───── text analysis ─────
+
+    "t1_token_stats" -> Q(
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).cast(LongType).as("ws_tokens"),
+          TextStats.subwordCount(col("text")).cast(LongType).as("subwords"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS subwords
+        FROM documents ORDER BY doc_id"""),
+      "whitespace + BPE-ish pre-tokenizer counts"),
+
+    "t2_quality_score" -> Q(
+      (s, d) => TextStats.qualityMetrics(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+          col("punct_permille"), col("stop_permille"), col("quality_score"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH m AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords,
+            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+            length(text) AS n_chars2,
+            string_split($normSql, ' ') AS toks
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_tokens, n_subwords,
+            CASE WHEN n_chars2 > 0
+              THEN CAST(FLOOR(CAST(n_punct AS DOUBLE) * 1000 / n_chars2) AS BIGINT)
+              ELSE 0 END AS punct_permille,
+            CASE WHEN len(toks) > 0
+              THEN CAST(FLOOR(CAST(len(list_filter(toks,
+                x -> list_contains(['the','a','and','of','to','in','is','on'], x))) AS DOUBLE)
+                * 1000 / len(toks)) AS BIGINT)
+              ELSE 0 END AS stop_permille
+          FROM m)
+        SELECT doc_id, n_tokens, n_subwords, punct_permille, stop_permille,
+          stop_permille + LEAST(n_tokens, 100) * 10 - punct_permille AS quality_score
+        FROM r ORDER BY doc_id"""),
+      "doc quality metrics: integer permille ratios + composite score"),
+
+    "t3_lang_id" -> Q(
+      (s, d) => TextStats.languageId(Tables.documents(s, d))
+        .select(col("doc_id"), col("pred_lang")).orderBy(col("doc_id")),
+      Some(s"""WITH sc AS (SELECT doc_id, text,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS s_en,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['el','la','de','que','y','en','un','los','se','no'], x))) AS s_es,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['der','die','und','das','ist','nicht','von','mit','den','ein'], x))) AS s_de,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['le','la','et','les','des','est','un','une','du','que'], x))) AS s_fr
+          FROM documents),
+        g AS (SELECT *, GREATEST(s_en, s_es, s_de, s_fr) AS gm FROM sc)
+        SELECT doc_id,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN gm <= 0 THEN 'und'
+               WHEN s_en = gm THEN 'en' WHEN s_es = gm THEN 'es'
+               WHEN s_de = gm THEN 'de' ELSE 'fr' END AS pred_lang
+        FROM g ORDER BY doc_id"""),
+      "stopword-profile language ID with deterministic tie-break"),
+
+    "t4_fingerprint" -> Q(
+      (s, d) => TextStats.fingerprint(Tables.documents(s, d))
+        .select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, md5($normSql) AS fingerprint
+        FROM documents ORDER BY doc_id"""),
+      "normalized-content MD5 fingerprint"),
+
+    // ───── multimodal ─────
+
+    "mm1_media_features" -> Q(
+      (s, d) => Media.extractFeatures(
+          Media.documentsAsMedia(s, Tables.documents(s, d)))
+        .toDF().orderBy(col("media_id")),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS content_md5,
+        CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS height,
+        CAST(octet_length(encode(text)) % 32 AS INT) AS n_frames
+        FROM documents ORDER BY media_id"""),
+      "binary media column → per-partition batched feature extraction (decode stubbed)"),
+
+    // ───── sessionization (batch flavor of the streaming operator) ─────
+
+    "st2_sessionization" -> Q(
+      (s, d) => {
+        val gap = graft.streaming.Streams.GapNs
+        // DuckDB reads parquet TIMESTAMP(NANOS) at µs precision — truncate
+        // to µs-grid ns with exact integer division (double ÷ would lose
+        // precision at 1e18).
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            (expr("ts DIV 1000") * 1000L).as("tns"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tns"), col("event_id"))
+        val brk = when(lag(col("tns"), 1).over(w).isNull ||
+          col("tns") - lag(col("tns"), 1).over(w) > gap, 1).otherwise(0)
+        e.withColumn("brk", brk)
+          .withColumn("session_id", sum(col("brk"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tns")).as("start_ns"), max(col("tns")).as("end_ns"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        g AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+                OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+        SELECT user_id, CAST(sess AS BIGINT) AS session_id, COUNT(*) AS n_events,
+          MIN(tns) AS start_ns, MAX(tns) AS end_ns
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "30-min-gap sessionization; batch twin of Streams.sessionize"),
+  )
+}

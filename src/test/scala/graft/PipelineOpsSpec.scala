@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextDedup, TextStats}
+
+/** Dedup / similarity / text-analysis operators against their exact
+  * baselines on sf0.001 (500 docs, 28 planted near-dup pairs).
+  */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfTiny).cache()
+  private lazy val emb = Tables.embeddings(spark, sfTiny).cache()
+
+  test("jaccardPairs finds the planted near-dups and nothing spurious") {
+    val pairs = TextDedup.jaccardPairs(docs, 3, 0.8).collect()
+    assert(pairs.length == 28, s"expected 28 planted pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(2) >= 800000L))
+  }
+
+  test("minhash LSH recovers every high-jaccard pair") {
+    val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = TextDedup.minhashPairs(docs, 3, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // P(miss | j=0.9) = (1-0.9^4)^16 ≈ 4e-8 per pair — a miss is a bug
+    assert(exact.subsetOf(approx),
+      s"LSH missed ${exact.diff(approx)}")
+  }
+
+  test("simhash band join is exact for hamming <= 7") {
+    val sig = TextDedup.simhash(docs).cache()
+    val a = sig.as("a"); val b = sig.as("b")
+    val brute = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter(col("h") <= 7)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = TextDedup.simhashPairs(docs, 7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute, s"banded ${banded.size} != brute ${brute.size}")
+    assert(brute.nonEmpty, "no simhash near-dups found — vacuous test")
+  }
+
+  test("brute-force topk matches a driver-side exact computation") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, v.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val expected = (for {
+      (qid, qv) <- vecs.filter(_._1 < 5)
+    } yield qid -> vecs.filter(_._1 != qid)
+      .map { case (cid, cv) => (cid, cos(qv, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }.take(3).map(_._1).toSeq).toMap
+    val got = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSeq }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (q, ns) => assert(ns.toSet == expected(q).toSet,
+      s"query $q: got $ns want ${expected(q)}") }
+  }
+
+  test("lsh topk returns true cosines and decent recall") {
+    val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb.filter($"vec_id" < 5), emb, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall $recall collapsed")
+  }
+
+  test("language id: CJK detection and stopword argmax with tie priority") {
+    val df = Seq(
+      (1L, "the cat and the hat is on a mat"),
+      (2L, "el perro y la casa de un los"),
+      (3L, "der hund und das ist nicht von"),
+      (4L, "你好世界"),
+      (5L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextStats.languageId(df).select($"doc_id", $"pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "de")
+    assert(got(4L) == "zh"); assert(got(5L) == "und")
+  }
+
+  test("quality metrics produce exact integer permille") {
+    val df = Seq((1L, "The quick fox! On a log.")).toDF("doc_id", "text")
+    val r = TextStats.qualityMetrics(df).head()
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    // 24 chars, 2 punct → floor(2*1000/24) = 83
+    assert(r.getAs[Long]("punct_permille") == 83L)
+    // normalized tokens: the,quick,fox!,on,a,log. → stopwords the,on,a = 3/6
+    assert(r.getAs[Long]("stop_permille") == 500L)
+  }
+
+  test("fingerprint is case/whitespace invariant") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val fps = TextStats.fingerprint(df).select($"fingerprint").as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
