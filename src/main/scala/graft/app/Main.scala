@@ -1,0 +1,116 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.etl.{ChangeScan, Normalize, ParquetTableStore, RawLoader, StagingMerge}
+import graft.marts.Views
+
+/** CLI mirroring the reference's entry points (main.py:249-297):
+  *
+  *   run <layerRoot> [--source S] [--test]   incremental ELT
+  *   load <layerRoot> <csvPath> [--source S] ingest a values file into raw
+  *   check <layerRoot>                       layer/mart health counts
+  *
+  * Layers are Parquet tables under layerRoot (raw / staging / audit /
+  * marts_*), managed by ParquetTableStore's atomic-swap rewrites.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    try args.toList match {
+      case "run" :: root :: rest => runElt(spark, root, opt(rest, "--source"), rest.contains("--test"))
+      case "load" :: root :: csv :: rest => load(spark, root, csv, opt(rest, "--source").getOrElse("csv"))
+      case "check" :: root :: Nil => check(spark, root)
+      case other => sys.error(s"usage: run|load|check <layerRoot> ... (got $other)")
+    } finally spark.stop()
+  }
+
+  private def opt(rest: List[String], flag: String): Option[String] =
+    rest.dropWhile(_ != flag).drop(1).headOption
+
+  /** Incremental ELT (ref main.py:33-139): change scan → normalize →
+    * quarantine split → staging merge + audit append → marts refresh.
+    */
+  def runElt(spark: SparkSession, root: String, source: Option[String], test: Boolean): Unit = {
+    val store = new ParquetTableStore(spark, root)
+    require(store.exists("raw"), s"no raw layer under $root — run `load` first")
+    val raw = store.read("raw")
+    val staging0 =
+      if (store.exists("staging")) store.read("staging")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.schema.Layers.staging)
+
+    val changes0 = ChangeScan(raw, staging0, source)
+    val changes = if (test) ChangeScan.ordered(changes0, Some(100)) else changes0
+
+    val normalized = Normalize(changes.select(
+      col("id").as("raw_id"), col("sheet_row_number"),
+      col("extracted_at").as("received_at"), lit("live").as("source_type"),
+      col("payload")))
+    val quarantined = normalized.filter(size(col("validation_warnings")) > 0)
+    val nBad = quarantined.count(); val nAll = normalized.count()
+    if (nAll > 0 && nBad * 10 > nAll) // ref main.py:99 — >10% error alarm
+      System.err.println(s"[graft] WARN: $nBad/$nAll rows carry validation warnings")
+    quarantined.take(5).foreach(r => System.err.println(s"[graft] quarantine sample: $r"))
+
+    val updates = Normalize.toStaging(normalized)
+    val audit = StagingMerge.auditDiff(staging0, updates)
+    val auditOut = if (store.exists("audit")) store.read("audit").unionByName(audit) else audit
+    val merged = StagingMerge.merge(staging0, updates)
+    // audit from the SAME snapshot pair as the merge (SURVEY §7.4 item 3)
+    store.overwrite("audit", auditOut)
+    store.overwrite("staging", merged)
+
+    val staging = store.read("staging")
+    store.overwrite("mart_financials", Views.financialsV(staging))
+    store.overwrite("mart_expenses_by_category", Views.expensesByCategoryV(staging))
+    store.overwrite("mart_web_transactions", Views.webTransactionsV(staging))
+    store.overwrite("mart_dim_clients", Views.dimClientsV(staging))
+    store.overwrite("mart_dim_categories", Views.dimCategoriesV(staging))
+    store.overwrite("mart_dim_vendors", Views.dimVendorsV(staging))
+    // count the POST-swap read: `merged`'s plan points at pre-swap files
+    println(s"[graft] run complete: ${nAll} changed rows, ${staging.count()} staging rows")
+  }
+
+  /** Ingest (ref main.py:166-217): headered CSV → payload maps → raw
+    * append with insert-if-absent + duplicate warnings + CSV archive.
+    */
+  def load(spark: SparkSession, root: String, csvPath: String, source: String): Unit = {
+    val store = new ParquetTableStore(spark, root)
+    val csv = spark.read.option("header", "true").csv(csvPath).na.fill("")
+    val headers = RawLoader.fixHeaders(csv.columns.toSeq)
+    val kept = csv.columns.toSeq.take(RawLoader.SheetWidth) // extra cols truncated, ref src/sheets.py:42
+    val payload = map_from_arrays(
+      typedLit(headers),
+      array(kept.map(c => col(s"`$c`")) ++
+        Seq.fill(headers.length - kept.length)(lit("")): _*))
+    val rows = csv
+      .withColumn("sheet_row_number",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(monotonically_increasing_id())) + 1)
+      .select(col("sheet_row_number"), payload.as("payload"))
+    val incoming = RawLoader.fromPayloads(rows, source)
+    val dups = RawLoader.duplicateHashes(incoming)
+    dups.take(5).foreach(r => System.err.println(s"[graft] duplicate content: $r"))
+    val appended =
+      if (store.exists("raw")) RawLoader.insertIfAbsent(store.read("raw"), incoming)
+      else incoming
+    if (store.exists("raw")) store.append("raw", appended)
+    else store.overwrite("raw", appended)
+    RawLoader.archiveCsv(incoming, s"$root/archive",
+      java.time.LocalDate.now().toString)
+    println(s"[graft] loaded ${appended.count()} new rows from $csvPath")
+  }
+
+  /** Health counts per layer (ref tests/test_db.py shape). */
+  def check(spark: SparkSession, root: String): Unit = {
+    val store = new ParquetTableStore(spark, root)
+    Seq("raw", "staging", "audit", "mart_financials").foreach { t =>
+      val n = if (store.exists(t)) store.read(t).count() else -1L
+      println(s"[graft] $t: ${if (n < 0) "absent" else s"$n rows"}")
+    }
+  }
+}

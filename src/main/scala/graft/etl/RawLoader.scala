@@ -74,4 +74,26 @@ object RawLoader {
     */
   def duplicateHashes(incoming: DataFrame): DataFrame =
     incoming.groupBy(col("payload_hash")).count().filter(col("count") > 1)
+
+  /** P9 row-validity predicate (ref gas/pk_master.gs:13,33-36): true when
+    * every required column is non-blank.
+    */
+  def rowValidity(requiredCols: Seq[String]): org.apache.spark.sql.Column =
+    requiredCols.map(c => trim(coalesce(col(c), lit(""))) =!= "").reduce(_ && _)
+
+  /** S7/F20 stringify-for-export (ref src/sheets.py:71-85): nulls → "",
+    * every column cast to string — the sheet write-back row shape.
+    */
+  def stringifyForExport(df: DataFrame): DataFrame = {
+    val stringified = df.columns.map(c => coalesce(col(c).cast(StringType), lit("")).as(c))
+    df.select(stringified.toSeq: _*)
+  }
+
+  /** S2 CSV archive sink (ref src/sheets.py:54-59): every ingest batch
+    * archived as headered CSV partitioned by ingest date.
+    */
+  def archiveCsv(df: DataFrame, archiveRoot: String, ingestDate: String): Unit =
+    stringifyForExport(df.drop("payload")) // CSV can't carry the map column
+      .write.mode("overwrite").option("header", "true")
+      .csv(s"$archiveRoot/csv/$ingestDate")
 }

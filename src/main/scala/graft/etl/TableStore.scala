@@ -39,6 +39,9 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
     }
     Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursive(old)
+    // drop the session's cached file listing for this path — it still
+    // points at the pre-swap part files (metadataCacheTTL is infinite)
+    spark.catalog.refreshByPath(path(name))
   }
 
   override def append(name: String, df: DataFrame): Unit =

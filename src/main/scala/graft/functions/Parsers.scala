@@ -178,4 +178,22 @@ object Parsers {
 
   /** to_char(date_trunc('month', ts), 'YYYY-MM') */
   def monthBucket(ts: Column): Column = date_format(date_trunc("month", ts), "yyyy-MM")
+
+  // ───── F16: UUID per id-less ingest row (ref gas/SheetService.gs:154) ─────
+
+  /** Nondeterministic — ingest-time only, never in a recomputed layer. */
+  def newUuid(): Column = uuid()
+
+  // ───── F18: local-TZ stamp format (ref gas/SheetService.gs:23-24) ─────
+
+  /** Render a UTC timestamp the way the source sheet stamps cells
+    * (dd.MM.yyyy HH:mm:ss in a fixed zone) — the format F1 must re-parse.
+    */
+  def localStamp(ts: Column, tz: String = "Asia/Yekaterinburg"): Column =
+    date_format(from_utc_timestamp(ts, tz), "dd.MM.yyyy HH:mm:ss")
+
+  // ───── F19: DSN password masking, log hygiene (ref src/db.py:42-44) ─────
+
+  def maskDsnPassword(dsn: Column): Column =
+    regexp_replace(dsn, ":([^:@/]+)@", ":***@")
 }

@@ -178,6 +178,21 @@ object CoreQueries {
         FROM customer"""),
       "max-scan PK counter (ref gas/pk_master.gs:84-90)"),
 
+    // A7 approximate distinct (engine extension, SURVEY §2.4 note): HLL++
+    // sketch — the 100 TB cardinality path where exact COUNT(DISTINCT)
+    // would shuffle every key. Deterministic for fixed input but engine-
+    // specific, so no cross-engine oracle; bounded-error vs exact is
+    // asserted in CoreQueriesSpec.
+    "a7_approx_distinct" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+            approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      },
+      None,
+      "approx_count_distinct (HLL++, rsd 2%) — sketch-based cardinality"),
+
     // A6 count / error-rate monitors (ref main.py:96-103,195-212).
     "a6_quality_monitor" -> Q(
       (s, d) => {

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan contracts for the 100 TB path: these assert the plan
+  * SHAPE (pushdown, broadcast, top-k, codegen'd expressions), not results
+  * — a regression here is a silent 10-100× cost at scale even when every
+  * value stays correct.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def q(name: String): DataFrame = SparkEntry.registry(name).fn(spark, sfTiny)
+
+  test("p2: filter and projection push into the parquet scan") {
+    val p = planOf(q("p2_projection"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"), p)
+    // pruned to the 3 projected columns + the filter column (4 of 9)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_orderdate:timestamp_ntz>"), p)
+  }
+
+  test("q3: small dimension side is broadcast, never shuffled") {
+    val p = planOf(q("q3_top_revenue_orders"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j3: both star dims broadcast") {
+    val p = planOf(q("j3_star_join"))
+    assert(p.split("BroadcastHashJoin").length >= 3, p)
+  }
+
+  test("o1: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf(q("o1_topk_orders"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j1: change detection is a hash anti-join over pruned columns") {
+    val p = planOf(q("j1_anti_join"))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q1: aggregation is partial+final with one exchange") {
+    val p = planOf(q("q1_pricing_summary"))
+    // map-side partial agg then final — two HashAggregates around one shuffle
+    assert(p.split("HashAggregate").length >= 3, p)
+    assert(p.contains("l_shipdate"), p)
+  }
+
+  test("d5/ann1: cosine runs through the codegen'd DotProduct expression") {
+    assert(planOf(q("d5_embedding_neardup")).contains("dotproduct"), "d5 lost DotProduct")
+    assert(planOf(q("ann1_bruteforce_topk")).contains("dotproduct"), "ann1 lost DotProduct")
+  }
+
+  test("normalize plan stays narrow: no exchange in the staging projection") {
+    import spark.implicits._
+    val raw = Seq((1, Map("a" -> "1"))).toDF("sheet_row_number", "payload")
+      .selectExpr("'r1' as raw_id", "sheet_row_number",
+        "current_timestamp() as received_at", "'live' as source_type", "payload")
+    val p = planOf(graft.etl.Normalize(raw))
+    assert(!p.contains("Exchange"), p)
+  }
+}
