@@ -23,6 +23,8 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native engine expressions (graft_dot, …) available from SQL
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

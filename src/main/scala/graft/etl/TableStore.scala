@@ -53,3 +53,31 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
         .forEach(f => Files.delete(f))
     }
 }
+
+/** Bucketed catalog tables for co-located joins (SURVEY §4.1 pushdown row):
+  * two tables bucketed+sorted on the same key join with NO shuffle — at
+  * 100 TB this turns the nightly staging⋈raw reconciliations from a full
+  * exchange of both sides into a local merge per bucket. Bucketing needs
+  * the catalog API (bucketBy + saveAsTable), hence separate from the
+  * path-based ParquetTableStore.
+  */
+final class BucketedStore(spark: SparkSession) {
+  def write(table: String, df: DataFrame, bucketCols: Seq[String], numBuckets: Int): Unit = {
+    // an in-memory catalog restarts empty while the warehouse dir persists;
+    // clear both so Overwrite never trips over an orphaned location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = Paths.get(wh, table)
+    if (Files.exists(loc)) {
+      Files.walk(loc).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  def read(table: String): DataFrame = spark.table(table)
+}

@@ -52,6 +52,23 @@ class PlanSpec extends SparkTestBase {
     assert(planOf(q("ann1_bruteforce_topk")).contains("dotproduct"), "ann1 lost DotProduct")
   }
 
+  test("bucketed tables join co-located: zero exchange") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bs = new graft.etl.BucketedStore(spark)
+      bs.write("b_orders", Tables.orders(spark, sfTiny)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice"), Seq("o_custkey"), 8)
+      bs.write("b_cust", Tables.customer(spark, sfTiny)
+        .select($"c_custkey", $"c_name"), Seq("c_custkey"), 8)
+      val j = bs.read("b_orders")
+        .join(bs.read("b_cust"), $"o_custkey" === $"c_custkey")
+      assert(!planOf(j).contains("Exchange"), planOf(j))
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("normalize plan stays narrow: no exchange in the staging projection") {
     import spark.implicits._
     val raw = Seq((1, Map("a" -> "1"))).toDF("sheet_row_number", "payload")

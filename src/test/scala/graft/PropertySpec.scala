@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.StagingMerge
+import graft.functions.Parsers
+
+/** Property-style tests (seeded generation, 100+ cases each): parser
+  * totality, canonical-JSON/hash parity against an independent driver-side
+  * reimplementation, and merge idempotence/convergence.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("toDecimal: total (never throws) and parses generated money formats") {
+    val cases = (1 to 200).map { _ =>
+      val cents = rnd.nextInt(1000000000)
+      val whole = cents / 100
+      val frac = f"${cents % 100}%02d"
+      val neg = rnd.nextBoolean()
+      val grouped = whole.toString.reverse.grouped(3).mkString(" ").reverse
+      val style = rnd.nextInt(4) match {
+        case 0 => s"$grouped,$frac"              // european
+        case 1 => s"${grouped.replace(" ", ",")}.$frac" // us grouped
+        case 2 => s"$$${whole}.$frac"            // currency
+        case 3 => s"₽ $grouped,$frac"            // currency + nbsp-ish
+      }
+      val s = if (neg) s"($style)" else style
+      val expect = BigDecimal(cents) / 100 * (if (neg) -1 else 1)
+      (s, expect)
+    } ++ Seq(("", null), ("xx,yy", null), ("--", null), (null, null))
+    val df = cases.map(_._1).toDF("s").select(Parsers.toDecimal($"s").as("d"))
+    val got = df.collect().map(r => Option(r.getDecimal(0)).map(BigDecimal(_)))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == Option(want).filter(_ != null).map(_.asInstanceOf[BigDecimal]),
+        s"toDecimal($in) = $g, want $want")
+    }
+  }
+
+  test("canonicalJson/payloadHash parity with an independent reimplementation") {
+    val alphabets = Array("abcdefg", "абвгдеж", "xyz 123", "key_", "Колонка ")
+    def randKey(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (1 to (1 + rnd.nextInt(8))).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    val maps = (1 to 100).map { _ =>
+      (1 to (1 + rnd.nextInt(6))).map(_ => randKey() -> randKey()).toMap
+    }
+    // independent driver-side canonicalization: code-point key sort,
+    // compact separators, raw unicode (reference src/utils.py:14-19)
+    def expectJson(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        "\"" + esc(k) + "\":\"" + esc(v) + "\""
+      }.mkString("{", ",", "}")
+    def expectMd5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+    val got = maps.toDF("m")
+      .select(Parsers.canonicalJson($"m").as("j"), Parsers.payloadHash($"m").as("h"))
+      .collect()
+    maps.zip(got).foreach { case (m, r) =>
+      assert(r.getString(0) == expectJson(m), s"canonicalJson($m)")
+      assert(r.getString(1) == expectMd5(expectJson(m)), s"payloadHash($m)")
+    }
+  }
+
+  test("merge: idempotent, convergent, and last-writer-wins") {
+    val existing = (1 to 50).map(i => (s"k$i", java.sql.Timestamp.valueOf("2023-01-01 00:00:00"), s"old$i"))
+      .toDF("raw_id", "received_at", "payload_hash")
+    // updates touch half the keys, with duplicate in-batch rows at
+    // different times — the newest must win
+    val updates = (25 to 75).flatMap { i =>
+      Seq((s"k$i", java.sql.Timestamp.valueOf("2023-02-01 00:00:00"), s"mid$i"),
+        (s"k$i", java.sql.Timestamp.valueOf("2023-03-01 00:00:00"), s"new$i"))
+    }.toDF("raw_id", "received_at", "payload_hash")
+
+    val once = StagingMerge.merge(existing, updates).cache()
+    assert(once.count() == 75)
+    // newest in-batch row won
+    val k30 = once.filter($"raw_id" === "k30").head()
+    assert(k30.getAs[String]("payload_hash") == "new30")
+    // untouched rows intact
+    assert(once.filter($"raw_id" === "k1").head().getAs[String]("payload_hash") == "old1")
+    // idempotence: re-applying the same batch changes nothing
+    val twice = StagingMerge.merge(once, updates)
+    assert(twice.exceptAll(once).count() == 0 && once.exceptAll(twice).count() == 0)
+  }
+
+  test("graft_dot is registered in SQL via session extensions") {
+    val r = spark.sql("SELECT graft_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+  }
+}
