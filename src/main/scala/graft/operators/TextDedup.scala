@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.TextSketches
+
 /** Document deduplication operators for large-scale training-data curation:
   * exact (content-hash), exact n-gram Jaccard, MinHash+LSH near-dup, and
   * SimHash. All are pure DataFrame transformations — the shuffle keys are
@@ -23,17 +25,11 @@ object TextDedup {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Word n-gram shingle set (distinct), space-joined. Documents shorter
-    * than n tokens yield an empty set (sequence() would otherwise count
-    * DOWN when size-n < 0 and fabricate shingles).
+  /** Word n-gram shingle set (distinct), space-joined. One narrow eval per
+    * doc (graft.functions.ShingleArray) — the transform/slice lambda
+    * formulation interpreted per ELEMENT and was ~3x slower.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = split(text, " ")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def shingles(text: Column, n: Int): Column = TextSketches.shingleArray(text, n)
 
   /** Exact dedup by content hash: one row per distinct normalized content,
     * with the group size and the smallest doc id as the canonical survivor.
@@ -73,38 +69,29 @@ object TextDedup {
   val NumHashes = 64
   val Bands = 16 // × 4 rows per band
 
-  /** Deterministic affine permutation coefficients over the 64-bit base
-    * hash (wrapping multiply/add — exact, reproducible across runs).
+  /** MinHash signature per doc: array of NumHashes longs. A NARROW
+    * projection (graft.functions.MinHashSig) — no explode, no groupBy:
+    * the signature pass over a 100 TB corpus needs zero shuffle.
     */
-  private val perms: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-  }
+  def minhashSignatures(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), TextSketches.minhashSig(col("text"), n).as("sig"))
 
-  /** MinHash signature per doc: array of NumHashes longs.
-    * One explode + one groupBy(doc) — shuffle keyed by doc_id only.
+  /** Banded signature rows: (doc_id, sig, band_id, band_hash) — the LSH
+    * bucket fabric. Docs sharing any (band_id, band_hash) are candidates.
     */
-  def minhashSignatures(docs: DataFrame, n: Int): DataFrame = {
-    val sh = shingleRows(docs, n).withColumn("h0", xxhash64(col("s")))
-    val mins = perms.zipWithIndex.map { case ((a, b), j) =>
-      min(col("h0") * lit(a) + lit(b)).as(s"m$j")
-    }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
-  }
-
-  /** LSH banding: explode each signature into Bands (band_id, band_hash)
-    * bucket keys; docs sharing any bucket are candidate pairs.
-    */
-  def lshCandidates(sigs0: DataFrame): DataFrame = {
+  def lshBands(sigs: DataFrame): DataFrame = {
     val r = NumHashes / Bands
-    // same self-join dedup as simhashPairs: signatures computed once
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           bnd => xxhash64(concat_ws(",", slice(col("sig"), bnd * r + 1, lit(r))), bnd))))
       .select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_hash"))
+  }
+
+  /** Raw LSH candidate pairs (may repeat across bands — callers filter
+    * cheaply FIRST, then dedup the small survivor set).
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bands = lshBands(sigs)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
@@ -112,12 +99,13 @@ object TextDedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** MinHash near-dup pairs: LSH candidates whose estimated Jaccard
     * (fraction of agreeing signature components) ≥ minEst. est_micro in
     * integer micro-units (n_agree/64 is dyadic — float ties are real).
+    * The agreement filter runs BEFORE the pair dedup, so the only wide
+    * stage shuffles survivors, not every bucket collision.
     */
   def minhashPairs(docs: DataFrame, n: Int, minEst: Double): DataFrame = {
     val cands = lshCandidates(minhashSignatures(docs, n))
@@ -128,26 +116,18 @@ object TextDedup {
       .filter(col("n_agree") >= lit((minEst * NumHashes).ceil.toInt))
       .select(col("id_a"), col("id_b"),
         (col("n_agree") * 1000000L / NumHashes).cast(LongType).as("est_micro"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ───── SimHash ─────
 
   /** 64-bit SimHash per doc from unigram token hashes: bit i of the
     * fingerprint is the sign of Σ_tokens (±1 per token's hash bit i).
+    * A NARROW projection (graft.functions.SimHash64) — the explode +
+    * 64-aggregate-column formulation shuffled the whole token stream.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-        explode(split(normalizeText(col("text")), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map { i =>
-          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-        }.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextSketches.simhash64(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: join on one of eight 8-bit bands, then filter
     * by exact popcount of the XOR. With 8 bands, any pair within hamming
@@ -156,10 +136,7 @@ object TextDedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "band join is exact only for hamming <= bands-1 = 7")
-    // materialize signatures once: both self-join sides hit the same cache
-    // entry instead of recomputing the full-corpus hash aggregation twice
-    // (at 100 TB recomputing the corpus pass is the bigger waste by far)
-    val sig = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = simhash(docs) // narrow projection — cheap on both join sides
     val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 8).map(k =>
           shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL)): _*)))
@@ -170,7 +147,11 @@ object TextDedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // popcount-filter BEFORE the dedup shuffle: a homogeneous corpus
+      // clusters in hamming space, so band buckets produce millions of
+      // candidate pairs — deduping survivors (thousands) instead of
+      // candidates (millions) keeps the only wide stage small
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 }
