@@ -69,6 +69,33 @@ object Media {
     }
   }
 
+  /** One sampled frame of a media payload. */
+  case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_len: Int,
+      frame_md5: String)
+
+  /** Frame sampling: slice the payload into fixed-size frames, keep every
+    * `stride`-th one — the video-keyframe / audio-window batch shape. A
+    * real decoder would emit decoded frames; the stub emits the raw byte
+    * slice's length + hash (deterministic, oracle-checkable). Narrow
+    * mapPartitions: frames never shuffle, payload dropped on output.
+    */
+  def frameSample(media: Dataset[MediaFile], frameSize: Int, stride: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val n = m.payload.length
+        val nFrames = n / frameSize // trailing partial frame dropped
+        (0 until nFrames by stride).iterator.map { i =>
+          val slice = java.util.Arrays.copyOfRange(m.payload, i * frameSize, (i + 1) * frameSize)
+          MediaFrame(m.media_id, i, frameSize, md5Hex(slice))
+        }
+      }
+    }
+  }
+
   /** Adapt the synthetic documents table into media rows (text bytes as
     * the opaque payload) — exercises the binary column path end-to-end
     * against real testdata.

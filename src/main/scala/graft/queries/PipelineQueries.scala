@@ -103,6 +103,15 @@ object PipelineQueries {
       None,
       "random-hyperplane LSH top-k (8 tables × 4 bits) — approximate scale path"),
 
+    "ann3_ivf_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.IvfIndex.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      None,
+      "IVF top-k: k-means coarse quantizer + nprobe probing, exact in-cell rescoring"),
+
     // ───── text analysis ─────
 
     "t1_token_stats" -> Q(
@@ -190,6 +199,18 @@ object PipelineQueries {
         CAST(octet_length(encode(text)) % 32 AS INT) AS n_frames
         FROM documents ORDER BY media_id"""),
       "binary media column → per-partition batched feature extraction (decode stubbed)"),
+
+    "mm2_frame_sample" -> Q(
+      (s, d) => Media.frameSample(
+          Media.documentsAsMedia(s, Tables.documents(s, d)), frameSize = 64, stride = 2)
+        .toDF().orderBy(col("media_id"), col("frame_idx")),
+      // ASCII corpus: DuckDB's char-substring md5 == the byte-slice md5
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i AS INT) AS frame_idx,
+        CAST(64 AS INT) AS frame_len,
+        md5(substring(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_md5
+        FROM documents, UNNEST(range(0, length(text) // 64, 2)) AS t(i)
+        ORDER BY media_id, frame_idx"""),
+      "fixed-size frame sampling over binary payloads (stride 2) — batched, narrow"),
 
     // ───── sessionization (batch flavor of the streaming operator) ─────
 

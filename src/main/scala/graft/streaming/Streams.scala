@@ -43,6 +43,33 @@ object Streams {
   def dedupByHash(withHash: DataFrame): DataFrame =
     withHash.dropDuplicates("payload_hash")
 
+  /** Streaming flavor of the full incremental ELT (SURVEY §3.1): raw
+    * parquet dir → content-hash dedup → per-micro-batch normalize + merge
+    * into the staging store. foreachBatch gives the reference's idempotent
+    * upsert; Trigger.AvailableNow gives its daily-batch cadence with
+    * streaming bookkeeping (new files only, exactly-once per batch).
+    */
+  def cdcIngest(spark: org.apache.spark.sql.SparkSession, rawDir: String,
+      store: graft.etl.TableStore, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.etl.{Normalize, StagingMerge}
+    val raw = spark.readStream.schema(graft.schema.Layers.raw).parquet(rawDir)
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val updates = Normalize.toStaging(Normalize(batch
+          .dropDuplicates("payload_hash")
+          .select(col("id").as("raw_id"), col("sheet_row_number"),
+            col("extracted_at").as("received_at"), lit("live").as("source_type"),
+            col("payload"))))
+        val merged =
+          if (store.exists("staging")) StagingMerge.merge(store.read("staging"), updates)
+          else updates
+        store.overwrite("staging", merged)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
   case class SessionState(start_ns: Long, last_ns: Long, n_events: Long)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)

@@ -34,6 +34,47 @@ class MediaStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("cdc ingest stream: raw files → dedup → staging merge, incremental") {
+    val rawDir = java.nio.file.Files.createTempDirectory("graft_cdc_raw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_cdc_store").toString
+    val store = new graft.etl.ParquetTableStore(spark, storeDir)
+
+    def rawBatch(rows: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+      graft.etl.RawLoader.fromPayloads(
+        rows.zipWithIndex.map { case ((id, total), i) =>
+          (i + 2, Map("PK" -> id, "Date" -> "16.07.2023", "Type" -> "Расход",
+            "Total RUB" -> total))
+        }.toDF("sheet_row_number", "payload"), "stream_test")
+
+    rawBatch(Seq("r1" -> "100.00", "r2" -> "200.00"))
+      .write.mode("append").parquet(rawDir)
+    val q1 = Streams.cdcIngest(spark, rawDir, store, ckpt)
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(s"$storeDir/staging").count() == 2)
+
+    // second file: one edit, one repeat — only the edit lands
+    rawBatch(Seq("r1" -> "150.00", "r2" -> "200.00"))
+      .write.mode("append").parquet(rawDir)
+    val q2 = Streams.cdcIngest(spark, rawDir, store, ckpt)
+    q2.awaitTermination(120000)
+    val staging = spark.read.parquet(s"$storeDir/staging")
+    assert(staging.count() == 2)
+    assert(staging.filter($"raw_id" === "r1").head()
+      .getAs[java.math.BigDecimal]("total_rub").doubleValue() == 150.0)
+  }
+
+  test("frame sampling slices deterministic md5-correct frames") {
+    val media = Seq(Media.MediaFile(1L, "video", ("ab" * 100).getBytes("UTF-8"), "s")).toDS()
+    val frames = Media.frameSample(media, frameSize = 64, stride = 2).collect()
+    // 200 bytes → 3 full frames (0,1,2) → stride 2 keeps 0 and 2
+    assert(frames.map(_.frame_idx).toSet == Set(0, 2))
+    assert(frames.forall(_.frame_len == 64))
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(("ab" * 32).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(frames.find(_.frame_idx == 0).get.frame_md5 == expected)
+  }
+
   test("streaming sessionize equals the batch twin on synthetic events") {
     val min = 60L * 1000000000L
     val events = Seq(

@@ -65,6 +65,18 @@ class PipelineOpsSpec extends SparkTestBase {
       s"query $q: got $ns want ${expected(q)}") }
   }
 
+  test("ivf topk: deterministic training, decent recall vs exact") {
+    val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = graft.operators.IvfIndex.ivfTopK(emb.filter($"vec_id" < 5), emb, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val a = run(); val b = run()
+    assert(a == b, "IVF must be deterministic across runs")
+    assert(a.nonEmpty)
+    val recall = exact.intersect(a).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall collapsed")
+  }
+
   test("lsh topk returns true cosines and decent recall") {
     val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
