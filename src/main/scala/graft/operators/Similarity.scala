@@ -111,11 +111,13 @@ object Similarity {
     val cb = lshBuckets(corpus, planes)
       .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"),
         col("table"), col("bucket"))
-    val cands = qb.join(cb, Seq("table", "bucket"))
+    // score at the join (narrow), THEN dedup: the dedup shuffle carries
+    // (ids, cos), not two 64-double vectors per candidate row
+    val scored = qb.join(cb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cands
       .withColumn("cos", dot(col("qv"), col("cv")) / sqrt(norm2(col("qv")) * norm2(col("cv"))))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),

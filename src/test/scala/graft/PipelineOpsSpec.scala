@@ -87,6 +87,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"LSH recall $recall collapsed")
   }
 
+  test("salted join equals plain join and spreads the hot key") {
+    val hot = (1 to 9000).map(i => (1L, s"row$i")) ++ (1 to 1000).map(i => ((i % 50) + 2L, s"cold$i"))
+    val left = hot.toDF("k", "payload")
+    val right = (1L to 60L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = left.join(right, "k")
+    val salted = graft.operators.SkewJoin.saltedJoin(left, right, "k", "payload", salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+    // the hot key's rows really scatter over multiple salt buckets
+    val buckets = left.filter($"k" === 1L)
+      .select(pmod(xxhash64($"payload"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(buckets == 8L)
+  }
+
+  test("salted count-distinct equals exact count-distinct") {
+    val df = (1 to 5000).map(i => (s"g${i % 3}", s"v${i % 997}")).toDF("g", "v")
+    val exact = df.groupBy($"g").agg(countDistinct($"v").as("n_distinct"))
+    val salted = graft.operators.SkewJoin.saltedCountDistinct(df, "g", "v", salt = 8)
+    assert(salted.exceptAll(exact).count() == 0 && exact.exceptAll(salted).count() == 0)
+  }
+
   test("language id: CJK detection and stopword argmax with tie priority") {
     val df = Seq(
       (1L, "the cat and the hat is on a mat"),
