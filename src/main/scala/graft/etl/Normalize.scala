@@ -107,20 +107,12 @@ object Normalize {
         p.as("raw_payload")) ++
       allVariants.map { case (n, ks) => v(ks).as(s"__s_$n") }: _*)
 
-    // stages 2a-2c: numeric cleaning pipeline, one materialized column per
-    // step (fixSeparators alone references its argument ~14×)
-    val numCols = Layers.stagingIntCols ++ Layers.stagingDecimalCols
-    val s2a = s1.withColumns(
-      numCols.map(n => s"__nb_$n" -> nullIfBlank(col(s"__s_$n"))).toMap)
-    val s2b = s2a.withColumns(
-      numCols.map(n => s"__cl_$n" -> nullIfBlank(cleanNumericString(col(s"__nb_$n")))).toMap)
-    val s2c = s2b.withColumns(
-      numCols.map(n => s"__fx_$n" -> fixSeparators(col(s"__cl_$n"))).toMap)
-    def dec(n: String): Column =
-      decimalOfCleaned(col(s"__nb_$n"), col(s"__fx_$n"))
+    // stage 2: numeric parsing is a single native eval per value
+    // (ParseMoney) — no staged cleaning columns needed
+    def dec(n: String): Column = toDecimal(col(s"__s_$n"))
 
     // stage 3: typed coercion, every helper argument is an attribute ref
-    val projected = s2c.select(
+    val projected = s1.select(
       Seq(
         col("raw_id"), col("sheet_row_number"), col("received_at"),
         col("source_type")) ++

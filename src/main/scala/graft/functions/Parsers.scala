@@ -98,6 +98,15 @@ object Parsers {
     * Handles "1 234,56", "$1,234.56", "₽ 1 234,56", "(100)" → -100.
     */
   def toDecimal(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ParseMoney(Bridge.expression(c.cast(StringType))))
+  }
+
+  /** Column-expression formulation of toDecimal, kept as the semantic
+    * cross-check for ParseMoney (ParsersSpec asserts both agree). Do NOT
+    * use on wide projections: it re-evaluates its argument ~1300×/row.
+    */
+  def toDecimalColumns(c: Column): Column = {
     val s0 = nullIfBlank(c.cast(StringType))
     decimalOfCleaned(s0, fixSeparators(nullIfBlank(cleanNumericString(s0))))
   }
@@ -157,14 +166,16 @@ object Parsers {
   // ───── F6: canonical JSON + MD5 payload hash (ref src/utils.py:14-19) ─────
 
   /** Deterministic canonical JSON of a map<string,string>: keys sorted by
-    * Unicode code point, compact separators, non-ASCII kept raw — byte-parity
-    * with the reference's json.dumps(sort_keys=True, ensure_ascii=False,
-    * separators=(",",":")) for flat string→string payloads (the Sheets-row
-    * shape; golden hashes pinned in ParsersSpec). Pure Catalyst: sort the
-    * entry array, serialize with to_json.
+    * Unicode code point, compact separators, Python json.dumps escaping,
+    * non-ASCII kept raw — byte-parity with the reference's
+    * json.dumps(sort_keys=True, ensure_ascii=False, separators=(",",":"))
+    * (golden hashes pinned in ParsersSpec; exact contract implemented by
+    * graft.functions.CanonicalJson, one eval per row).
     */
-  def canonicalJson(m: Column): Column =
-    to_json(map_from_entries(array_sort(map_entries(m))))
+  def canonicalJson(m: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(CanonicalJson(Bridge.expression(m)))
+  }
 
   /** MD5 content hash of the canonical JSON (the CDC identity key). */
   def payloadHash(m: Column): Column = md5(canonicalJson(m))

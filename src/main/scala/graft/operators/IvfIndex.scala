@@ -47,7 +47,9 @@ object IvfIndex {
     * the k lowest vec_ids; per iteration only (cell, dim)-sums reach the
     * driver. Empty cells keep their previous centroid.
     */
-  def fit(emb: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
+  def fit(emb0: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
+    // each Lloyd iteration re-scans the corpus — cache it for training
+    val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = asDouble(col("embedding"))
     var centroids: Array[Array[Double]] = emb
       .orderBy(col("vec_id")).limit(k)
@@ -72,6 +74,7 @@ object IvfIndex {
         if (counts(c) == 0L) old else sums(c).map(_ / counts(c))
       }
     }
+    emb.unpersist()
     centroids
   }
 

@@ -183,6 +183,39 @@ object PipelineQueries {
         FROM documents ORDER BY doc_id"""),
       "normalized-content MD5 fingerprint"),
 
+    // F4 decimal coercion at scale (ref src/transform.py:68-86): lineitem
+    // prices re-rendered in four polyglot money styles (integer-cents
+    // construction — exact on both engines), parsed by the REAL engine
+    // path, checked against directly-computed decimals.
+    "f4_decimal_parse" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("cents", floor(col("l_extendedprice") * 100).cast(LongType))
+        val w = expr("cents DIV 100").cast(StringType)
+        val f = lpad(pmod(col("cents"), lit(100L)).cast(StringType), 2, "0")
+        val style = pmod(col("l_linenumber"), lit(4))
+        val str = when(style === 0, concat(w, lit(","), f))
+          .when(style === 1, concat(lit("$"), w, lit("."), f))
+          .when(style === 2, concat(lit("("), w, lit(","), f, lit(")")))
+          .otherwise(concat(lit("₽ "), w, lit(","), f))
+        // materialize the string first: toDecimal references its argument
+        // ~1300× through the nested helpers — an attribute read is free,
+        // re-evaluating the concat/when construction is not
+        li.withColumn("str", str)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.functions.Parsers.toDecimal(col("str")).as("parsed"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH c AS (SELECT l_orderkey, l_linenumber,
+          CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+          l_linenumber % 4 AS style FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+          CAST(CASE WHEN style = 2 THEN '-' ELSE '' END ||
+            (cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+            AS DECIMAL(38,10)) AS parsed
+        FROM c ORDER BY l_orderkey, l_linenumber"""),
+      "polyglot money parsing (F2+F3+F4) hash-checked on 600k lineitem rows"),
+
     // ───── multimodal ─────
 
     "mm1_media_features" -> Q(

@@ -42,6 +42,14 @@ class ParsersSpec extends SparkTestBase {
     }
   }
 
+  test("native ParseMoney and the Column formulation agree") {
+    decimalCases.foreach { case (in, want) =>
+      val native = evalStr(in, Parsers.toDecimal)
+      val columns = evalStr(in, Parsers.toDecimalColumns)
+      assert(native == columns, s"disagreement on '$in': $native vs $columns")
+    }
+  }
+
   // ── F5 int coercion (ref tests/test_transform.py:98-107) ──
   test("toInt truncates toward zero; European '1,234' reads as 1") {
     assert(evalStr("42", Parsers.toInt) == Some("42"))
@@ -89,6 +97,16 @@ class ParsersSpec extends SparkTestBase {
     assert(rows(2).getString(1) == "8018d630c38e45a64531824279891103")
     assert(rows(0).getString(1) == "10f2ac1ba2fe4bd500a2efff2b2a9913")
     assert(rows(1).getString(1) == "d3df20ae6ab7b059bc5187abf3064873")
+  }
+
+  test("canonicalJson escapes control chars exactly like python json.dumps") {
+    val p = Map("a\nb" -> "c\"d", "e" -> "f\u0001g", "я" -> "ü\\t")
+    val df = Seq(p).toDF("payload")
+      .select(Parsers.canonicalJson($"payload").as("canon"),
+        Parsers.payloadHash($"payload").as("h"))
+    val r = df.head()
+    assert(r.getString(0) == "{\"a\\nb\":\"c\\\"d\",\"e\":\"f\\u0001g\",\"я\":\"ü\\\\t\"}")
+    assert(r.getString(1) == "7a66008d1f9205c5182358e802e630b2") // CPython golden
   }
 
   test("hash determinism: same payload same hash, different differ") {
