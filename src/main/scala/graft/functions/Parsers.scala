@@ -24,6 +24,14 @@ object Parsers {
     * (ref src/transform.py:28-39). Empty/blank/garbage → null.
     */
   def toTimestamptz(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ParseTimestamp(Bridge.expression(c.cast(StringType))))
+  }
+
+  /** Column-expression formulation of toTimestamptz, kept as the semantic
+    * cross-check for ParseTimestamp (ParsersSpec asserts both agree).
+    */
+  def toTimestamptzColumns(c: Column): Column = {
     val t = trim(nullIfBlank(c.cast(StringType)))
     // each format is gated by a shape regex: a plain coalesce of
     // to_timestamp attempts drives per-row exceptions for every

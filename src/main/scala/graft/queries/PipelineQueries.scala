@@ -216,6 +216,32 @@ object PipelineQueries {
         FROM c ORDER BY l_orderkey, l_linenumber"""),
       "polyglot money parsing (F2+F3+F4) hash-checked on 600k lineitem rows"),
 
+    // F5 int coercion (ref src/transform.py:89-105): decimal-parse then
+    // truncate toward zero — includes the documented "1,234"→1 European
+    // reading (style 0 strings with a 2-digit fraction).
+    "f5_int_parse" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("cents", floor(col("l_extendedprice") * 100).cast(LongType))
+        val w = expr("cents DIV 100").cast(StringType)
+        val f = lpad(pmod(col("cents"), lit(100L)).cast(StringType), 2, "0")
+        val style = pmod(col("l_linenumber"), lit(3))
+        val str = when(style === 0, concat(w, lit(","), f)) // comma-decimal
+          .when(style === 1, w)                             // plain int
+          .otherwise(concat(lit("("), w, lit(")")))         // paren negative
+        li.withColumn("str", str)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.functions.Parsers.toInt(col("str")).as("parsed"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH c AS (SELECT l_orderkey, l_linenumber,
+          CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+          l_linenumber % 3 AS style FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+          CAST(CASE WHEN style = 2 THEN -(cents // 100) ELSE cents // 100 END AS INT) AS parsed
+        FROM c ORDER BY l_orderkey, l_linenumber"""),
+      "int coercion via decimal truncation (F5) hash-checked on lineitem"),
+
     // ───── multimodal ─────
 
     "mm1_media_features" -> Q(

@@ -78,6 +78,18 @@ class ParsersSpec extends SparkTestBase {
     }
   }
 
+  test("native ParseTimestamp and the Column formulation agree") {
+    val inputs = Seq("2023-07-20T00:00:00Z", "2023-07-20T10:30:00+05:00",
+      "16.07.2023", "20.12.2023 10:00:00", "2023-09-15", "03/04/2023",
+      "16/07/2023", "31.02.2023", "02/29/2023", "13/13/2023", "", "junk",
+      " 16.07.2023 ", "2023-07-20 10:30:00")
+    inputs.foreach { in =>
+      val native = evalStr(in, Parsers.toTimestamptz)
+      val columns = evalStr(in, Parsers.toTimestamptzColumns)
+      assert(native == columns, s"disagreement on '$in': $native vs $columns")
+    }
+  }
+
   // ── F6 canonical JSON + MD5 (golden parity with CPython json.dumps) ──
   test("payloadHash is byte-parity with python json.dumps(sort_keys) md5") {
     val p1 = Map(
