@@ -78,6 +78,14 @@ object IvfIndex {
     centroids
   }
 
+  /** Cell assignment for a trained quantizer — the clustering view of the
+    * index: (vec_id, cell). Narrow, broadcast centroids.
+    */
+  def assignCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val v = asDouble(col("embedding"))
+    emb.select(col("vec_id"), nearestCell(v, centroids).as("cell"))
+  }
+
   /** Approximate top-k: probe the query's `nprobe` nearest cells, exact
     * cosine rescoring within them only.
     */

@@ -193,6 +193,44 @@ object CoreQueries {
       None,
       "approx_count_distinct (HLL++, rsd 2%) — sketch-based cardinality"),
 
+    // A8 rollup (engine extension): subtotals per month×status plus
+    // per-month and grand totals in one pass — GROUPING SETS shape.
+    "a8_rollup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .rollup(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("year_month"),
+            $"o_orderstatus")
+          .agg(dec38(sum(dec($"o_totalprice"))).as("total"), count(lit(1)).as("n"))
+          .orderBy($"year_month".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+      },
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS year_month,
+        o_orderstatus,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total,
+        COUNT(*) AS n
+        FROM orders GROUP BY ROLLUP (1, 2)
+        ORDER BY year_month ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
+      "ROLLUP subtotal lattice (engine extension)"),
+
+    // A9 pivot (engine extension): status columns per month. Oracle uses
+    // conditional aggregation — same result, names pinned on both sides.
+    "a9_pivot" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("year_month"))
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .agg(dec38(sum(dec($"o_totalprice"))))
+          .withColumnsRenamed(Map("O" -> "total_o", "F" -> "total_f", "P" -> "total_p"))
+          .orderBy($"year_month")
+      },
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS year_month,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS total_o,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS total_f,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS total_p
+        FROM orders GROUP BY 1 ORDER BY year_month"""),
+      "PIVOT to status columns (engine extension)"),
+
     // A6 count / error-rate monitors (ref main.py:96-103,195-212).
     "a6_quality_monitor" -> Q(
       (s, d) => {

@@ -242,6 +242,33 @@ object PipelineQueries {
         FROM c ORDER BY l_orderkey, l_linenumber"""),
       "int coercion via decimal truncation (F5) hash-checked on lineitem"),
 
+    // t5: corpus vocabulary — exact top-k frequent tokens (tokenizer stats
+    // for training-data pipelines). Two-level agg: token counts shuffle on
+    // the token, top-k via TakeOrderedAndProject.
+    "t5_vocab_topk" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20),
+      Some("""SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token != '' GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
+      "exact top-k vocabulary extraction"),
+
+    // cl1: corpus clustering — k-means cell assignment (IvfIndex quantizer
+    // reused as a clustering operator). Deterministic training; sizes +
+    // per-cell mean norm. Not SQL-expressible → rows-only.
+    "cl1_kmeans_clusters" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.IvfIndex.assignCells(emb, graft.operators.IvfIndex.fit(emb, 8, 3))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("cell"))
+      },
+      None,
+      "k-means document clustering via the IVF quantizer (8 cells)"),
+
     // ───── multimodal ─────
 
     "mm1_media_features" -> Q(
