@@ -269,6 +269,28 @@ object PipelineQueries {
       None,
       "k-means document clustering via the IVF quantizer (8 cells)"),
 
+    // F7/F8 id synthesis (ref main.py:179-212): id-less payloads get
+    // gsheet_auto_{sha256(canonicalJson)[:12]}_{row}. The oracle rebuilds
+    // the canonical JSON literally (alnum values → no escaping) — a match
+    // certifies canonical-JSON byte layout + SHA-256 + the synth format.
+    "f8_id_synth" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("event_id") < 10000)
+          .select(col("event_id").cast(IntegerType).as("sheet_row_number"),
+            map(lit("a"), col("event_type"),
+              lit("b"), col("user_id").cast(StringType)).as("payload"))
+        import graft.functions.Parsers
+        ev.select(col("sheet_row_number").as("row"),
+            Parsers.pickOrSynthId(col("payload"),
+              Parsers.normalizeKeys(col("payload")), col("sheet_row_number")).as("id"))
+          .orderBy(col("row"))
+      },
+      Some("""SELECT CAST(event_id AS INT) AS row,
+        'gsheet_auto_' || substring(sha256('{"a":"' || event_type || '","b":"' ||
+          CAST(user_id AS VARCHAR) || '"}'), 1, 12) || '_' || CAST(event_id AS INT) AS id
+        FROM events WHERE event_id < 10000 ORDER BY row"""),
+      "fallback id synthesis: canonical JSON + SHA-256 + row index (ref main.py:179-212)"),
+
     // ───── multimodal ─────
 
     "mm1_media_features" -> Q(
