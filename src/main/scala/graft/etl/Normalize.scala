@@ -76,15 +76,13 @@ object Normalize {
     * reference skips/warns per row, a Spark task is all-or-nothing so bad
     * rows carry their diagnosis instead; SURVEY §2.1 S6).
     *
-    * Plan-size discipline: the coercion helpers (toDecimal/toInt/
-    * toTimestamptz) reference their argument many times, and getVariant
-    * itself expands to ~2×|variants| element_at calls over the normalized
-    * key map. Composed naively that multiplies into millions of Catalyst
-    * nodes (the optimizer never terminates). So normalization is STAGED:
-    * each stage materializes intermediate columns and the next stage
-    * references them as plain attributes. CollapseProject leaves the
-    * stages alone because the aliases are referenced repeatedly with
-    * non-cheap expressions. Still one narrow, shuffle-free pipeline.
+    * Plan-size discipline: getVariant expands to ~2×|variants| element_at
+    * calls over the normalized key map, so the normalized map is
+    * materialized ONCE as a column (CollapseProject leaves it alone — it
+    * is referenced ~100× with a non-cheap expression). The scalar
+    * coercions are single-eval native expressions (ParseMoney /
+    * ParseTimestamp), so the typed projection applies them directly to
+    * the variant trees — two stages total, narrow and shuffle-free.
     */
   def apply(raw: DataFrame): DataFrame = {
     val p = col("payload")
@@ -93,35 +91,20 @@ object Normalize {
     val s0 = raw.withColumn("__norm", normalizeKeys(p))
     def v(variants: Seq[String]): Column = getVariant(p, col("__norm"), variants)
 
-    // stage 1: variant resolution — one raw string column per staging field
-    val allVariants: Seq[(String, Seq[String])] =
-      timestampVariants.toSeq ++ stringVariants.toSeq ++ intVariants.toSeq ++
-        decimalVariants.toSeq
-    val s1 = s0.select(
+    // stage 1: variant resolution + typed coercion in one projection
+    val projected = s0.select(
       Seq(
         col("raw_id").cast(StringType).as("raw_id"),
         col("sheet_row_number").cast(IntegerType).as("sheet_row_number"),
         col("received_at").cast(TimestampType).as("received_at"),
-        coalesce(col("source_type"), lit("live")).as("source_type"),
-        payloadHash(p).as("payload_hash"),
-        p.as("raw_payload")) ++
-      allVariants.map { case (n, ks) => v(ks).as(s"__s_$n") }: _*)
-
-    // stage 2: numeric parsing is a single native eval per value
-    // (ParseMoney) — no staged cleaning columns needed
-    def dec(n: String): Column = toDecimal(col(s"__s_$n"))
-
-    // stage 3: typed coercion, every helper argument is an attribute ref
-    val projected = s1.select(
+        coalesce(col("source_type"), lit("live")).as("source_type")) ++
+      Layers.stagingTimestampCols.map(n => toTimestamptz(v(timestampVariants(n))).as(n)) ++
+      Layers.stagingStringCols.map(n => v(stringVariants(n)).as(n)) ++
+      Layers.stagingIntCols.map(n => toInt(v(intVariants(n))).as(n)) ++
+      Layers.stagingDecimalCols.map(n => toDecimal(v(decimalVariants(n))).as(n)) ++
       Seq(
-        col("raw_id"), col("sheet_row_number"), col("received_at"),
-        col("source_type")) ++
-      Layers.stagingTimestampCols.map(n => toTimestamptz(col(s"__s_$n")).as(n)) ++
-      Layers.stagingStringCols.map(n => col(s"__s_$n").as(n)) ++
-      Layers.stagingIntCols.map(n =>
-        coalesce(dec(n).cast(IntegerType), trim(col(s"__s_$n")).cast(IntegerType)).as(n)) ++
-      Layers.stagingDecimalCols.map(n => dec(n).as(n)) ++
-      Seq(col("payload_hash"), col("raw_payload")): _*)
+        payloadHash(p).as("payload_hash"),
+        p.as("raw_payload")): _*)
 
     // P10 data-quality predicate (ref src/transform.py:190-195) as a column,
     // not a log line: financial row with missing total_rub.
