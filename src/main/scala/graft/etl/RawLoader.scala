@@ -53,7 +53,9 @@ object RawLoader {
     val p = col("payload")
     val norm = normalizeKeys(p)
     df.select(
-        pickOrSynthId(p, norm, col("sheet_row_number")).as("id"),
+        // synth ids append the 0-based record index (ref main.py:204);
+        // sheet rows are 1-based with a header row, so index = row - 2
+        pickOrSynthId(p, norm, col("sheet_row_number") - 2).as("id"),
         lit(source).as("source"),
         p.as("payload"),
         canonicalJson(p).as("payload_json"),

@@ -37,19 +37,27 @@ object StagingMerge {
 
   /** Audit rows for keys whose content hash changed (J4): one append-only
     * record per change, old/new canonical payload JSON, like the
-    * reference's trigger (field_name literally 'payload').
+    * reference's trigger (field_name literally 'payload'). changed_by
+    * records the new row's actor, COALESCE(NEW.updated_by, 'system') like
+    * the reference trigger (7a8b9c0d1e2f:32); old/new values are CANONICAL
+    * JSON (sorted keys, Python escaping) so they byte-match payload_json
+    * and the hash input — to_json would give arbitrary key order.
     */
-  def auditDiff(existing: DataFrame, updates: DataFrame,
-      changedBy: String = "etl_pipeline"): DataFrame = {
+  def auditDiff(existing: DataFrame, updates: DataFrame): DataFrame = {
+    import graft.functions.Parsers.canonicalJson
     val u = dedupeBatch(updates)
+    val actor =
+      if (u.columns.contains("updated_by")) coalesce(col("updated_by"), lit("system"))
+      else lit("system")
     val oldS = existing.select(
       col("raw_id"),
       col("payload_hash").as("__old_hash"),
-      to_json(col("raw_payload")).as("old_value"))
+      canonicalJson(col("raw_payload")).as("old_value"))
     val newS = u.select(
       col("raw_id"),
       col("payload_hash").as("__new_hash"),
-      to_json(col("raw_payload")).as("new_value"))
+      canonicalJson(col("raw_payload")).as("new_value"),
+      actor.as("changed_by"))
     oldS.join(newS, Seq("raw_id"))
       .filter(col("__old_hash") =!= col("__new_hash"))
       .select(
@@ -58,6 +66,6 @@ object StagingMerge {
         col("old_value"),
         col("new_value"),
         current_timestamp().as("changed_at"),
-        lit(changedBy).as("changed_by"))
+        col("changed_by"))
   }
 }

@@ -22,10 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * escaping to Jackson and paid an interpreted comparator per entry pair;
   * this expression IS the contract.
   */
-case class CanonicalJson(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+abstract class SortedKeyJson extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
+
+  /** ensure_ascii: non-ASCII chars → \\uXXXX (surrogate halves escaped
+    * separately, matching CPython for astral chars).
+    */
+  protected def asciiOnly: Boolean
+  /** default separators (", ", ": ") vs compact (",", ":") */
+  protected def spaced: Boolean
 
   private def appendEscaped(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')
@@ -41,7 +47,8 @@ case class CanonicalJson(child: Expression)
         case '\f' => sb.append("\\f")
         case '\r' => sb.append("\\r")
         case _ =>
-          if (c < ' ') sb.append(f"\\u${c.toInt}%04x") else sb.append(c)
+          if (c < ' ' || (asciiOnly && c > '~')) sb.append(f"\\u${c.toInt}%04x")
+          else sb.append(c)
       }
       i += 1
     }
@@ -58,17 +65,34 @@ case class CanonicalJson(child: Expression)
     sb.append('{')
     var first = true
     idx.foreach { i =>
-      if (!first) sb.append(',')
+      if (!first) { sb.append(','); if (spaced) sb.append(' ') }
       first = false
       appendEscaped(sb, keys.getUTF8String(i).toString)
       sb.append(':')
+      if (spaced) sb.append(' ')
       if (vals.isNullAt(i)) sb.append("null")
       else appendEscaped(sb, vals.getUTF8String(i).toString)
     }
     sb.append('}')
     UTF8String.fromString(sb.toString)
   }
+}
 
+case class CanonicalJson(child: Expression) extends SortedKeyJson {
+  override protected def asciiOnly: Boolean = false
+  override protected def spaced: Boolean = false
   override protected def withNewChildInternal(newChild: Expression): CanonicalJson =
+    copy(child = newChild)
+}
+
+/** json.dumps(r, sort_keys=True) with DEFAULTS — ensure_ascii=True and
+  * separators (", ", ": ") — the reference's SHA-256 row-hash input
+  * (main.py:191-192), which differs from the compact MD5 flavor for any
+  * non-ASCII payload.
+  */
+case class PyDefaultJson(child: Expression) extends SortedKeyJson {
+  override protected def asciiOnly: Boolean = true
+  override protected def spaced: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): PyDefaultJson =
     copy(child = newChild)
 }

@@ -26,7 +26,9 @@ case class NormalizedKeyMap(child: Expression)
     val out = new java.util.LinkedHashMap[String, AnyRef](n * 2)
     var i = 0
     while (i < n) {
-      val k = keys.getUTF8String(i).toString.toLowerCase.replace(" ", "")
+      // Locale.ROOT: locale-independent lowercase, like Python str.lower()
+      // (a Turkish default locale would map I→ı and break key matching)
+      val k = keys.getUTF8String(i).toString.toLowerCase(java.util.Locale.ROOT).replace(" ", "")
       out.put(k, if (vals.isNullAt(i)) null else vals.getUTF8String(i))
       i += 1
     }

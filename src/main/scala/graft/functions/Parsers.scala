@@ -46,7 +46,8 @@ object Parsers {
       "^(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4}) ", "$3-$2-$1 ")
     val dotted = regexp_replace(t,
       "^(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4})$", "$3-$2-$1")
-    when(t.rlike("^\\d{4}-\\d{2}-\\d{2}"), to_timestamp(t))
+    when(t.rlike("^\\d{4}-"), to_timestamp(t))
+      .when(t.rlike("^\\d{8}$"), to_timestamp(t, "yyyyMMdd"))
       .when(t.rlike("^\\d{1,2}\\.\\d{1,2}\\.\\d{4} "), to_timestamp(dottedTime))
       .when(t.rlike("^\\d{1,2}\\.\\d{1,2}\\.\\d{4}$"), to_timestamp(dotted))
       .when(t.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"),
@@ -169,7 +170,8 @@ object Parsers {
   def getVariant(payload: Column, normMap: Column, variants: Seq[String]): Column =
     coalesce(
       (variants.map(v => element_at(payload, lit(v))) ++
-        variants.map(v => element_at(normMap, lit(v.toLowerCase.replace(" ", ""))))): _*)
+        variants.map(v =>
+          element_at(normMap, lit(v.toLowerCase(java.util.Locale.ROOT).replace(" ", ""))))): _*)
 
   // ───── F6: canonical JSON + MD5 payload hash (ref src/utils.py:14-19) ─────
 
@@ -188,21 +190,30 @@ object Parsers {
   /** MD5 content hash of the canonical JSON (the CDC identity key). */
   def payloadHash(m: Column): Column = md5(canonicalJson(m))
 
-  /** F7: SHA-256 over the canonical JSON (engine uses the same canonical
-    * form for both hash flavors; the reference's second flavor differs only
-    * in json.dumps separators, ref main.py:191-192).
+  /** F7: SHA-256 row hash, byte-compatible with the reference's
+    * sha256(json.dumps(r, sort_keys=True)) — DEFAULT json.dumps flavor:
+    * ensure_ascii=True and separators (", ", ": ") (ref main.py:191-192),
+    * which differs from the compact MD5 canonical form for any non-ASCII
+    * payload.
     */
-  def payloadSha256(m: Column): Column = sha2(canonicalJson(m), 256)
+  def payloadSha256(m: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    sha2(Bridge.column(PyDefaultJson(Bridge.expression(m))), 256)
+  }
 
   // ───── F8: fallback id synthesis (ref main.py:179-212) ─────
 
   /** Pick the row id from pk/id/row_id/uuid (case-insensitive; ref
-    * main.py:182-183) or synthesize gsheet_auto_{sha256[:12]}_{rowIndex}.
+    * main.py:182-183) or synthesize gsheet_auto_{sha256[:12]}_{recordIndex}.
+    * recordIndex is the 0-BASED data-row index (reference enumerate(records),
+    * main.py:179,204) — NOT the sheet row number (= index + 2); callers
+    * ingesting sheet rows pass sheet_row_number - 2. Re-ingesting the same
+    * sheet through the reference and this engine yields identical ids.
     */
-  def pickOrSynthId(payload: Column, normMap: Column, rowIndex: Column): Column = {
+  def pickOrSynthId(payload: Column, normMap: Column, recordIndex: Column): Column = {
     val picked = nullIfBlank(getVariant(payload, normMap, Seq("pk", "id", "row_id", "uuid")))
     coalesce(picked,
-      concat(lit("gsheet_auto_"), substring(payloadSha256(payload), 1, 12), lit("_"), rowIndex))
+      concat(lit("gsheet_auto_"), substring(payloadSha256(payload), 1, 12), lit("_"), recordIndex))
   }
 
   // ───── F17: zero-padded surrogate PK (ref gas/pk_master.gs:8-12) ─────

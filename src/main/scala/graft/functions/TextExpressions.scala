@@ -40,7 +40,7 @@ object TextHash {
   }
 
   def tokenize(text: String): Array[String] =
-    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
 }
 
 /** Distinct word n-gram shingles of a text column → array<string>. */

@@ -27,10 +27,14 @@ case class ParseTimestamp(child: Expression)
 
   private val dottedRe = "^(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4})($| .*$)".r
   private val slashRe = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})$".r
+  private val compactIsoRe = "^(\\d{4})(\\d{2})(\\d{2})$".r
 
+  /** yyyy- prefix is enough: Spark's stringToTimestamp is lenient on
+    * month/day digit counts, so non-zero-padded ISO like "2023-4-5"
+    * (reference strptime %Y-%m-%d accepts it) parses too.
+    */
   private def isoLike(s: String): Boolean =
-    s.length >= 10 && s.charAt(4) == '-' && s.charAt(7) == '-' &&
-      s.substring(0, 4).forall(_.isDigit)
+    s.length >= 6 && s.charAt(4) == '-' && s.substring(0, 4).forall(_.isDigit)
 
   private def utcMicros(s: String): Any =
     DateTimeUtils.stringToTimestamp(UTF8String.fromString(s), ZoneOffset.UTC)
@@ -47,6 +51,10 @@ case class ParseTimestamp(child: Expression)
     if (t.isEmpty) return null
     if (isoLike(t)) return utcMicros(t)
     t match {
+      case compactIsoRe(y, m, d) =>
+        // compact ISO "20230405" (dateutil isoparse accepts it; Spark's
+        // stringToTimestamp would read it as a single huge year)
+        dateMicros(y.toInt, m.toInt, d.toInt)
       case dottedRe(d, m, y, rest) =>
         // re-order to ISO and reuse Spark's native parser (validates the
         // date and handles the optional time part identically)

@@ -104,6 +104,6 @@ object IvfIndex {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        col("cos").cast(DecimalType(18, 6)).as("cos"))
+        col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
   }
 }

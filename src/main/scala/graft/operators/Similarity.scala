@@ -53,7 +53,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        col("cos").cast(DecimalType(18, 6)).as("cos"))
+        col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
   }
 
   /** All near-duplicate pairs with cosine ≥ minCos — exact O(n²) baseline
@@ -68,7 +68,7 @@ object Similarity {
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))
       .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"), col("cos").cast(DecimalType(18, 6)).as("cos"))
+      .select(col("id_a"), col("id_b"), col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
   }
 
   // ───── random-hyperplane LSH ─────
@@ -121,6 +121,6 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        col("cos").cast(DecimalType(18, 6)).as("cos"))
+        col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
   }
 }

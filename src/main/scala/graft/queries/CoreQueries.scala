@@ -33,11 +33,22 @@ final case class Q(
 object Qh {
   def dec(c: Column, p: Int = 20, s: Int = 4): Column = c.cast(DecimalType(p, s))
   def dec38(c: Column, s: Int = 4): Column = c.cast(DecimalType(38, s))
+  /** Correctness-gate rendering: DECIMAL output columns hash differently
+    * across parquet readers (Decimal objects vs float64), so every
+    * decimal-exact result is converted to DOUBLE as the LAST step on both
+    * engines — equal decimals convert to bit-identical doubles (correctly
+    * rounded; unscaled values here stay under 2^53). The arithmetic before
+    * this cast stays decimal-exact.
+    */
+  def dbl(c: Column): Column = c.cast(DoubleType)
   /** exact revenue term: extendedprice * (1 - discount), decimal arithmetic */
   def revenue(ep: Column, disc: Column): Column =
     dec(ep) * (lit(1).cast(DecimalType(10, 4)) - dec(disc, 10, 4))
-  /** events.ts (long ns, UTC) → timestamp (µs truncation) */
-  def tsFromNanos(tsNs: Column): Column = timestamp_micros((tsNs / 1000L).cast(LongType))
+  /** events.ts (long ns, UTC) → timestamp (µs truncation). Integer DIV —
+    * double division loses ~128 ns at 2^60 and can misbucket boundary rows.
+    */
+  def tsFromNanos(tsNs: Column): Column =
+    timestamp_micros(graft.functions.ColumnOps.intDiv(tsNs, 1000L))
 }
 
 /** SURVEY.md §2 core relational operators re-expressed over the star schema:
@@ -60,16 +71,16 @@ object CoreQueries {
           .filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampType))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            dec38(sum(dec($"l_quantity"))).as("sum_qty"),
-            dec38(sum(dec($"l_extendedprice"))).as("sum_base_price"),
-            dec38(sum(revenue($"l_extendedprice", $"l_discount")), 8).as("sum_disc_price"),
+            dbl(dec38(sum(dec($"l_quantity")))).as("sum_qty"),
+            dbl(dec38(sum(dec($"l_extendedprice")))).as("sum_base_price"),
+            dbl(dec38(sum(revenue($"l_extendedprice", $"l_discount")), 8)).as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS DOUBLE) AS sum_disc_price,
         COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
@@ -87,12 +98,12 @@ object CoreQueries {
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
           .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
           .groupBy($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"))
-          .agg(dec38(sum(revenue($"l_extendedprice", $"l_discount")), 8).as("revenue"))
+          .agg(dbl(dec38(sum(revenue($"l_extendedprice", $"l_discount")), 8)).as("revenue"))
           .orderBy($"revenue".desc, $"o_orderkey")
           .limit(10)
       },
       Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS revenue
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
@@ -127,12 +138,12 @@ object CoreQueries {
         import s.implicits._
         Tables.part(s, d)
           .groupBy(coalesce($"p_brand", lit("Uncategorized")).as("category"))
-          .agg(dec38(sum(dec($"p_retailprice"))).as("total"),
+          .agg(dbl(dec38(sum(dec($"p_retailprice")))).as("total"),
             count(lit(1)).as("record_count"))
           .orderBy($"total".desc, $"category")
       },
       Some("""SELECT COALESCE(p_brand, 'Uncategorized') AS category,
-        CAST(SUM(CAST(p_retailprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total,
+        CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total,
         COUNT(*) AS record_count
         FROM part GROUP BY 1 ORDER BY total DESC, category"""),
       "expenses-by-category analog (ref 129f09ac6c14:37-48)"),
@@ -156,13 +167,13 @@ object CoreQueries {
         import s.implicits._
         Tables.events(s, d)
           .groupBy($"event_type")
-          .agg(dec38(sum(dec(coalesce($"value", lit(0))))).as("total_value"),
+          .agg(dbl(dec38(sum(dec(coalesce($"value", lit(0)))))).as("total_value"),
             count(lit(1)).as("n_events"),
             countDistinct($"user_id").as("n_users"))
           .orderBy($"event_type")
       },
       Some("""SELECT event_type,
-        CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total_value,
+        CAST(CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value,
         COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type"""),
       "campaigns rollup analog (ref src/marts.py:15-25) + distinct count"),
@@ -201,12 +212,12 @@ object CoreQueries {
         Tables.orders(s, d)
           .rollup(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("year_month"),
             $"o_orderstatus")
-          .agg(dec38(sum(dec($"o_totalprice"))).as("total"), count(lit(1)).as("n"))
+          .agg(dbl(dec38(sum(dec($"o_totalprice")))).as("total"), count(lit(1)).as("n"))
           .orderBy($"year_month".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
       },
       Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS year_month,
         o_orderstatus,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total,
         COUNT(*) AS n
         FROM orders GROUP BY ROLLUP (1, 2)
         ORDER BY year_month ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
@@ -222,12 +233,14 @@ object CoreQueries {
           .pivot("o_orderstatus", Seq("O", "F", "P"))
           .agg(dec38(sum(dec($"o_totalprice"))))
           .withColumnsRenamed(Map("O" -> "total_o", "F" -> "total_f", "P" -> "total_p"))
+          .select($"year_month", dbl($"total_o").as("total_o"),
+            dbl($"total_f").as("total_f"), dbl($"total_p").as("total_p"))
           .orderBy($"year_month")
       },
       Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS year_month,
-        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS total_o,
-        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS total_f,
-        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS total_p
+        CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS total_o,
+        CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS total_f,
+        CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS total_p
         FROM orders GROUP BY 1 ORDER BY year_month"""),
       "PIVOT to status columns (engine extension)"),
 
@@ -335,11 +348,11 @@ object CoreQueries {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy($"r_name")
           .agg(count(lit(1)).as("n_customers"),
-            dec38(sum(dec($"c_acctbal"))).as("total_acctbal"))
+            dbl(dec38(sum(dec($"c_acctbal")))).as("total_acctbal"))
           .orderBy($"r_name")
       },
       Some("""SELECT r_name, COUNT(*) AS n_customers,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total_acctbal
+        CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name"""),
@@ -357,6 +370,8 @@ object CoreQueries {
           .agg(max(dec($"value")).as("new_value"))
         oldS.join(newS, Seq("user_id"))
           .filter($"old_value" =!= $"new_value")
+          .select($"user_id", dbl($"old_value").as("old_value"),
+            dbl($"new_value").as("new_value"))
           .orderBy($"user_id")
       },
       Some("""WITH olds AS (
@@ -365,7 +380,8 @@ object CoreQueries {
         news AS (
           SELECT user_id, MAX(CAST(value AS DECIMAL(20,4))) AS new_value
           FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
-        SELECT olds.user_id AS user_id, old_value, new_value
+        SELECT olds.user_id AS user_id, CAST(old_value AS DOUBLE) AS old_value,
+          CAST(new_value AS DOUBLE) AS new_value
         FROM olds JOIN news USING (user_id)
         WHERE old_value != new_value ORDER BY user_id"""),
       "audit old-vs-new snapshot diff (ref 7a8b9c0d1e2f:24-35)"),
@@ -436,14 +452,14 @@ object CoreQueries {
         val w = Window.partitionBy($"user_id").orderBy($"event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, d)
-          .withColumn("running_value", dec38(sum(dec($"value")).over(w)))
+          .withColumn("running_value", dbl(dec38(sum(dec($"value")).over(w))))
           .select($"user_id", $"event_id", $"running_value")
           .orderBy($"user_id", $"event_id")
       },
       Some("""SELECT user_id, event_id,
-        CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER
+        CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER
           (PARTITION BY user_id ORDER BY event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS running_value
         FROM events ORDER BY user_id, event_id"""),
       "running-total frame window (engine extension)"),
 
@@ -531,7 +547,7 @@ object CoreQueries {
           .withColumn("ts_utc", Qh.tsFromNanos($"ts"))
           .groupBy(window($"ts_utc", "5 minutes").getField("start").as("bucket_start"),
             $"event_type")
-          .agg(count(lit(1)).as("n"), dec38(sum(dec($"value"))).as("total_value"))
+          .agg(count(lit(1)).as("n"), dbl(dec38(sum(dec($"value")))).as("total_value"))
           .select(date_format($"bucket_start", "yyyy-MM-dd HH:mm:ss").as("bucket"),
             $"event_type", $"n", $"total_value")
           .orderBy($"bucket", $"event_type")
@@ -539,7 +555,7 @@ object CoreQueries {
       Some("""SELECT strftime(make_timestamp((epoch_ns(ts) // 300000000000) * 300000000),
           '%Y-%m-%d %H:%M:%S') AS bucket,
         event_type, COUNT(*) AS n,
-        CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS total_value
+        CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""),
       "tumbling event-time window, batch flavor of the streaming agg"),
   )

@@ -64,13 +64,13 @@ object EndToEndQueries {
       (s, d) => Normalize(ordersAsRaw(s, d))
         .select(col("raw_id"),
           date_format(col("date"), "yyyy-MM-dd").as("order_date"),
-          col("type"), col("client"), col("total_rub"))
+          col("type"), col("client"), col("total_rub").cast(DoubleType).as("total_rub"))
         .orderBy(col("raw_id")),
       Some(s"""SELECT CAST(o_orderkey AS VARCHAR) AS raw_id,
         CAST(year(o_orderdate) + 28 AS VARCHAR) || strftime(o_orderdate, '-%m-%d') AS order_date,
         $typeSql AS type,
         'Customer#' || CAST(o_custkey AS VARCHAR) AS client,
-        $moneySql AS total_rub
+        CAST($moneySql AS DOUBLE) AS total_rub
         FROM orders ORDER BY raw_id"""),
       "FULL normalize path: RU-header payload maps → variant resolution → typed columns"),
 

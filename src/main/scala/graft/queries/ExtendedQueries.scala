@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Round-2 widening of the operator inventory beyond SURVEY §2's literal
+  * surface: the relational/temporal operators a large-scale training-data
+  * pipeline leans on — as-of join (point-in-time correctness), CUBE lattice,
+  * exact median, EXCEPT/INTERSECT, lead/lag deltas, sliding windows, JSON
+  * field extraction, and a multi-way star join.
+  *
+  * Scale notes per query are inline; every implementation is shuffle-lean:
+  * as-of is the union+last_value pattern (ONE shuffle by key, no range
+  * join / per-row probing), sliding windows are a flat projection (each row
+  * → width/slide buckets) + one hash agg, dims broadcast everywhere.
+  */
+object ExtendedQueries {
+  import Qh._
+
+  /** events.ts (TIMESTAMP(NANOS) parquet) as exact integer MICROseconds —
+    * DuckDB reads the same column at µs precision, so µs is the common
+    * grid (NOTES.md oracle-parity rules).
+    */
+  private val tsUs = expr("ts DIV 1000")
+
+  val all: Map[String, Q] = Map(
+
+    // ───── as-of join (temporal point-in-time lookup) ─────
+    // For every click, the most recent purchase by the same user at or
+    // before it. Implementation: tag both sides, ONE sort-shuffle by
+    // (user_id), running last_value over (ts, side) — the scalable as-of
+    // pattern (no theta-join explosion, no per-row probe; at 100 TB this
+    // is a single repartition+sort, same cost class as any keyed window).
+    // Purchases sort before clicks on ts ties (side 0 < 1) = inclusive >=.
+    "j5_asof_join" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), tsUs.as("tus"), lit(0).as("side"),
+            lit(null).cast(LongType).as("event_id"), tsUs.as("rts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), tsUs.as("tus"), lit(1).as("side"),
+            col("event_id"), lit(null).cast(LongType).as("rts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("side"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("last_purchase_us", last(col("rts"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("user_id"), col("event_id"), col("tus").as("click_us"),
+            col("last_purchase_us"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS click_us
+          FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_us(ts) AS purchase_us
+          FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id AS user_id, c.event_id AS event_id, c.click_us,
+          p.purchase_us AS last_purchase_us
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.click_us >= p.purchase_us
+        ORDER BY c.user_id, c.event_id"""),
+      "as-of join via union + running last_value — point-in-time lookup, one shuffle"),
+
+    // ───── TPC-H Q5-shaped multiway star join ─────
+    // lineitem ⋈ orders ⋈ customer ⋈ supplier (local-supplier condition
+    // c_nationkey = s_nationkey) ⋈ nation ⋈ region('ASIA'). nation/region
+    // broadcast; customer/supplier broadcast at these SFs, AQE picks SMJ
+    // when they outgrow the threshold at cluster scale.
+    "q5_region_revenue" -> Q(
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, d)
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val c = Tables.customer(s, d)
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup),
+            li("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(dbl(dec38(sum(revenue(col("l_extendedprice"), col("l_discount"))), 8)).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      "TPC-H Q5-shaped 6-table star join, local-supplier condition, broadcast dims"),
+
+    // ───── CUBE lattice (completes rollup/pivot/grouping-sets family) ─────
+    "a10_cube" -> Q(
+      (s, d) => {
+        Tables.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(dbl(dec38(sum(dec(col("o_totalprice"))))).as("total"), count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total,
+        COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+      "CUBE subtotal lattice over status × priority"),
+
+    // ───── exact median (interpolated percentile) ─────
+    // l_quantity is integer-valued, so the 0.5-interpolation is exact in
+    // doubles on both engines (a+b)/2 of ints < 2^52 — hash-safe. The
+    // 100 TB path is approx_percentile (a7-style sketch); this is the
+    // exact baseline.
+    "a11_median" -> Q(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "exact interpolated median per group (approx_percentile is the scale path)"),
+
+    // ───── set ops: EXCEPT / INTERSECT (complete U1's family) ─────
+    "u2_except" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.select(col("o_custkey")).distinct()
+          .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT DISTINCT o_custkey FROM orders
+        EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_custkey"""),
+      "EXCEPT: customers with orders but no finished order"),
+
+    "u3_intersect" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_custkey"""),
+      "INTERSECT: customers with both open and finished orders"),
+
+    // ───── lead/lag inter-event deltas ─────
+    "w3_lead_lag" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), tsUs.as("tus"))
+          .withColumn("gap_prev_us", col("tus") - lag(col("tus"), 1).over(w))
+          .withColumn("gap_next_us", lead(col("tus"), 1).over(w) - col("tus"))
+          .select(col("user_id"), col("event_id"), col("gap_prev_us"), col("gap_next_us"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_prev_us,
+        lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_next_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ORDER BY user_id, event_id"""),
+      "lag/lead inter-event gaps per user — the sessionization primitive"),
+
+    // ───── sliding event-time window (10 min width, 5 min slide) ─────
+    // Each event lands in exactly width/slide = 2 buckets: a narrow
+    // 2×-projection + ONE hash agg — no self-join, no explode shuffle.
+    "st3_sliding_window" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ts_utc", Qh.tsFromNanos(col("ts")))
+        e.groupBy(window(col("ts_utc"), "10 minutes", "5 minutes")
+              .getField("start").as("bucket_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dbl(dec38(sum(dec(col("value"))))).as("total_value"))
+          .select(date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+            col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("bucket"), col("event_type"))
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        b AS (SELECT event_type, value,
+            ((tus // 300000000) - o) * 300000000 AS bstart
+          FROM e, UNNEST([0, 1]) AS t(o))
+        SELECT strftime(make_timestamp(bstart), '%Y-%m-%d %H:%M:%S') AS bucket,
+          event_type, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
+        FROM b GROUP BY 1, 2 ORDER BY bucket, event_type"""),
+      "sliding 10m/5m event-time windows — flat 2× projection + one agg"),
+
+    // ───── F13 JSON field extraction over the props column ─────
+    "f13_json_extract" -> Q(
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_parsed"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+        SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT)) AS sum_k,
+        COUNT(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT)) AS n_parsed
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      "JSON field extraction (F13) + aggregate over semi-structured props"),
+  )
+}

@@ -71,7 +71,7 @@ object PipelineQueries {
       (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), minCos = 0.4)
         .orderBy(col("id_a"), col("id_b")),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        CAST(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS DECIMAL(18,6)) AS cos
+        CAST(CAST(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS DECIMAL(18,6)) AS DOUBLE) AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         ORDER BY id_a, id_b"""),
@@ -86,7 +86,7 @@ object PipelineQueries {
           .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       },
       Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        CAST(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS DECIMAL(18,6)) AS cos
+        CAST(CAST(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS DECIMAL(18,6)) AS DOUBLE) AS cos
         FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
         QUALIFY row_number() OVER (PARTITION BY q.vec_id
           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
@@ -203,16 +203,16 @@ object PipelineQueries {
         // re-evaluating the concat/when construction is not
         li.withColumn("str", str)
           .select(col("l_orderkey"), col("l_linenumber"),
-            graft.functions.Parsers.toDecimal(col("str")).as("parsed"))
+            graft.functions.Parsers.toDecimal(col("str")).cast(DoubleType).as("parsed"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""WITH c AS (SELECT l_orderkey, l_linenumber,
           CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
           l_linenumber % 4 AS style FROM lineitem)
         SELECT l_orderkey, l_linenumber,
-          CAST(CASE WHEN style = 2 THEN '-' ELSE '' END ||
+          CAST(CAST(CASE WHEN style = 2 THEN '-' ELSE '' END ||
             (cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
-            AS DECIMAL(38,10)) AS parsed
+            AS DECIMAL(38,10)) AS DOUBLE) AS parsed
         FROM c ORDER BY l_orderkey, l_linenumber"""),
       "polyglot money parsing (F2+F3+F4) hash-checked on 600k lineitem rows"),
 
@@ -270,9 +270,10 @@ object PipelineQueries {
       "k-means document clustering via the IVF quantizer (8 cells)"),
 
     // F7/F8 id synthesis (ref main.py:179-212): id-less payloads get
-    // gsheet_auto_{sha256(canonicalJson)[:12]}_{row}. The oracle rebuilds
-    // the canonical JSON literally (alnum values → no escaping) — a match
-    // certifies canonical-JSON byte layout + SHA-256 + the synth format.
+    // gsheet_auto_{sha256(pyDefaultJson)[:12]}_{index}. The sha input is
+    // json.dumps DEFAULT flavor — ", "/": " separators (ref main.py:191) —
+    // rebuilt literally in the oracle (alnum values → no escaping); a match
+    // certifies the byte layout + SHA-256 + the synth format.
     "f8_id_synth" -> Q(
       (s, d) => {
         val ev = Tables.events(s, d).filter(col("event_id") < 10000)
@@ -286,7 +287,7 @@ object PipelineQueries {
           .orderBy(col("row"))
       },
       Some("""SELECT CAST(event_id AS INT) AS row,
-        'gsheet_auto_' || substring(sha256('{"a":"' || event_type || '","b":"' ||
+        'gsheet_auto_' || substring(sha256('{"a": "' || event_type || '", "b": "' ||
           CAST(user_id AS VARCHAR) || '"}'), 1, 12) || '_' || CAST(event_id AS INT) AS id
         FROM events WHERE event_id < 10000 ORDER BY row"""),
       "fallback id synthesis: canonical JSON + SHA-256 + row index (ref main.py:179-212)"),

@@ -23,7 +23,8 @@ object Streams {
 
   /** events with ts as a proper timestamp column (source stores ns longs). */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    events.withColumn("ts_utc",
+      timestamp_micros(graft.functions.ColumnOps.intDiv(col("ts"), 1000L)))
 
   /** Tumbling event-time aggregation; on a stream add a watermark first:
     * withWatermark("ts_utc", "10 minutes"). Works unchanged in batch.

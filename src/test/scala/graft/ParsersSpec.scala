@@ -68,6 +68,8 @@ class ParsersSpec extends SparkTestBase {
       "16.07.2023" -> Some("2023-07-16 00:00:00"),
       "20.12.2023 10:00:00" -> Some("2023-12-20 10:00:00"),
       "2023-09-15" -> Some("2023-09-15 00:00:00"),
+      "2023-4-5" -> Some("2023-04-05 00:00:00"), // non-padded ISO (strptime %Y-%m-%d)
+      "20230405" -> Some("2023-04-05 00:00:00"), // compact ISO (dateutil isoparse)
       "03/04/2023" -> Some("2023-03-04 00:00:00"), // M/d/yyyy first
       "16/07/2023" -> Some("2023-07-16 00:00:00"), // falls through to d/M/yyyy
       "" -> None,
@@ -82,7 +84,7 @@ class ParsersSpec extends SparkTestBase {
     val inputs = Seq("2023-07-20T00:00:00Z", "2023-07-20T10:30:00+05:00",
       "16.07.2023", "20.12.2023 10:00:00", "2023-09-15", "03/04/2023",
       "16/07/2023", "31.02.2023", "02/29/2023", "13/13/2023", "", "junk",
-      " 16.07.2023 ", "2023-07-20 10:30:00")
+      " 16.07.2023 ", "2023-07-20 10:30:00", "2023-4-5", "20230405")
     inputs.foreach { in =>
       val native = evalStr(in, Parsers.toTimestamptz)
       val columns = evalStr(in, Parsers.toTimestamptzColumns)
@@ -121,6 +123,18 @@ class ParsersSpec extends SparkTestBase {
     assert(r.getString(1) == "7a66008d1f9205c5182358e802e630b2") // CPython golden
   }
 
+  test("payloadSha256 is byte-parity with DEFAULT json.dumps (ensure_ascii, spaced)") {
+    // reference main.py:191-192: sha256(json.dumps(r, sort_keys=True)) —
+    // ensure_ascii=True (\\uXXXX escapes) and ', '/': ' separators
+    val ru = Map("Тип" -> "Расход", "PK" -> "x1")
+    val esc = Map("b" -> "say \"hi\"\n", "a" -> "tab\there")
+    val df = Seq(ru, esc).toDF("payload")
+      .select(Parsers.payloadSha256($"payload").as("sha"))
+    val shas = df.collect().map(_.getString(0))
+    assert(shas(0) == "8910bd6bc7b390435465538b4d4154d6e9873c356ba8d8a6d0a7c09520288034")
+    assert(shas(1) == "0406f959c860c5d9547ff8ded0dfe334309f5445c71e242c4a682bc200c43bca")
+  }
+
   test("hash determinism: same payload same hash, different differ") {
     val df = Seq(Map("a" -> "1"), Map("a" -> "1"), Map("a" -> "2"))
       .toDF("payload").select(Parsers.payloadHash($"payload").as("h"))
@@ -153,6 +167,7 @@ class ParsersSpec extends SparkTestBase {
       .select(Parsers.pickOrSynthId($"p", Parsers.normalizeKeys($"p"), $"rownum").as("id"))
     val ids = df.collect().map(_.getString(0))
     assert(ids(0) == "550e8400-e29b-41d4-a716-446655440000")
-    assert(ids(1).matches("gsheet_auto_[0-9a-f]{12}_3"))
+    // CPython golden: sha256(json.dumps({'x':'1'}, sort_keys=True))[:12]
+    assert(ids(1) == "gsheet_auto_7b99b5db04d1_3")
   }
 }
