@@ -71,6 +71,27 @@ object Streams {
       .start()
   }
 
+  /** Stream-stream interval join: purchases attributed to a click by the
+    * same user within `attribution` before the purchase. Watermarks bound
+    * BOTH state stores (Spark drops click state older than purchase
+    * watermark - attribution, and vice versa) — mandatory for an unbounded
+    * stream-stream join; the SAME code path works in batch (watermark is a
+    * no-op there). Inputs need event-time columns named click_ts /
+    * purchase_ts plus a shared user_id.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      attribution: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val p = purchases.withColumnRenamed("user_id", "p_user_id")
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $attribution"))
+      .drop("p_user_id")
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
   case class SessionState(start_ns: Long, last_ns: Long, n_events: Long)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)
