@@ -102,7 +102,7 @@ object Media {
     */
   def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
-    docs.select(
+    graft.operators.Par.fan(docs).select(
         col("doc_id").cast(LongType).as("media_id"),
         when(col("doc_id") % 3 === 0, lit("image"))
           .when(col("doc_id") % 3 === 1, lit("audio"))

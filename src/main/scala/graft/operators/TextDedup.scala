@@ -40,7 +40,7 @@ object TextDedup {
 
   /** (doc_id, shingle) exploded — the join fabric for exact Jaccard. */
   def shingleRows(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    Par.fan(docs).select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs with similarity ≥ minJaccard.
     * Output jac_micro = floor(1e6 · |A∩B| / |A∪B|) as BIGINT — integer
@@ -74,7 +74,7 @@ object TextDedup {
     * the signature pass over a 100 TB corpus needs zero shuffle.
     */
   def minhashSignatures(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), TextSketches.minhashSig(col("text"), n).as("sig"))
+    Par.fan(docs).select(col("doc_id"), TextSketches.minhashSig(col("text"), n).as("sig"))
 
   /** Banded signature rows: (doc_id, sig, band_id, band_hash) — the LSH
     * bucket fabric. Docs sharing any (band_id, band_hash) are candidates.
@@ -127,7 +127,7 @@ object TextDedup {
     * 64-aggregate-column formulation shuffled the whole token stream.
     */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextSketches.simhash64(col("text")).as("simhash"))
+    Par.fan(docs).select(col("doc_id"), TextSketches.simhash64(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: join on one of eight 8-bit bands, then filter
     * by exact popcount of the XOR. With 8 bands, any pair within hamming

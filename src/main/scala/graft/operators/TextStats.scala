@@ -43,7 +43,8 @@ object TextStats {
     * stopword per-mille, and a composite integer score (higher = better):
     *   score = stop_permille + min(n_tokens, 100)·10 − punct_permille.
     */
-  def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def qualityMetrics(docs0: DataFrame, textCol: String = "text"): DataFrame = {
+    val docs = Par.fan(docs0)
     val t = col(textCol)
     val toks = split(TextDedup.normalizeText(t), " ")
     docs
@@ -74,7 +75,8 @@ object TextStats {
     * with the highest match count (priority order breaks ties), 'und' when
     * nothing matches.
     */
-  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def languageId(docs0: DataFrame, textCol: String = "text"): DataFrame = {
+    val docs = Par.fan(docs0)
     val toks = split(TextDedup.normalizeText(col(textCol)), " ")
     val scored = LangProfiles.foldLeft(docs) { case (df, (lang, words)) =>
       df.withColumn(s"score_$lang", stopwordCount(toks, words))
@@ -95,5 +97,5 @@ object TextStats {
     * documents; rolling-hash shingles feed MinHash in TextDedup).
     */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("fingerprint", md5(TextDedup.normalizeText(col(textCol))))
+    Par.fan(docs).withColumn("fingerprint", md5(TextDedup.normalizeText(col(textCol))))
 }

@@ -501,7 +501,7 @@ object CoreQueries {
     "f1_date_roundtrip" -> Q(
       (s, d) => {
         import s.implicits._
-        Tables.orders(s, d)
+        graft.operators.Par.fan(Tables.orders(s, d))
           .select($"o_orderkey",
             date_format(
               to_timestamp(date_format($"o_orderdate", "dd.MM.yyyy"), "dd.MM.yyyy"),

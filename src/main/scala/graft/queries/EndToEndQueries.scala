@@ -28,7 +28,9 @@ object EndToEndQueries {
     * 2005 garbage-date floor — TPC-H dates are 1992-1998.
     */
   private def ordersAsRaw(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
+    // single-row-group input: fan to the session parallelism so the heavy
+    // normalize stage downstream is not single-task (no-op on a real lake)
+    val o = graft.operators.Par.fan(Tables.orders(s, d))
       .withColumn("cents", floor(col("o_totalprice") * 100).cast(LongType))
     val money = concat(
       expr("cents DIV 100").cast(StringType), lit(","),

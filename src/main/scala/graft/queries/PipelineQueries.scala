@@ -115,7 +115,7 @@ object PipelineQueries {
     // ───── text analysis ─────
 
     "t1_token_stats" -> Q(
-      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+      (s, d) => graft.operators.Par.fan(Tables.documents(s, d)).select(col("doc_id"),
           TextStats.wsTokenCount(col("text")).cast(LongType).as("ws_tokens"),
           TextStats.subwordCount(col("text")).cast(LongType).as("subwords"))
         .orderBy(col("doc_id")),
@@ -189,7 +189,7 @@ object PipelineQueries {
     // path, checked against directly-computed decimals.
     "f4_decimal_parse" -> Q(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
+        val li = graft.operators.Par.fan(Tables.lineitem(s, d))
           .withColumn("cents", floor(col("l_extendedprice") * 100).cast(LongType))
         val w = expr("cents DIV 100").cast(StringType)
         val f = lpad(pmod(col("cents"), lit(100L)).cast(StringType), 2, "0")
@@ -221,7 +221,7 @@ object PipelineQueries {
     // reading (style 0 strings with a 2-digit fraction).
     "f5_int_parse" -> Q(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
+        val li = graft.operators.Par.fan(Tables.lineitem(s, d))
           .withColumn("cents", floor(col("l_extendedprice") * 100).cast(LongType))
         val w = expr("cents DIV 100").cast(StringType)
         val f = lpad(pmod(col("cents"), lit(100L)).cast(StringType), 2, "0")

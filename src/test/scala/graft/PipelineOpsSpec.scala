@@ -135,7 +135,8 @@ class PipelineOpsSpec extends SparkTestBase {
   test("fingerprint is case/whitespace invariant") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
-    val fps = TextStats.fingerprint(df).select($"fingerprint").as[String].collect()
-    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    val fps = TextStats.fingerprint(df).select($"doc_id", $"fingerprint")
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
 }
