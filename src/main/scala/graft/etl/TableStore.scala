@@ -54,6 +54,107 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
     }
 }
 
+/** Manifest-commit store: the object-store-safe flavor of TableStore.
+  *
+  * ParquetTableStore's atomic-swap relies on POSIX directory rename, which
+  * object stores don't have. Here a commit is: (1) write data files into an
+  * immutable uniquely-named subdir, (2) PUT a manifest listing the table's
+  * current files as the LAST step. Readers list `_manifests/` and load the
+  * highest version — a half-finished commit is invisible because its
+  * manifest doesn't exist yet, and data subdirs are never mutated, so a
+  * reader planned against version N keeps working while N+1 commits
+  * (snapshot isolation; `keepVersions` bounds how long). Same shape as
+  * Iceberg/Delta's metadata-last protocol, reduced to the engine's needs.
+  *
+  * Concurrency: the version file is created with an atomic create-new
+  * (object stores: if-none-match PUT) — two racing writers can't both
+  * claim version N+1; the loser retries on the next version.
+  */
+final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: Int = 2)
+    extends TableStore {
+
+  private def tableDir(name: String) = Paths.get(root, name)
+  private def manifestDir(name: String) = tableDir(name).resolve("_manifests")
+
+  private def manifests(name: String): Seq[java.nio.file.Path] = {
+    val md = manifestDir(name)
+    if (!Files.exists(md)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(md).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
+      .sortBy(_.getFileName.toString)
+  }
+
+  private def version(p: java.nio.file.Path): Int =
+    p.getFileName.toString.stripPrefix("v").stripSuffix(".manifest").toInt
+
+  private def currentFiles(name: String): Seq[String] = manifests(name).lastOption match {
+    case None => Seq.empty
+    case Some(m) =>
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  override def exists(name: String): Boolean = manifests(name).nonEmpty
+
+  override def read(name: String): DataFrame = {
+    val files = currentFiles(name)
+    require(files.nonEmpty, s"no committed version of $name")
+    spark.read.parquet(files: _*)
+  }
+
+  override def overwrite(name: String, df: DataFrame): Unit = commit(name, df, replace = true)
+
+  override def append(name: String, df: DataFrame): Unit = commit(name, df, replace = false)
+
+  private def commit(name: String, df: DataFrame, replace: Boolean): Unit = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = tableDir(name).resolve(s"data-$commitId")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    import scala.jdk.CollectionConverters._
+    val newFiles = Files.list(dataDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).sorted
+    val files = if (replace) newFiles else currentFiles(name) ++ newFiles
+    val md = manifestDir(name)
+    Files.createDirectories(md)
+    var v = manifests(name).lastOption.map(version).getOrElse(0) + 1
+    var committed = false
+    while (!committed) {
+      val target = md.resolve(f"v$v%08d.manifest")
+      try {
+        // CREATE_NEW = atomic claim of this version (if-none-match PUT on
+        // an object store); a racing writer forces a retry on v+1
+        Files.write(target, files.mkString("\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    gc(name)
+  }
+
+  /** Drop manifests + data dirs no current or recent manifest references. */
+  private def gc(name: String): Unit = {
+    val ms = manifests(name)
+    if (ms.length <= keepVersions) return
+    import scala.jdk.CollectionConverters._
+    val (drop, keep) = ms.splitAt(ms.length - keepVersions)
+    val live = keep.flatMap(m => Files.readAllLines(m).asScala).toSet
+    val deadDirs = drop.flatMap(m => Files.readAllLines(m).asScala)
+      .filterNot(live.contains)
+      .map(f => Paths.get(f).getParent).distinct
+    drop.foreach(Files.delete)
+    deadDirs.filterNot(d => live.exists(_.startsWith(d.toString))).foreach { d =>
+      if (Files.exists(d)) {
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+      }
+    }
+  }
+}
+
 /** Bucketed catalog tables for co-located joins (SURVEY §4.1 pushdown row):
   * two tables bucketed+sorted on the same key join with NO shuffle — at
   * 100 TB this turns the nightly staging⋈raw reconciliations from a full

@@ -57,18 +57,22 @@ object IvfIndex {
       .map(_.getSeq[Double](0).toArray)
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
-      val assigned = emb.select(nearestCell(v, centroids).as("cell"), v.as("v"))
-      val stats = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      // vectorSum partial-aggregates map-side: each partition contributes
+      // ONE (cell, dim-array) buffer per cell — k·partitions shuffled rows,
+      // never n·dim (the posexplode formulation this replaces)
+      val stats = emb.select(nearestCell(v, centroids).as("cell"), v.as("v"))
+        .groupBy(col("cell"))
+        .agg(graft.functions.VectorFunctions.vectorSum(col("v")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val sums = Array.fill(k, dim)(0.0)
       val counts = Array.fill(k)(0L)
       stats.foreach { r =>
-        val c = r.getAs[Int]("cell"); val d = r.getAs[Int]("dim")
-        sums(c)(d) += r.getAs[Double]("s")
-        if (d == 0) counts(c) = r.getAs[Long]("n")
+        val c = r.getAs[Int]("cell")
+        val s = r.getSeq[Double](1)
+        var d = 0
+        while (d < math.min(dim, s.length)) { sums(c)(d) = s(d); d += 1 }
+        counts(c) = r.getAs[Long]("n")
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0L) old else sums(c).map(_ / counts(c))

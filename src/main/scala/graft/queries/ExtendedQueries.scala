@@ -205,6 +205,102 @@ object ExtendedQueries {
         FROM b GROUP BY 1, 2 ORDER BY bucket, event_type"""),
       "sliding 10m/5m event-time windows — flat 2× projection + one agg"),
 
+    // ───── salted skew join (explicit skew fallback beyond AQE) ─────
+    // Same rows as the plain equi-join — the oracle IS the plain join, so
+    // a hash match proves salting preserves semantics while scattering
+    // each hot key across 16 sub-partitions.
+    "j6_salted_skew_join" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.operators.SkewJoin.saltedJoin(li, sup, "suppkey", "l_orderkey", 16)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            dbl(dec38(sum(revenue(col("l_extendedprice"), col("l_discount"))), 8)).as("revenue"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_items,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey"""),
+      "salted equi-join == plain join; hot keys scattered over 16 sub-keys"),
+
+    // ───── deterministic dataset splitting (training-data curation) ─────
+    // Content-hash split: the md5 hex string orders identically everywhere,
+    // so train/val/test membership is stable across engines, reruns and
+    // cluster sizes — never random() (unreproducible) or row position
+    // (reshuffles move rows).
+    "s7_hash_split" -> Q(
+      (s, d) => {
+        val h = md5(col("text"))
+        graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"),
+            when(h < "c0", "train").when(h < "e0", "val").otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .orderBy(col("split"))
+      },
+      Some("""SELECT CASE WHEN md5(text) < 'c0' THEN 'train'
+          WHEN md5(text) < 'e0' THEN 'val' ELSE 'test' END AS split,
+        COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        FROM documents GROUP BY 1 ORDER BY split"""),
+      "deterministic content-hash train/val/test split"),
+
+    // ntile fold assignment over a deterministic content order — k-fold
+    // cross-validation splits as a window function.
+    "w5_ntile_folds" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("text")), col("doc_id"))
+        graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"), ntile(10).over(w).as("fold"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, ntile(10) OVER (ORDER BY md5(text), doc_id) AS fold
+        FROM documents ORDER BY doc_id"""),
+      "k-fold assignment via ntile over a content-hash order"),
+
+    // ───── RANGE-frame window: rolling 10-minute sum per user ─────
+    "w4_range_frame" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+          .rangeBetween(-600000000L, 0L) // 10 min in µs, inclusive
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), tsUs.as("tus"), col("value"))
+          .withColumn("rolling_10m", dbl(dec38(sum(dec(col("value"))).over(w))))
+          .select(col("user_id"), col("event_id"), col("rolling_10m"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER
+          (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE)
+          AS rolling_10m
+        FROM events ORDER BY user_id, event_id"""),
+      "RANGE-frame rolling 10-minute sum — event-time window without bucketing"),
+
+    // ───── GROUPING SETS via the SQL entry point ─────
+    "a12_grouping_sets" -> Q(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total,
+          COUNT(*) AS n
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total,
+        COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+      "GROUPING SETS through spark.sql — the SQL entry point works too"),
+
     // ───── F13 JSON field extraction over the props column ─────
     "f13_json_extract" -> Q(
       (s, d) => {

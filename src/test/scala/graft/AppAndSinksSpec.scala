@@ -38,6 +38,34 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/staging").count() == 2)
   }
 
+  test("manifest store: commit-last protocol, append, snapshot isolation, gc") {
+    import graft.etl.ManifestTableStore
+    val root = java.nio.file.Files.createTempDirectory("manifest_store").toString
+    val store = new ManifestTableStore(spark, root, keepVersions = 2)
+    assert(!store.exists("t"))
+
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(store.exists("t"))
+    assert(store.read("t").count() == 2)
+
+    // a reader planned before the next commit keeps its snapshot
+    val snapshot = store.read("t")
+    store.append("t", Seq((3L, "c")).toDF("k", "v"))
+    assert(store.read("t").count() == 3)
+    assert(snapshot.count() == 2)
+
+    store.overwrite("t", Seq((9L, "z")).toDF("k", "v"))
+    assert(store.read("t").as[(Long, String)].collect().toSet == Set((9L, "z")))
+
+    // gc keeps only keepVersions manifests; v1's data dir is collected
+    // after two further commits while the latest version stays readable
+    store.overwrite("t", Seq((10L, "y")).toDF("k", "v"))
+    val manifests = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "t", "_manifests")).count()
+    assert(manifests == 2)
+    assert(store.read("t").count() == 1)
+  }
+
   test("S7 stringify-for-export: nulls become empty strings, all columns string") {
     val df = Seq((Some(1), Option.empty[String]), (None, Some("x")))
       .toDF("a", "b")

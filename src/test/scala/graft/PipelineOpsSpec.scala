@@ -102,6 +102,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(buckets == 8L)
   }
 
+  test("vectorSum aggregate equals per-dimension scalar sums across partitions") {
+    import graft.functions.VectorFunctions.vectorSum
+    val df = spark.range(0, 1000, 1, 8) // 8 partitions forces partial+merge
+      .select(($"id" % 4).as("g"),
+        array(($"id" * 2).cast("double"), lit(1.0), (-$"id").cast("double")).as("v"))
+    val got = df.groupBy($"g").agg(vectorSum($"v").as("s"))
+      .as[(Long, Seq[Double])].collect().toMap
+    (0L until 4L).foreach { g =>
+      val ids = (0L until 1000L).filter(_ % 4 == g)
+      assert(got(g) == Seq(ids.map(_ * 2.0).sum, ids.size.toDouble, ids.map(-_.toDouble).sum))
+    }
+  }
+
   test("salted count-distinct equals exact count-distinct") {
     val df = (1 to 5000).map(i => (s"g${i % 3}", s"v${i % 997}")).toDF("g", "v")
     val exact = df.groupBy($"g").agg(countDistinct($"v").as("n_distinct"))
