@@ -47,6 +47,25 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
   override def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(name))
 
+  /** Hive-style partitioned layout (SURVEY §4.1: partition staging by
+    * source_type, raw by ingest date). A filter on the partition column
+    * prunes whole directories at planning time — at 100 TB the daily
+    * incremental run reads one date partition, not the table.
+    */
+  def overwritePartitioned(name: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
+    val tmp = path(name + "__tmp")
+    val dst = Paths.get(path(name))
+    val old = Paths.get(path(name + "__old"))
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(tmp)
+    if (Files.exists(dst)) {
+      deleteRecursive(old)
+      Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(old)
+    spark.catalog.refreshByPath(path(name))
+  }
+
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

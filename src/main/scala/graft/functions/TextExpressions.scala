@@ -138,6 +138,82 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** b-bit MinHash (b=8): bottom byte of each of the 64 component hashes,
+  * packed 8 per long → array<long> of 8 (64 bytes per doc instead of 512).
+  * At 100 TB the signature table shrinks 8×, and the agreement estimate
+  * stays unbiased after collision correction:
+  * Ĵ = (agree/64 − 1/256) / (1 − 1/256). Li & König, "b-Bit Minwise
+  * Hashing" (WWW 2010).
+  */
+case class BBitMinHashSig(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import TextHash._
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    if (words.length >= n) {
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i <= words.length - n) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+        val s = sb.toString
+        if (seen.add(s)) {
+          val base = fnv1a(s.getBytes("UTF-8"))
+          var p = 0
+          while (p < NumHashes) {
+            val v = base * perms(p)._1 + perms(p)._2
+            if (v < mins(p)) mins(p) = v
+            p += 1
+          }
+        }
+        i += 1
+      }
+    }
+    val packed = new Array[Long](NumHashes / 8)
+    var p = 0
+    while (p < NumHashes) {
+      packed(p / 8) |= (mins(p) & 0xffL) << ((p % 8) * 8)
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(packed)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BBitMinHashSig =
+    copy(child = newChild)
+}
+
+/** Count of agreeing BYTES between two packed b-bit signatures. */
+case class BBitAgree(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      val xor = x.getLong(i) ^ y.getLong(i)
+      var k = 0
+      while (k < 8) {
+        if (((xor >>> (k * 8)) & 0xffL) == 0L) agree += 1
+        k += 1
+      }
+      i += 1
+    }
+    agree
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BBitAgree =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextSketches {
   def shingleArray(text: Column, n: Int): Column =
     Bridge.column(ShingleArray(Bridge.expression(text), n))
@@ -145,4 +221,8 @@ object TextSketches {
     Bridge.column(MinHashSig(Bridge.expression(text), n))
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))
+  def bbitMinhashSig(text: Column, n: Int): Column =
+    Bridge.column(BBitMinHashSig(Bridge.expression(text), n))
+  def bbitAgree(a: Column, b: Column): Column =
+    Bridge.column(BBitAgree(Bridge.expression(a), Bridge.expression(b)))
 }

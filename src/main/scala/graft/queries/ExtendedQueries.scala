@@ -301,6 +301,37 @@ object ExtendedQueries {
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
       "GROUPING SETS through spark.sql — the SQL entry point works too"),
 
+    // ───── native session_window (streaming session twin of st2) ─────
+    // Spark's session semantics: an event extends the session while
+    // event_time < last_event + gap (end-exclusive), so a gap of EXACTLY
+    // 30 min starts a new session — the oracle's break condition is >=.
+    // Window end = last event + gap (not last event, unlike st2's bounds).
+    "st4_session_window" -> Q(
+      (s, d) => {
+        val gapUs = 1800000000L
+        Tables.events(s, d)
+          .withColumn("ts_utc", Qh.tsFromNanos(col("ts")))
+          .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("n_events"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        m AS (SELECT user_id, tus,
+          CASE WHEN lag(tus) OVER w IS NULL
+                 OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        sgrp AS (SELECT user_id, tus,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM m)
+        SELECT user_id, COUNT(*) AS n_events, MIN(tus) AS start_us,
+          MAX(tus) + 1800000000 AS end_us
+        FROM sgrp GROUP BY user_id, sid ORDER BY user_id, start_us"""),
+      "native session_window grouping — the streaming session operator in batch"),
+
     // ───── F13 JSON field extraction over the props column ─────
     "f13_json_extract" -> Q(
       (s, d) => {

@@ -61,6 +61,12 @@ object PipelineQueries {
       None,
       "MinHash(64)+LSH(16×4) near-dup candidates — the 100 TB dedup path"),
 
+    "d6_bbit_minhash" -> Q(
+      (s, d) => TextDedup.bbitMinhashPairs(Tables.documents(s, d), n = 3, minEst = 0.7)
+        .orderBy(col("id_a"), col("id_b")),
+      None,
+      "b-bit (8-bit) MinHash near-dup candidates — signatures 8× smaller than d3"),
+
     "d4_simhash" -> Q(
       (s, d) => TextDedup.simhashPairs(Tables.documents(s, d), maxHamming = 7)
         .orderBy(col("id_a"), col("id_b")),

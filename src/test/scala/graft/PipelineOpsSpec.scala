@@ -29,6 +29,27 @@ class PipelineOpsSpec extends SparkTestBase {
       s"LSH missed ${exact.diff(approx)}")
   }
 
+  test("b-bit minhash recovers every high-jaccard pair with 8x smaller sigs") {
+    val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bbit = TextDedup.bbitMinhashPairs(docs, 3, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(bbit), s"b-bit LSH missed ${exact.diff(bbit)}")
+    // the corrected estimate tracks the full-precision d3 estimate
+    val full = TextDedup.minhashPairs(docs, 3, 0.7)
+      .select($"id_a", $"id_b", $"est_micro").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val est = TextDedup.bbitMinhashPairs(docs, 3, 0.7)
+      .select($"id_a", $"id_b", $"est_micro").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val both = full.keySet.intersect(est.keySet)
+    assert(both.nonEmpty)
+    both.foreach { k =>
+      assert(math.abs(full(k) - est(k)) <= 100000L, // within 0.1 of each other
+        s"pair $k: full=${full(k)} bbit=${est(k)}")
+    }
+  }
+
   test("simhash band join is exact for hamming <= 7") {
     val sig = TextDedup.simhash(docs).cache()
     val a = sig.as("a"); val b = sig.as("b")

@@ -52,6 +52,45 @@ class PlanSpec extends SparkTestBase {
     assert(planOf(q("ann1_bruteforce_topk")).contains("dotproduct"), "ann1 lost DotProduct")
   }
 
+  test("q5: all three dimension joins broadcast; lineitem never builds a hash side") {
+    val p = planOf(q("q5_region_revenue"))
+    assert(p.split("BroadcastHashJoin").length >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j5: as-of join is one shuffle by user, no theta join") {
+    val p = planOf(q("j5_asof_join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // one hashpartitioning exchange for the window + the final sort
+    assert(p.contains("WindowExec") || p.contains("Window"), p)
+  }
+
+  test("st3: sliding window is a flat projection + single aggregation, no self-join") {
+    val p = planOf(q("st3_sliding_window"))
+    assert(!p.contains("Join"), p)
+    assert(p.split("HashAggregate").length >= 3, p) // partial + final
+  }
+
+  test("fan: no-op when the input already has enough partitions") {
+    import spark.implicits._
+    val wide = spark.range(0, 1000, 1, 64).toDF("id")
+    assert(graft.operators.Par.fan(wide).rdd.getNumPartitions == 64)
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    assert(graft.operators.Par.fan(narrow).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
+  test("ivf training aggregates via vectorSum partials, not posexplode") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val v = emb.select(org.apache.spark.sql.functions.col("embedding")
+      .cast("array<double>").as("v"))
+      .groupBy().agg(graft.functions.VectorFunctions.vectorSum(
+        org.apache.spark.sql.functions.col("v")).as("s"))
+    val p = planOf(v)
+    assert(!p.contains("Generate"), p) // no explode anywhere
+    assert(p.contains("vectorsumagg") || p.toLowerCase.contains("vectorsum"), p)
+  }
+
   test("bucketed tables join co-located: zero exchange") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -67,6 +106,21 @@ class PlanSpec extends SparkTestBase {
       assert(!planOf(j).contains("Exchange"), planOf(j))
       assert(j.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned staging prunes partitions at planning time") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("part_store").toString
+    val store = new graft.etl.ParquetTableStore(spark, root)
+    store.overwritePartitioned("staged",
+      Tables.events(spark, sfTiny).select($"event_id", $"user_id", $"event_type"),
+      Seq("event_type"))
+    val read = store.read("staged").filter($"event_type" === "click")
+    val p = planOf(read)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    // only the click directory is listed — row count matches the source
+    assert(read.count() ==
+      Tables.events(spark, sfTiny).filter($"event_type" === "click").count())
   }
 
   test("normalize plan stays narrow: no exchange in the staging projection") {
