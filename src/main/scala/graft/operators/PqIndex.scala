@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions.dotp
+
+/** Product quantization for vector search (the in-cell compression NOTES
+  * flagged as the IVF follow-up): each dim-D vector splits into M
+  * subvectors quantized independently against KSub centroids, so a vector
+  * stores as M·log2(KSub) bits — here 8 subspaces × 4 bits = one INT per
+  * vector (64× smaller than 64 float64s). Queries score codes via ADC
+  * (asymmetric distance computation): a per-query lookup table of
+  * subspace dot products, one add per subspace per candidate.
+  *
+  * Scale design (100 TB corpus):
+  *  - training runs driver-side on a bounded sample (the FAISS approach) —
+  *    centroids are KB; the corpus is never collected.
+  *  - encoding is a narrow projection with literal codebooks — no shuffle.
+  *  - search scans CODES (4 bytes/vec instead of 512) + one broadcast of
+  *    per-query LUTs; the exact re-rank touches only the shortlist.
+  *  - composes with IvfIndex: probe cells first, ADC within cells.
+  */
+object PqIndex {
+
+  val M = 8        // subspaces
+  val KSub = 16    // centroids per subspace → 4-bit codes
+  val SubDim = 8   // dims per subspace (expects D = 64)
+
+  private def asDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
+
+  /** Codebooks[m][k][subDim], trained by per-subspace Lloyd iterations on
+    * a driver-side sample. Deterministic: sample = lowest vec_ids, seeds =
+    * first KSub sample subvectors.
+    */
+  def train(corpus: DataFrame, sampleSize: Int = 10000, iters: Int = 8): Array[Array[Array[Double]]] = {
+    val sample = corpus.orderBy(col("vec_id")).limit(sampleSize)
+      .select(asDouble(col("embedding")).as("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty && sample.head.length == M * SubDim,
+      s"expected dim ${M * SubDim}")
+    Array.tabulate(M) { m =>
+      val sub = sample.map(_.slice(m * SubDim, (m + 1) * SubDim))
+      var cents = sub.take(KSub).map(_.clone)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(KSub, SubDim)(0.0)
+        val counts = Array.fill(KSub)(0)
+        sub.foreach { x =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < SubDim) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < SubDim) { sums(best)(i) += x(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(KSub)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+  }
+
+  /** Per-subspace argmin against literal centroids → 4-bit codes packed
+    * into one INT. Narrow, no shuffle; ties break to the lower code via
+    * struct ordering (same convention as IvfIndex.nearestCell).
+    */
+  private def encodeExpr(v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val codes = (0 until M).map { m =>
+      val sub = slice(v, m * SubDim + 1, SubDim)
+      val scored = codebooks(m).zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dotp(sub, typedLit(c.toSeq))).as("d"),
+          lit(i).as("code"))
+      }
+      array_min(array(scored: _*)).getField("code")
+    }
+    codes.zipWithIndex.map { case (c, m) => shiftleft(c, 4 * m) }
+      .reduce(_.bitwiseOR(_)).cast(IntegerType)
+  }
+
+  /** (vec_id, code INT, norm DOUBLE): the complete searchable index row —
+    * 12 bytes of payload per corpus vector.
+    */
+  def encode(corpus: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val v = asDouble(col("embedding"))
+    corpus.select(col("vec_id"), encodeExpr(v, codebooks).as("code"),
+      sqrt(dotp(v, v)).as("norm"))
+  }
+
+  /** Approximate top-k by ADC over codes, then EXACT cosine re-rank of a
+    * `refine`×k shortlist. Query side collected to build LUTs (queries are
+    * the small side; corpus never leaves the cluster).
+    */
+  /** `refine`: shortlist size multiplier for the exact re-rank. 4-bit
+    * codes are a coarse rank signal, so the shortlist must be generous —
+    * 32·k of a large corpus is still a tiny exact-scored fraction.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, refine: Int = 32,
+      codebooks0: Array[Array[Array[Double]]] = null): DataFrame = {
+    val spark = corpus.sparkSession
+    val codebooks = if (codebooks0 != null) codebooks0 else train(corpus)
+    val codes = encode(corpus, codebooks)
+
+    // per-query LUT: lut[m*KSub + c] = <q_sub_m, centroid_mc>
+    val qRows = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv")).collect()
+    import spark.implicits._
+    val luts = qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      val qnorm = math.sqrt(q.map(x => x * x).sum)
+      val lut = Array.tabulate(M * KSub) { i =>
+        val m = i / KSub; val c = i % KSub
+        var s = 0.0; var d = 0
+        while (d < SubDim) { s += q(m * SubDim + d) * codebooks(m)(c)(d); d += 1 }
+        s
+      }
+      (qid, lut.toSeq, qnorm)
+    }.toSeq.toDF("query_id", "lut", "qnorm")
+
+    // ADC: sum the M table entries the packed code selects
+    val adcDot = (0 until M).map { m =>
+      element_at(col("lut"),
+        (lit(m * KSub) + shiftright(col("code"), 4 * m).bitwiseAND(0xF)) + 1)
+    }.reduce(_ + _)
+    val scored = codes.join(broadcast(luts), col("query_id") =!= col("vec_id"))
+      .withColumn("approx_cos", adcDot / (col("qnorm") * col("norm")))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val shortlist = scored.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= k * refine)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    // exact re-rank of the shortlist only
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("nv"))
+    val qv = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val exact = shortlist.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .withColumn("cos", dotp(col("qv"), col("nv")) /
+        sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))))
+    val wf = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(wf)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
+  }
+}

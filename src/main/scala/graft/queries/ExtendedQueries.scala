@@ -138,6 +138,41 @@ object ExtendedQueries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       "exact interpolated median per group (approx_percentile is the scale path)"),
 
+    // a11's 100 TB path: sketch-based quantiles (KLL-style) — one pass, no
+    // sort. Deterministic for fixed input but engine-specific → rows-only;
+    // the error envelope vs exact percentile is asserted in
+    // ExtendedQueriesSpec.
+    "a13_approx_percentile" -> Q(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+            .as("quartiles"))
+          .orderBy(col("l_returnflag"))
+      },
+      None,
+      "approx_percentile sketch quartiles — the no-sort quantile path"),
+
+    // ───── stratified sampling (balanced per-class subsets) ─────
+    // k docs per language, chosen by deterministic content-hash order —
+    // the balanced-dataset construction step of a training pipeline.
+    // Window top-k per stratum: one shuffle by the stratum key.
+    "s8_stratified_sample" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+        graft.operators.Par.fan(Tables.documents(s, d))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("doc_id"), col("rk"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""SELECT lang, doc_id, rk FROM (
+          SELECT lang, doc_id, ROW_NUMBER() OVER
+            (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+          FROM documents) t
+        WHERE rk <= 20 ORDER BY lang, rk"""),
+      "deterministic stratified sample: top-k per class by content-hash order"),
+
     // ───── set ops: EXCEPT / INTERSECT (complete U1's family) ─────
     "u2_except" -> Q(
       (s, d) => {

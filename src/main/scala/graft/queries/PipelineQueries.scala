@@ -118,6 +118,15 @@ object PipelineQueries {
       None,
       "IVF top-k: k-means coarse quantizer + nprobe probing, exact in-cell rescoring"),
 
+    "ann4_pq_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.PqIndex.pqTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      None,
+      "product-quantization top-k: 4-bit×8 codes + ADC scan + exact re-rank"),
+
     // ───── text analysis ─────
 
     "t1_token_stats" -> Q(

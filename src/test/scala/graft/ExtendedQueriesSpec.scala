@@ -79,6 +79,34 @@ class ExtendedQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("a13 approx quartiles bracket the exact percentiles") {
+    val approx = SparkEntry.registry("a13_approx_percentile").fn(spark, sfTiny)
+      .select($"l_returnflag", $"quartiles").as[(String, Seq[Double])].collect().toMap
+    val exact = Tables.lineitem(spark, sfTiny)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("q"))
+      .select($"l_returnflag", $"q").as[(String, Seq[Double])].collect().toMap
+    approx.foreach { case (flag, qs) =>
+      qs.zip(exact(flag)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 2.0, s"$flag: approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("s8 stratified sample: exactly k per stratum, deterministic") {
+    val df = SparkEntry.registry("s8_stratified_sample").fn(spark, sfTiny)
+    val sizes = df.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val avail = Tables.documents(spark, sfTiny).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    avail.foreach { case (lang, n) =>
+      assert(sizes.getOrElse(lang, 0L) == math.min(n, 20L), s"$lang: ${sizes.get(lang)}")
+    }
+    // deterministic: rerun yields the same doc set
+    val again = SparkEntry.registry("s8_stratified_sample").fn(spark, sfTiny)
+    assert(df.select($"doc_id").as[Long].collect().toSet ==
+      again.select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("w3 lead/lag gaps are non-negative and null exactly at boundaries") {
     val df = SparkEntry.registry("w3_lead_lag").fn(spark, sfTiny)
     assert(df.filter($"gap_prev_us" < 0 || $"gap_next_us" < 0).count() == 0)

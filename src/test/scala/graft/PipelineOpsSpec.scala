@@ -98,6 +98,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"IVF recall $recall collapsed")
   }
 
+  test("pq topk: codes are 4-bit x 8 and recall vs exact is high after re-rank") {
+    import graft.operators.PqIndex
+    val cb = PqIndex.train(emb)
+    assert(cb.length == 8 && cb.forall(_.length == 16))
+    val codes = PqIndex.encode(emb, cb)
+    val maxCode = codes.agg(max($"code")).head().getInt(0)
+    assert(maxCode >= 0, "codes must pack into a non-negative int")
+    val queries = emb.filter($"vec_id" < 5)
+    val got = PqIndex.pqTopK(queries, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"pq recall $recall < 0.8 (got=$got exact=$exact)")
+  }
+
   test("lsh topk returns true cosines and decent recall") {
     val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
