@@ -37,10 +37,20 @@ object Qh {
     * across parquet readers (Decimal objects vs float64), so every
     * decimal-exact result is converted to DOUBLE as the LAST step on both
     * engines — equal decimals convert to bit-identical doubles (correctly
-    * rounded; unscaled values here stay under 2^53). The arithmetic before
-    * this cast stays decimal-exact.
+    * rounded). ONLY valid while the decimal's unscaled value stays under
+    * 2^53: beyond that the engines' conversion pipelines round differently
+    * by 1 ulp (observed on DECIMAL(38,8) sums at sf0.1). Scale-8 money
+    * sums use `decStr` instead.
     */
   def dbl(c: Column): Column = c.cast(DoubleType)
+
+  /** Exact rendering for high-scale decimals whose unscaled value can
+    * exceed 2^53: both engines print decimals with full trailing-zero
+    * scale ("2706323975.35610000"), byte-identical. Caveat: Spark switches
+    * to scientific notation below 1e-7 — fine for money sums ≫ 1.
+    * Keep ordering on the DECIMAL column, project the string last.
+    */
+  def decStr(c: Column): Column = c.cast(StringType)
   /** exact revenue term: extendedprice * (1 - discount), decimal arithmetic */
   def revenue(ep: Column, disc: Column): Column =
     dec(ep) * (lit(1).cast(DecimalType(10, 4)) - dec(disc, 10, 4))
@@ -73,14 +83,14 @@ object CoreQueries {
           .agg(
             dbl(dec38(sum(dec($"l_quantity")))).as("sum_qty"),
             dbl(dec38(sum(dec($"l_extendedprice")))).as("sum_base_price"),
-            dbl(dec38(sum(revenue($"l_extendedprice", $"l_discount")), 8)).as("sum_disc_price"),
+            decStr(dec38(sum(revenue($"l_extendedprice", $"l_discount")), 8)).as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
-        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS VARCHAR) AS sum_disc_price,
         COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
@@ -98,17 +108,20 @@ object CoreQueries {
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
           .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
           .groupBy($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"))
-          .agg(dbl(dec38(sum(revenue($"l_extendedprice", $"l_discount")), 8)).as("revenue"))
-          .orderBy($"revenue".desc, $"o_orderkey")
+          .agg(dec38(sum(revenue($"l_extendedprice", $"l_discount")), 8).as("rev_d"))
+          .orderBy($"rev_d".desc, $"o_orderkey")
           .limit(10)
+          .select($"o_orderkey", $"o_date", decStr($"rev_d").as("revenue"))
       },
-      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
-        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-        GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
-        ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+      Some("""WITH agg AS (
+          SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS rev_d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+          ORDER BY rev_d DESC, o_orderkey LIMIT 10)
+        SELECT o_orderkey, o_date, CAST(rev_d AS VARCHAR) AS revenue FROM agg"""),
       "TPC-H Q3-shaped join+agg+topk; broadcast dim join"),
 
     // ───── aggregations (SURVEY §2.4) ─────

@@ -88,21 +88,25 @@ object ExtendedQueries {
           .join(broadcast(sup),
             li("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
           .groupBy(col("n_name"))
-          .agg(dbl(dec38(sum(revenue(col("l_extendedprice"), col("l_discount"))), 8)).as("revenue"),
+          .agg(dec38(sum(revenue(col("l_extendedprice"), col("l_discount"))), 8).as("rev_d"),
             count(lit(1)).as("n_items"))
-          .orderBy(col("revenue").desc, col("n_name"))
+          .orderBy(col("rev_d").desc, col("n_name"))
+          .select(col("n_name"), decStr(col("rev_d")).as("revenue"), col("n_items"))
       },
-      Some("""SELECT n_name,
-        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue,
-        COUNT(*) AS n_items
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      Some("""WITH agg AS (
+          SELECT n_name,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS rev_d,
+            COUNT(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+          GROUP BY n_name)
+        SELECT n_name, CAST(rev_d AS VARCHAR) AS revenue, n_items
+        FROM agg ORDER BY rev_d DESC, n_name"""),
       "TPC-H Q5-shaped 6-table star join, local-supplier condition, broadcast dims"),
 
     // ───── CUBE lattice (completes rollup/pivot/grouping-sets family) ─────
@@ -254,11 +258,11 @@ object ExtendedQueries {
         graft.operators.SkewJoin.saltedJoin(li, sup, "suppkey", "l_orderkey", 16)
           .groupBy(col("s_nationkey"))
           .agg(count(lit(1)).as("n_items"),
-            dbl(dec38(sum(revenue(col("l_extendedprice"), col("l_discount"))), 8)).as("revenue"))
+            decStr(dec38(sum(revenue(col("l_extendedprice"), col("l_discount"))), 8)).as("revenue"))
           .orderBy(col("s_nationkey"))
       },
       Some("""SELECT s_nationkey, COUNT(*) AS n_items,
-        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS VARCHAR) AS revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey"""),
       "salted equi-join == plain join; hot keys scattered over 16 sub-keys"),

@@ -123,7 +123,8 @@ class ExtendedQueriesSpec extends SparkTestBase {
 
   test("q5 multiway join: revenue positive, nations within ASIA") {
     val df = SparkEntry.registry("q5_region_revenue").fn(spark, sfTiny)
-    val rows = df.select($"n_name", $"revenue").as[(String, Double)].collect()
+    // revenue is rendered as an exact decimal string (2^53 rule, NOTES.md)
+    val rows = df.select($"n_name", $"revenue".cast("double")).as[(String, Double)].collect()
     assert(rows.nonEmpty && rows.forall(_._2 > 0))
     val asiaNations = Tables.nation(spark, sfTiny)
       .join(Tables.region(spark, sfTiny).filter($"r_name" === "ASIA"),

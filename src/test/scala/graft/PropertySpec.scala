@@ -95,4 +95,27 @@ class PropertySpec extends SparkTestBase {
       .head().getDouble(0)
     assert(r == 32.0)
   }
+
+  test("every native expression is SQL-callable via session extensions") {
+    val row = spark.sql("""SELECT
+        graft_canonical_json(map('b', '2', 'a', '1')) AS cj,
+        graft_py_json(map('Тип', 'Расход')) AS pj,
+        graft_normalize_keys(map('Total RUB', '1')) AS nk,
+        CAST(graft_parse_money('₽ 1 234,56') AS STRING) AS pm,
+        CAST(graft_parse_timestamp('16.07.2023') AS STRING) AS pt,
+        graft_simhash('hello world') AS sh,
+        size(graft_shingles('a b c d', 3)) AS nsh,
+        size(graft_minhash('a b c d', 3)) AS nmh,
+        size(graft_bbit_minhash('a b c d', 3)) AS nbb
+      """).head()
+    assert(row.getString(0) == """{"a":"1","b":"2"}""")
+    // ensure_ascii flavor: non-ASCII escaped as \uXXXX like CPython
+    assert(row.getString(1) ==
+      "{\"\\u0422\\u0438\\u043f\": \"\\u0420\\u0430\\u0441\\u0445\\u043e\\u0434\"}")
+    assert(row.getMap[String, String](2).contains("totalrub"))
+    assert(row.getString(3) == "1234.5600000000")
+    assert(row.getString(4) == "2023-07-16 00:00:00")
+    assert(row.getLong(5) != 0L)
+    assert(row.getInt(6) == 2 && row.getInt(7) == 64 && row.getInt(8) == 8)
+  }
 }
