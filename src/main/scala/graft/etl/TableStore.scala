@@ -122,6 +122,22 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
     spark.read.parquet(files: _*)
   }
 
+  /** Committed version numbers still readable (oldest first). */
+  def versions(name: String): Seq[Int] = manifests(name).map(version)
+
+  /** Time travel: read the table as of a specific committed version —
+    * manifests pin immutable data files, so any un-GC'd version
+    * reconstructs exactly (bounded by keepVersions).
+    */
+  def readVersion(name: String, v: Int): DataFrame = {
+    val m = manifests(name).find(version(_) == v)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $v of $name not available; have ${versions(name).mkString(",")}"))
+    import scala.jdk.CollectionConverters._
+    val files = Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+    spark.read.parquet(files: _*)
+  }
+
   override def overwrite(name: String, df: DataFrame): Unit = commit(name, df, replace = true)
 
   override def append(name: String, df: DataFrame): Unit = commit(name, df, replace = false)

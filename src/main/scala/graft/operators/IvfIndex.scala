@@ -34,7 +34,12 @@ object IvfIndex {
     array_min(array(scored: _*)).getField("cell")
   }
 
-  /** `nprobe` nearest cells per row, as an array column. */
+  /** `nprobe` nearest cells per row, as an array column (shared with
+    * PqIndex.ivfPqTopK for the IVFPQ composition).
+    */
+  def nearestCellsPublic(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    nearestCells(v, centroids, nprobe)
+
   private def nearestCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum

@@ -149,4 +149,63 @@ object PqIndex {
       .select(col("query_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
   }
+
+  /** IVFPQ: IvfIndex coarse cells × PQ codes. The corpus stores
+    * (cell, code, norm) — 16 bytes/vector; a query ADC-scans only its
+    * `nprobe` probed cells' codes, then exact-re-ranks the shortlist.
+    * At 100 TB this is the standard billion-scale ANN layout: coarse
+    * partition pruning × in-cell compressed scan × exact tail.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      kClusters: Int = 16, nprobe: Int = 4, refine: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = IvfIndex.fit(corpus, kClusters)
+    val codebooks = train(corpus)
+    val indexed = IvfIndex.assignCells(corpus, centroids)
+      .join(encode(corpus, codebooks), Seq("vec_id"))
+
+    val qRows = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv")).collect()
+    import spark.implicits._
+    val luts = qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      val qnorm = math.sqrt(q.map(x => x * x).sum)
+      val lut = Array.tabulate(M * KSub) { i =>
+        val m = i / KSub; val c = i % KSub
+        var s = 0.0; var d = 0
+        while (d < SubDim) { s += q(m * SubDim + d) * codebooks(m)(c)(d); d += 1 }
+        s
+      }
+      (qid, lut.toSeq, qnorm)
+    }.toSeq.toDF("query_id", "lut", "qnorm")
+    val probes = queries.select(col("vec_id").as("query_id"),
+        explode(IvfIndex.nearestCellsPublic(asDouble(col("embedding")), centroids, nprobe))
+          .as("cell"))
+      .join(luts, Seq("query_id"))
+
+    val adcDot = (0 until M).map { m =>
+      element_at(col("lut"),
+        (lit(m * KSub) + shiftright(col("code"), 4 * m).bitwiseAND(0xF)) + 1)
+    }.reduce(_ + _)
+    // join on the probed cell: each query scans nprobe/kClusters of codes
+    val scored = probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_cos", adcDot / (col("qnorm") * col("norm")))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val shortlist = scored.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= k * refine)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("nv"))
+    val qv = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val exact = shortlist.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .withColumn("cos", dotp(col("qv"), col("nv")) /
+        sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))))
+    val wf = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(wf)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
+  }
 }

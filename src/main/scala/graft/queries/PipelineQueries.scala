@@ -118,6 +118,15 @@ object PipelineQueries {
       None,
       "IVF top-k: k-means coarse quantizer + nprobe probing, exact in-cell rescoring"),
 
+    "ann5_ivfpq_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.PqIndex.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      None,
+      "IVFPQ: coarse cell probing × in-cell ADC over 4-bit codes × exact re-rank"),
+
     "ann4_pq_topk" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)

@@ -64,6 +64,15 @@ class AppAndSinksSpec extends SparkTestBase {
         java.nio.file.Paths.get(root, "t", "_manifests")).count()
     assert(manifests == 2)
     assert(store.read("t").count() == 1)
+
+    // time travel: both retained versions reconstruct exactly
+    val vs = store.versions("t")
+    assert(vs.length == 2)
+    assert(store.readVersion("t", vs.head).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+    assert(store.readVersion("t", vs.last).as[(Long, String)].collect().toSet ==
+      Set((10L, "y")))
+    intercept[IllegalArgumentException](store.readVersion("t", 1))
   }
 
   test("S7 stringify-for-export: nulls become empty strings, all columns string") {

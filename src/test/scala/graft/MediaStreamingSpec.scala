@@ -38,7 +38,9 @@ class MediaStreamingSpec extends SparkTestBase {
     val rawDir = java.nio.file.Files.createTempDirectory("graft_cdc_raw").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
     val storeDir = java.nio.file.Files.createTempDirectory("graft_cdc_store").toString
-    val store = new graft.etl.ParquetTableStore(spark, storeDir)
+    // manifest store behind the same trait — proves the commit protocol
+    // swaps in under the streaming sink without touching pipeline code
+    val store = new graft.etl.ManifestTableStore(spark, storeDir)
 
     def rawBatch(rows: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
       graft.etl.RawLoader.fromPayloads(
@@ -51,14 +53,14 @@ class MediaStreamingSpec extends SparkTestBase {
       .write.mode("append").parquet(rawDir)
     val q1 = Streams.cdcIngest(spark, rawDir, store, ckpt)
     q1.awaitTermination(120000)
-    assert(spark.read.parquet(s"$storeDir/staging").count() == 2)
+    assert(store.read("staging").count() == 2)
 
     // second file: one edit, one repeat — only the edit lands
     rawBatch(Seq("r1" -> "150.00", "r2" -> "200.00"))
       .write.mode("append").parquet(rawDir)
     val q2 = Streams.cdcIngest(spark, rawDir, store, ckpt)
     q2.awaitTermination(120000)
-    val staging = spark.read.parquet(s"$storeDir/staging")
+    val staging = store.read("staging")
     assert(staging.count() == 2)
     assert(staging.filter($"raw_id" === "r1").head()
       .getAs[java.math.BigDecimal]("total_rub").doubleValue() == 150.0)

@@ -114,6 +114,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"pq recall $recall < 0.8 (got=$got exact=$exact)")
   }
 
+  test("ivfpq topk: probed-cell ADC shortlist still recalls most exact neighbors") {
+    import graft.operators.PqIndex
+    val queries = emb.filter($"vec_id" < 5)
+    val got = PqIndex.ivfPqTopK(queries, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    // cell pruning (nprobe 4 of 16) stacks on PQ coarseness — bound looser
+    assert(recall >= 0.6, s"ivfpq recall $recall < 0.6")
+    assert(got.size == exact.size)
+  }
+
   test("lsh topk returns true cosines and decent recall") {
     val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
