@@ -65,6 +65,41 @@ object ExtendedQueries {
         ORDER BY c.user_id, c.event_id"""),
       "as-of join via union + running last_value — point-in-time lookup, one shuffle"),
 
+    // ───── range join via bucketing (point-in-interval) ─────
+    // Every 1000th order opens a 30-day interval; count all orders whose
+    // date falls inside each. A naive theta join is a nested loop (no
+    // equi-key); the scale pattern buckets time into interval-width
+    // granules so each interval covers ≤2 buckets → explode intervals
+    // 2×, equi-join on the bucket, exact-filter inside. Cost is
+    // points×overlap, never points×intervals.
+    "j7_range_join" -> Q(
+      (s, d) => {
+        val granuleDays = 30
+        val o = Tables.orders(s, d)
+        val points = o.select(col("o_orderkey").as("p_key"),
+          col("o_orderdate").cast(DateType).as("p_date"),
+          floor(unix_date(col("o_orderdate").cast(DateType)) / granuleDays).as("bucket"))
+        val intervals = o.filter(col("o_orderkey") % 1000 === 0)
+          .select(col("o_orderkey").as("interval_id"),
+            col("o_orderdate").cast(DateType).as("lo"),
+            date_add(col("o_orderdate").cast(DateType), granuleDays).as("hi"))
+        val exploded = intervals.select(col("interval_id"), col("lo"), col("hi"),
+          explode(array(floor(unix_date(col("lo")) / granuleDays),
+            floor(unix_date(col("lo")) / granuleDays) + 1)).as("bucket"))
+        points.join(exploded, Seq("bucket"))
+          .filter(col("p_date") >= col("lo") && col("p_date") < col("hi"))
+          .groupBy(col("interval_id"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("interval_id"))
+      },
+      Some("""SELECT i.o_orderkey AS interval_id, COUNT(*) AS n_orders
+        FROM orders i JOIN orders p
+          ON CAST(p.o_orderdate AS DATE) >= CAST(i.o_orderdate AS DATE)
+         AND CAST(p.o_orderdate AS DATE) < CAST(i.o_orderdate AS DATE) + INTERVAL 30 DAY
+        WHERE i.o_orderkey % 1000 = 0
+        GROUP BY i.o_orderkey ORDER BY interval_id"""),
+      "point-in-interval range join via time bucketing — equi-join, never a nested loop"),
+
     // ───── TPC-H Q5-shaped multiway star join ─────
     // lineitem ⋈ orders ⋈ customer ⋈ supplier (local-supplier condition
     // c_nationkey = s_nationkey) ⋈ nation ⋈ region('ASIA'). nation/region

@@ -65,6 +65,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowExec") || p.contains("Window"), p)
   }
 
+  test("j7: range join stays an equi-join — no nested loop, no cartesian") {
+    val p = planOf(q("j7_range_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("st3: sliding window is a flat projection + single aggregation, no self-join") {
     val p = planOf(q("st3_sliding_window"))
     assert(!p.contains("Join"), p)
