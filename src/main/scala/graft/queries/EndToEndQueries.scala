@@ -53,6 +53,25 @@ object EndToEndQueries {
   /** test probe accessor */
   def ordersAsRawProbe(s: SparkSession, d: String): DataFrame = ordersAsRaw(s, d)
 
+  /** The synthetic raw layer MATERIALIZED to parquet (once per JVM per sf
+    * dir), then read back — the shape of the real pipeline, where ingest
+    * persists raw before transform scans it. This is also the plan fix:
+    * computed inline, predicate pushdown substitutes the payload-map
+    * constructor into every element_at of the pushed filter (~21 map
+    * builds/row) and runs it on the single-task scan side; against a
+    * parquet scan the filter reads an attribute. Deterministic content
+    * (fixed received_at), so caching the path is sound.
+    */
+  private val rawCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def rawLayer(s: SparkSession, d: String): DataFrame = {
+    val path = rawCache.computeIfAbsent(d, dir => {
+      val out = java.nio.file.Files.createTempDirectory("graft_e2e_raw").toString
+      ordersAsRaw(s, dir).write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   private val centsSql =
     "CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
   private val moneySql =
@@ -63,7 +82,7 @@ object EndToEndQueries {
   val all: Map[String, Q] = Map(
 
     "e2e1_normalize_pipeline" -> Q(
-      (s, d) => Normalize(ordersAsRaw(s, d))
+      (s, d) => Normalize(rawLayer(s, d))
         .select(col("raw_id"),
           date_format(col("date"), "yyyy-MM-dd").as("order_date"),
           col("type"), col("client"), col("total_rub").cast(DoubleType).as("total_rub"))
@@ -78,7 +97,7 @@ object EndToEndQueries {
 
     "e2e2_financials_mart" -> Q(
       (s, d) => Views.financialsV(
-          Normalize.toStaging(Normalize(ordersAsRaw(s, d))))
+          Normalize.toStaging(Normalize(rawLayer(s, d))))
         .drop("last_updated") // freshness stamp, nondeterministic
         .orderBy(col("year_month").desc, col("type")),
       Some(s"""SELECT CAST(year(o_orderdate) + 28 AS VARCHAR) || strftime(o_orderdate, '-%m') AS year_month,
