@@ -237,6 +237,77 @@ object ExtendedQueries {
         ORDER BY o_custkey"""),
       "INTERSECT: customers with both open and finished orders"),
 
+    // EXCEPT ALL: multiset difference (duplicates preserved) — one event
+    // type's rows removed per-occurrence from a window of the stream.
+    "u4_except_all" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_id") % 4 < 3).select(col("user_id"))
+          .exceptAll(ev.filter(col("event_id") % 4 === 0).select(col("user_id")))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n FROM (
+          SELECT user_id FROM events WHERE event_id % 4 < 3
+          EXCEPT ALL
+          SELECT user_id FROM events WHERE event_id % 4 = 0) t
+        GROUP BY user_id ORDER BY user_id"""),
+      "EXCEPT ALL multiset difference, occurrence-preserving"),
+
+    // UNPIVOT: wide status columns → long form (the inverse of a9's
+    // pivot); melt is a narrow projection, no shuffle beyond the agg.
+    "a14_unpivot" -> Q(
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("year_month"))
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("O", "F", "P"))
+          .unpivot(Array(col("year_month")),
+            Array(col("O"), col("F"), col("P")), "status", "n")
+          .orderBy(col("year_month"), col("status"))
+      },
+      Some("""WITH wide AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS year_month,
+            COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+            COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+            COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+          FROM orders GROUP BY 1)
+        SELECT year_month, status, n FROM wide
+        UNPIVOT (n FOR status IN ("O", "F", "P"))
+        ORDER BY year_month, status"""),
+      "UNPIVOT back to long form — melt as a narrow projection"),
+
+    // ───── fuzzy matching (edit-distance candidate pairs) ─────
+    // Near-identical supplier names within an edit distance of 1. The
+    // length-band prefilter (abs diff <= 3, same first char) keeps the
+    // self-join from scoring all pairs — the same candidate-pruning
+    // doctrine as the sketch dedups.
+    "t6_fuzzy_match" -> Q(
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"), length(col("s_name")).as("len"),
+            substring(col("s_name"), 1, 1).as("c1"))
+        val a = sup.as("a"); val b = sup.as("b")
+        a.join(b, col("a.c1") === col("b.c1") &&
+            abs(col("a.len") - col("b.len")) <= 3 &&
+            col("a.s_suppkey") < col("b.s_suppkey"))
+          .withColumn("dist", levenshtein(col("a.s_name"), col("b.s_name")))
+          .filter(col("dist") <= 1)
+          .select(col("a.s_suppkey").as("key_a"), col("b.s_suppkey").as("key_b"),
+            col("dist"))
+          .orderBy(col("key_a"), col("key_b"))
+      },
+      Some("""SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+          CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        FROM supplier a JOIN supplier b
+          ON substring(a.s_name, 1, 1) = substring(b.s_name, 1, 1)
+         AND abs(length(a.s_name) - length(b.s_name)) <= 3
+         AND a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
+        ORDER BY key_a, key_b"""),
+      "edit-distance fuzzy matching with length/prefix candidate pruning"),
+
     // ───── lead/lag inter-event deltas ─────
     "w3_lead_lag" -> Q(
       (s, d) => {
