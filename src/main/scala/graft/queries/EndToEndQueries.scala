@@ -79,6 +79,11 @@ object EndToEndQueries {
   private val typeSql =
     "CASE WHEN o_orderstatus = 'O' THEN 'Расход' ELSE 'Доход' END"
 
+  /** DuckDB rendering of TextDedup.normalizeText (shared with the
+    * PipelineQueries oracles).
+    */
+  private val normSql2 = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
   val all: Map[String, Q] = Map(
 
     "e2e1_normalize_pipeline" -> Q(
@@ -94,6 +99,57 @@ object EndToEndQueries {
         CAST($moneySql AS DOUBLE) AS total_rub
         FROM orders ORDER BY raw_id"""),
       "FULL normalize path: RU-header payload maps → variant resolution → typed columns"),
+
+    // The training-data curation pipeline end-to-end: exact dedup (keep
+    // the lowest doc_id per normalized content), quality gate, then
+    // deterministic train/val/test split — per-split corpus stats. Every
+    // stage is the real operator (TextDedup/TextStats); the oracle
+    // reproduces the whole chain, so a hash match certifies the composed
+    // pipeline. One dedup shuffle + one split agg; everything else narrow.
+    "e2e3_curation_pipeline" -> Q(
+      (s, d) => {
+        import graft.operators.{Par, TextDedup, TextStats}
+        val docs = Par.fan(Tables.documents(s, d))
+        val canonical = docs
+          .withColumn("content_hash", md5(TextDedup.normalizeText(col("text"))))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+        val scored = TextStats.qualityMetrics(canonical)
+          .filter(col("quality_score") >= 300)
+        val h = md5(col("text"))
+        scored
+          .withColumn("split",
+            when(h < "c0", "train").when(h < "e0", "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH canon AS (
+          SELECT doc_id, text,
+            ROW_NUMBER() OVER (PARTITION BY md5($normSql2) ORDER BY doc_id) AS rn
+          FROM documents),
+        scored AS (
+          SELECT doc_id, text,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+            (CASE WHEN len(string_split($normSql2, ' ')) > 0
+              THEN CAST(FLOOR(CAST(len(list_filter(string_split($normSql2, ' '),
+                x -> list_contains(['the','a','and','of','to','in','is','on'], x))) AS DOUBLE)
+                * 1000 / len(string_split($normSql2, ' '))) AS BIGINT) ELSE 0 END)
+            + least(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 100) * 10
+            - (CASE WHEN length(text) > 0
+              THEN CAST(FLOOR(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                * 1000 / length(text)) AS BIGINT) ELSE 0 END) AS quality_score
+          FROM canon WHERE rn = 1)
+        SELECT CASE WHEN md5(text) < 'c0' THEN 'train'
+            WHEN md5(text) < 'e0' THEN 'val' ELSE 'test' END AS split,
+          COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens, MIN(doc_id) AS min_doc
+        FROM scored WHERE quality_score >= 300
+        GROUP BY 1 ORDER BY split"""),
+      "curation pipeline e2e: dedup → quality gate → hash split → corpus stats"),
 
     "e2e2_financials_mart" -> Q(
       (s, d) => Views.financialsV(
