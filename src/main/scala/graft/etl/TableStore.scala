@@ -119,7 +119,9 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
   override def read(name: String): DataFrame = {
     val files = currentFiles(name)
     require(files.nonEmpty, s"no committed version of $name")
-    spark.read.parquet(files: _*)
+    // a manifest can span commits with widened schemas (appended columns)
+    // — mergeSchema unions them; absent columns read as null
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Committed version numbers still readable (oldest first). */

@@ -73,6 +73,14 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(store.readVersion("t", vs.last).as[(Long, String)].collect().toSet ==
       Set((10L, "y")))
     intercept[IllegalArgumentException](store.readVersion("t", 1))
+
+    // schema evolution: an append with an extra column widens the read
+    // schema; pre-evolution rows surface null for the new column
+    store.append("t", Seq((11L, "w", 3.5)).toDF("k", "v", "score"))
+    val evolved = store.read("t")
+    assert(evolved.columns.toSet == Set("k", "v", "score"))
+    assert(evolved.filter($"k" === 10L).head().getAs[Any]("score") == null)
+    assert(evolved.filter($"k" === 11L).head().getAs[Double]("score") == 3.5)
   }
 
   test("S7 stringify-for-export: nulls become empty strings, all columns string") {

@@ -113,6 +113,16 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(arow.getAs[String]("record_id") == "r2")
     assert(arow.getAs[String]("old_value").contains("50000,00"))
     assert(arow.getAs[String]("new_value").contains("60000,00"))
+    // reference trigger semantics: COALESCE(NEW.updated_by, 'system').
+    // r2's sheet cell is EMPTY STRING, which is not NULL — COALESCE passes
+    // it through (reference staging stores '' too); the 'system' fallback
+    // fires only for true NULLs. old/new are CANONICAL JSON — sorted keys,
+    // byte-comparable to payload_json.
+    assert(arow.getAs[String]("changed_by") == "")
+    assert(arow.getAs[String]("new_value").startsWith("{\""))
+    val nulled = StagingMerge.auditDiff(existing,
+      normChanged.withColumn("updated_by", lit(null).cast("string")))
+    assert(nulled.head().getAs[String]("changed_by") == "system")
 
     store.overwrite("staging", StagingMerge.merge(existing, normChanged))
     val merged = store.read("staging")
