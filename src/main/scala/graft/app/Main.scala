@@ -46,26 +46,50 @@ object Main {
     val changes0 = ChangeScan(raw, staging0, source)
     val changes = if (test) ChangeScan.ordered(changes0, Some(100)) else changes0
 
+    // observe() collects the quality counters during the merge write pass
+    // — no extra jobs over the normalize (ref main.py:96-103 ran separate
+    // counting queries; a 100 TB normalize can't afford a second pass)
+    val obs = org.apache.spark.sql.Observation("quality")
     val normalized = Normalize(changes.select(
-      col("id").as("raw_id"), col("sheet_row_number"),
-      col("extracted_at").as("received_at"), lit("live").as("source_type"),
-      col("payload")))
-    val quarantined = normalized.filter(size(col("validation_warnings")) > 0)
-    val nBad = quarantined.count(); val nAll = normalized.count()
-    if (nAll > 0 && nBad * 10 > nAll) // ref main.py:99 — >10% error alarm
-      System.err.println(s"[graft] WARN: $nBad/$nAll rows carry validation warnings")
-    quarantined.take(5).foreach(r => System.err.println(s"[graft] quarantine sample: $r"))
+        col("id").as("raw_id"), col("sheet_row_number"),
+        col("extracted_at").as("received_at"), lit("live").as("source_type"),
+        col("payload")))
+      .observe(obs, count(lit(1)).as("n_all"),
+        count(when(size(col("validation_warnings")) > 0, 1)).as("n_bad"))
 
     val updates = Normalize.toStaging(normalized)
     val audit = StagingMerge.auditDiff(staging0, updates)
     val auditOut = if (store.exists("audit")) store.read("audit").unionByName(audit) else audit
     val merged = StagingMerge.merge(staging0, updates)
-    // audit from the SAME snapshot pair as the merge (SURVEY §7.4 item 3)
+    // audit + mart-state delta derive from the SAME pre-swap snapshot pair
+    // as the merge (SURVEY §7.4 item 3) — and must MATERIALIZE before the
+    // staging swap invalidates staging0's files
     store.overwrite("audit", auditOut)
+    // monthly P&L is maintained INCREMENTALLY: apply the batch's signed
+    // contributions to the persisted unrounded state instead of
+    // re-aggregating all of staging (IncrementalMartSpec proves equality)
+    val oldRows = staging0.join(updates.select(col("raw_id")), Seq("raw_id"), "left_semi")
+    val martState =
+      if (store.exists("mart_financials_state"))
+        graft.marts.IncrementalMart.applyDelta(
+          store.read("mart_financials_state"), oldRows, updates)
+      else graft.marts.IncrementalMart.initialize(StagingMerge.merge(staging0, updates))
+    store.overwrite("mart_financials_state", martState)
     store.overwrite("staging", merged)
 
+    val metrics = obs.get
+    val nAll = metrics("n_all").asInstanceOf[Long]
+    val nBad = metrics("n_bad").asInstanceOf[Long]
+    if (nAll > 0 && nBad * 10 > nAll) { // ref main.py:99 — >10% error alarm
+      System.err.println(s"[graft] WARN: $nBad/$nAll rows carry validation warnings")
+      normalized.filter(size(col("validation_warnings")) > 0)
+        .take(5).foreach(r => System.err.println(s"[graft] quarantine sample: $r"))
+    }
+
     val staging = store.read("staging")
-    store.overwrite("mart_financials", Views.financialsV(staging))
+    store.overwrite("mart_financials",
+      graft.marts.IncrementalMart.present(store.read("mart_financials_state"))
+        .withColumn("last_updated", current_timestamp()))
     store.overwrite("mart_expenses_by_category", Views.expensesByCategoryV(staging))
     store.overwrite("mart_web_transactions", Views.webTransactionsV(staging))
     store.overwrite("mart_dim_clients", Views.dimClientsV(staging))

@@ -103,7 +103,9 @@ object Normalize {
       Layers.stagingIntCols.map(n => toInt(v(intVariants(n))).as(n)) ++
       Layers.stagingDecimalCols.map(n => toDecimal(v(decimalVariants(n))).as(n)) ++
       Seq(
-        payloadHash(p).as("payload_hash"),
+        // same flavor the raw layer stores (ref src/transform.py:219
+        // carries raw.payload_hash through) — the anti-join compares these
+        rawPayloadHash(p).as("payload_hash"),
         p.as("raw_payload")): _*)
 
     // P10 data-quality predicate (ref src/transform.py:190-195) as a column,

@@ -59,7 +59,8 @@ object RawLoader {
         lit(source).as("source"),
         p.as("payload"),
         canonicalJson(p).as("payload_json"),
-        payloadHash(p).as("payload_hash"),
+        // the STORED hash flavor (ref main.py:156-160) — see rawPayloadHash
+        rawPayloadHash(p).as("payload_hash"),
         col("sheet_row_number").cast(IntegerType).as("sheet_row_number"),
         current_timestamp().as("extracted_at"),
         current_timestamp().as("last_seen"))

@@ -187,8 +187,26 @@ object Parsers {
     Bridge.column(CanonicalJson(Bridge.expression(m)))
   }
 
-  /** MD5 content hash of the canonical JSON (the CDC identity key). */
+  /** MD5 over the compact canonical JSON — the reference's
+    * utils.payload_hash flavor (src/utils.py:14-19; pinned by its parser
+    * test suite). In the reference's ELT this flavor is only the FALLBACK
+    * when a raw row carries no hash (src/transform.py:219).
+    */
   def payloadHash(m: Column): Column = md5(canonicalJson(m))
+
+  /** MD5 over the DEFAULT json.dumps rendering — the hash the reference
+    * actually STORES: load_raw writes md5(json.dumps(payload,
+    * sort_keys=True)) into raw.data.payload_hash (main.py:156-160), and
+    * the transform carries that value into staging (src/transform.py:219),
+    * so the change-detection anti-join compares THIS flavor on both sides.
+    * The engine stores the same flavor in its raw/staging layers so stored
+    * hashes are byte-compatible on migration/coexistence — re-ingesting
+    * through both systems must not re-process everything.
+    */
+  def rawPayloadHash(m: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    md5(Bridge.column(PyDefaultJson(Bridge.expression(m))))
+  }
 
   /** F7: SHA-256 row hash, byte-compatible with the reference's
     * sha256(json.dumps(r, sort_keys=True)) — DEFAULT json.dumps flavor:

@@ -123,6 +123,15 @@ class ParsersSpec extends SparkTestBase {
     assert(r.getString(1) == "7a66008d1f9205c5182358e802e630b2") // CPython golden
   }
 
+  test("rawPayloadHash is byte-parity with the STORED flavor (main.py:156-160)") {
+    // md5(json.dumps(payload, sort_keys=True)) — default separators +
+    // ensure_ascii; this is what raw.data.payload_hash actually holds
+    val ru = Map("Тип" -> "Расход", "PK" -> "x1")
+    val h = Seq(ru).toDF("payload")
+      .select(Parsers.rawPayloadHash($"payload").as("h")).head().getString(0)
+    assert(h == "e1ff6c93c761e3a5710045ebd76805ac")
+  }
+
   test("payloadSha256 is byte-parity with DEFAULT json.dumps (ensure_ascii, spaced)") {
     // reference main.py:191-192: sha256(json.dumps(r, sort_keys=True)) —
     // ensure_ascii=True (\\uXXXX escapes) and ', '/': ' separators
