@@ -293,6 +293,26 @@ object PipelineQueries {
       None,
       "k-means document clustering via the IVF quantizer (8 cells)"),
 
+    // F6 stored-flavor MD5 (ref main.py:156-160): the hash raw.data
+    // actually persists — md5 of DEFAULT json.dumps (spaced separators).
+    // The oracle rebuilds the exact byte string; a match certifies
+    // migration-grade hash compatibility of the raw/staging layers.
+    "f7_raw_hash" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("event_id") < 10000)
+          .select(col("event_id"),
+            map(lit("a"), col("event_type"),
+              lit("b"), col("user_id").cast(StringType)).as("payload"))
+        ev.select(col("event_id"),
+            graft.functions.Parsers.rawPayloadHash(col("payload")).as("raw_hash"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+        md5('{"a": "' || event_type || '", "b": "' ||
+          CAST(user_id AS VARCHAR) || '"}') AS raw_hash
+        FROM events WHERE event_id < 10000 ORDER BY event_id"""),
+      "stored payload_hash flavor (ref main.py:156-160) — migration byte parity"),
+
     // F7/F8 id synthesis (ref main.py:179-212): id-less payloads get
     // gsheet_auto_{sha256(pyDefaultJson)[:12]}_{index}. The sha input is
     // json.dumps DEFAULT flavor — ", "/": " separators (ref main.py:191) —

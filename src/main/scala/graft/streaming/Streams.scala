@@ -92,6 +92,25 @@ object Streams {
       .drop("p_user_id")
   }
 
+  /** LEFT OUTER flavor of the attribution join: unmatched clicks emit a
+    * null purchase — but only once the watermark proves no in-window
+    * purchase can still arrive (the null row materializes when the
+    * watermark passes click_ts + attribution). Batch: a plain left join.
+    */
+  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      attribution: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val p = purchases.withColumnRenamed("user_id", "p_user_id")
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $attribution"),
+      "left_outer")
+      .drop("p_user_id")
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
   case class SessionState(start_ns: Long, last_ns: Long, n_events: Long)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)

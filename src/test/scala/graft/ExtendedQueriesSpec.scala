@@ -133,6 +133,41 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet.subsetOf(asiaNations))
   }
 
+  test("left-outer stream-stream join emits null rows after the watermark closes the window") {
+    def ts(min: Long) = new java.sql.Timestamp((24 * 60 + min) * 60000L)
+    val clicks = Seq(Click(1, 10, ts(0)), Click(2, 12, ts(5)))
+    val purchases = Seq(Purchase(1, 100, ts(10))) // user 2 never purchases
+
+    val batch = Streams.attributionJoinOuter(clicks.toDF(), purchases.toDF())
+      .select($"click_id", $"purchase_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(batch == Set((10L, Some(100L)), (12L, None)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val cs = MemoryStream[Click]
+    val ps = MemoryStream[Purchase]
+    val q = Streams.attributionJoinOuter(cs.toDF(), ps.toDF())
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("attribution_outer")
+      .outputMode("append").start()
+    cs.addData(clicks: _*)
+    ps.addData(purchases: _*)
+    q.processAllAvailable()
+    // advance both watermarks far past click+attribution so the engine can
+    // prove click 12 is unmatchable and emit its null row
+    cs.addData(Click(9, 99, ts(300)))
+    ps.addData(Purchase(9, 999, ts(300)))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val streamed = spark.table("attribution_outer")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    q.stop()
+    assert(streamed.contains((10L, Some(100L))))
+    assert(streamed.contains((12L, None)), s"null row not emitted: $streamed")
+  }
+
   test("stream-stream attribution join equals its batch twin") {
     // base well past epoch 0 — the initial watermark is 1970-01-01, and
     // rows at-or-before the watermark are dropped as late
