@@ -83,6 +83,24 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(evolved.filter($"k" === 11L).head().getAs[Double]("score") == 3.5)
   }
 
+  test("manifest store: interleaved writers claim distinct versions, nothing clobbered") {
+    import graft.etl.ManifestTableStore
+    val root = java.nio.file.Files.createTempDirectory("manifest_race").toString
+    val store = new ManifestTableStore(spark, root, keepVersions = 5)
+    store.overwrite("t", Seq((1L, "a")).toDF("k", "v")) // v1
+    // simulate a concurrent writer claiming v2 with its own committed files
+    val other = new ManifestTableStore(spark, root, keepVersions = 5)
+    other.append("t", Seq((2L, "b")).toDF("k", "v")) // v2
+    // this writer lands on v3; append rebases on the freshly listed v2
+    // manifest, so the other writer's rows survive — no lost update
+    store.append("t", Seq((3L, "c")).toDF("k", "v"))
+    assert(store.versions("t") == Seq(1, 2, 3))
+    assert(store.readVersion("t", 2).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(store.read("t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("S7 stringify-for-export: nulls become empty strings, all columns string") {
     val df = Seq((Some(1), Option.empty[String]), (None, Some("x")))
       .toDF("a", "b")

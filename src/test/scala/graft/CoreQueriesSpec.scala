@@ -15,6 +15,14 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry maps never collide on a key (a collision silently drops a query)") {
+    import graft.queries._
+    val sizes = Seq(CoreQueries.all, PipelineQueries.all, EndToEndQueries.all,
+      ExtendedQueries.all).map(_.size)
+    assert(SparkEntry.registry.size == sizes.sum,
+      s"registry ${SparkEntry.registry.size} != ${sizes.sum} — duplicate query name")
+  }
+
   test("oracle SQL declared only for registered queries") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
