@@ -136,6 +136,38 @@ object PipelineQueries {
       None,
       "product-quantization top-k: 4-bit×8 codes + ADC scan + exact re-rank"),
 
+    // ───── sequence packing (training-batch construction) ─────
+    // Pack documents into fixed token-budget training sequences by
+    // chunked cumulative sum: seq_id = (running_total_before) DIV budget
+    // over a deterministic doc order. The running total comes from
+    // GlobalOrder.cumSum — the two-phase distributed prefix sum, NOT a
+    // single-partition global window. (Greedy re-packing at boundaries
+    // would need sequential state; the chunked assignment is
+    // deterministic, oracle-able, and within one doc of greedy waste.)
+    "t7_sequence_packing" -> Q(
+      (s, d) => {
+        val budget = 2048L
+        val toks = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"),
+            TextStats.wsTokenCount(col("text")).cast(LongType).as("n_tokens"))
+        graft.operators.GlobalOrder.cumSum(toks, col("doc_id"), col("n_tokens"))
+          .withColumn("seq_id", expr(s"(cum - n_tokens) DIV $budget"))
+          .groupBy(col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("seq_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        SELECT (cum - n_tokens) // 2048 AS seq_id, COUNT(*) AS n_docs,
+          SUM(n_tokens) AS seq_tokens, MIN(doc_id) AS first_doc
+        FROM c GROUP BY 1 ORDER BY seq_id"""),
+      "fixed-token-budget sequence packing via chunked cumulative sums"),
+
     // ───── text analysis ─────
 
     "t1_token_stats" -> Q(

@@ -152,6 +152,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(buckets == 8L)
   }
 
+  test("distributed cumSum equals the single-partition global window") {
+    import graft.operators.GlobalOrder
+    val df = spark.range(0, 5000, 1, 16)
+      .select($"id", ($"id" % 97 + 1).as("v"))
+    val distributed = GlobalOrder.cumSum(df, $"id", $"v")
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val global = df.withColumn("cum", sum($"v").over(w))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(distributed == global)
+  }
+
+  test("ivfpq recall does not degrade when probing every cell") {
+    import graft.operators.PqIndex
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = PqIndex.ivfPqTopK(queries, emb, k = 3, nprobe = nprobe)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val rAll = recall(16) // probe all cells == PQ-only shortlist
+    val rFew = recall(2)
+    assert(rAll >= rFew - 1e-9, s"probing all cells lost recall: $rAll < $rFew")
+    assert(rAll >= 0.8, s"full-probe recall $rAll < 0.8")
+  }
+
   test("vectorSum aggregate equals per-dimension scalar sums across partitions") {
     import graft.functions.VectorFunctions.vectorSum
     val df = spark.range(0, 1000, 1, 8) // 8 partitions forces partial+merge
