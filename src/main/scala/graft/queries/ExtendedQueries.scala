@@ -395,18 +395,24 @@ object ExtendedQueries {
       "deterministic content-hash train/val/test split"),
 
     // ntile fold assignment over a deterministic content order — k-fold
-    // cross-validation splits as a window function.
+    // cross-validation splits. NOT the ntile window function (an
+    // unpartitioned window is one task): global rank comes from the
+    // two-phase distributed prefix sum, and floor((rank-1)·k/n)+1
+    // reproduces SQL ntile's remainder-to-first-tiles distribution
+    // exactly, so the oracle stays the standard ntile.
     "w5_ntile_folds" -> Q(
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(md5(col("text")), col("doc_id"))
-        graft.operators.Par.fan(Tables.documents(s, d))
-          .select(col("doc_id"), ntile(10).over(w).as("fold"))
+        val docs = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"), md5(col("text")).as("h"), lit(1L).as("one"))
+        val total = docs.count()
+        graft.operators.GlobalOrder.cumSum(docs, struct(col("h"), col("doc_id")), col("one"))
+          .withColumn("fold", expr(s"((cum - 1) * 10) DIV ${total}L + 1"))
+          .select(col("doc_id"), col("fold").cast(IntegerType).as("fold"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, ntile(10) OVER (ORDER BY md5(text), doc_id) AS fold
         FROM documents ORDER BY doc_id"""),
-      "k-fold assignment via ntile over a content-hash order"),
+      "k-fold assignment via distributed rank (ntile semantics, no global window)"),
 
     // ───── RANGE-frame window: rolling 10-minute sum per user ─────
     "w4_range_frame" -> Q(
