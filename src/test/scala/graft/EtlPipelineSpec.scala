@@ -132,6 +132,26 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(newTotal.doubleValue() == 60000.0)
   }
 
+  test("normalize is total under schema drift: unknown headers, missing variants") {
+    // rows whose payloads carry none of the canonical variants (drifted /
+    // autogenerated headers) must flow through typed as all-null with
+    // validation warnings — never throw, never drop silently
+    val drifted = Seq(
+      (2, Map("Column_1" -> "x", "Column_2" -> "y")),          // autogen headers
+      (3, Map("Totally New Field" -> "1", "Другое" -> "2")),   // unseen business names
+      (4, Map[String, String]()))                              // empty payload
+      .toDF("sheet_row_number", "payload")
+      .selectExpr("cast(sheet_row_number as string) as raw_id", "sheet_row_number",
+        "current_timestamp() as received_at", "'live' as source_type", "payload")
+    val out = Normalize(drifted).cache()
+    assert(out.count() == 3)
+    assert(out.filter($"type".isNull && $"total_rub".isNull && $"date".isNull).count() == 3)
+    // missing dates are flagged, and the raw payload is preserved verbatim
+    assert(out.filter(array_contains($"validation_warnings", "missing_dates")).count() == 3)
+    assert(out.filter($"raw_id" === "2").select(map_keys($"raw_payload"))
+      .head().getSeq[String](0).toSet == Set("Column_1", "Column_2"))
+  }
+
   test("marts: financials_v aggregates per FIXTURES.md §5") {
     val st = Normalize.toStaging(normalize(ingest()))
     val fin = Views.financialsV(st).collect()

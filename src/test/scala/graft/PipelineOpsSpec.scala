@@ -152,6 +152,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(buckets == 8L)
   }
 
+  test("z-order clustering bounds BOTH dimensions' per-partition spans") {
+    import graft.operators.Layout
+    // morton correctness against a bit-by-bit reference
+    val rnd = new scala.util.Random(7L)
+    (1 to 200).foreach { _ =>
+      val a = rnd.nextInt(1 << 20).toLong; val b = rnd.nextInt(1 << 20).toLong
+      val expect = (0 until 32).map { i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+      assert(Layout.morton(a, b) == expect)
+    }
+
+    // locality: z-ordered partitions cover tight rectangles in BOTH keys;
+    // a row-major sort leaves the trailing key's span at full range
+    val grid = spark.range(0, 1 << 14, 1, 8)
+      .select(($"id" % 128).as("x"), ($"id" / 128).cast("long").as("y"))
+    // AVG span is the pruning statistic (an unaligned z-range can straddle
+    // a quadrant boundary, so the max span is occasionally wide)
+    def avgSpan(df: org.apache.spark.sql.DataFrame, c: String): Double =
+      df.withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy($"pid").agg((max(col(c)) - min(col(c))).as("span"))
+        .agg(avg($"span")).head().getDouble(0)
+    val zed = Layout.zorderBy(grid, $"x", $"y", 16).cache()
+    val rowMajor = grid.repartitionByRange(16, $"y", $"x").cache()
+    val (zx, zy) = (avgSpan(zed, "x"), avgSpan(zed, "y"))
+    assert(zx <= 64 && zy <= 64, s"z avg spans: x=$zx y=$zy")
+    assert(avgSpan(rowMajor, "x") > 100) // trailing key spans ~everything
+  }
+
   test("distributed cumSum equals the single-partition global window") {
     import graft.operators.GlobalOrder
     val df = spark.range(0, 5000, 1, 16)
