@@ -279,23 +279,31 @@ object ExtendedQueries {
       "UNPIVOT back to long form — melt as a narrow projection"),
 
     // ───── fuzzy matching (edit-distance candidate pairs) ─────
-    // Near-identical supplier names within an edit distance of 1. The
-    // length-band prefilter (abs diff <= 3, same first char) keeps the
-    // self-join from scoring all pairs — the same candidate-pruning
-    // doctrine as the sketch dedups.
+    // Near-identical supplier names within edit distance 1, blocked by the
+    // DELETION NEIGHBORHOOD (SymSpell): any two strings within one edit
+    // share at least one single-deletion variant, so joining on the
+    // variant finds every true pair while candidate counts stay
+    // output-sized — a prefix/length band degenerates to the full n²
+    // self-join on a corpus whose names share a long common prefix.
     "t6_fuzzy_match" -> Q(
       (s, d) => {
-        val sup = Tables.supplier(s, d)
-          .select(col("s_suppkey"), col("s_name"), length(col("s_name")).as("len"),
-            substring(col("s_name"), 1, 1).as("c1"))
-        val a = sup.as("a"); val b = sup.as("b")
-        a.join(b, col("a.c1") === col("b.c1") &&
-            abs(col("a.len") - col("b.len")) <= 3 &&
+        val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+        // name itself + every single-deletion variant
+        val variants = sup.select(col("s_suppkey"), col("s_name"),
+          explode(expr("""transform(sequence(0, length(s_name)), i ->
+            CASE WHEN i = 0 THEN s_name
+            ELSE concat(substring(s_name, 1, i - 1),
+                        substring(s_name, i + 1, length(s_name))) END)"""))
+            .as("variant"))
+        val a = variants.as("a"); val b = variants.as("b")
+        a.join(b, col("a.variant") === col("b.variant") &&
             col("a.s_suppkey") < col("b.s_suppkey"))
-          .withColumn("dist", levenshtein(col("a.s_name"), col("b.s_name")))
-          .filter(col("dist") <= 1)
           .select(col("a.s_suppkey").as("key_a"), col("b.s_suppkey").as("key_b"),
-            col("dist"))
+            col("a.s_name").as("name_a"), col("b.s_name").as("name_b"))
+          .dropDuplicates("key_a", "key_b")
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 1)
+          .select(col("key_a"), col("key_b"), col("dist"))
           .orderBy(col("key_a"), col("key_b"))
       },
       Some("""SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
