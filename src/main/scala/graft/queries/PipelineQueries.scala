@@ -15,8 +15,9 @@ import graft.operators.{Similarity, TextDedup, TextStats}
   * notes:
   *  - ratio/score outputs are integer micro/permille units produced by the
   *    IDENTICAL double op sequence on both engines (float repr compare);
-  *  - cosine outputs are DECIMAL(18,6) — both engines agree to ~1e-15,
-  *    six decimals is far from any tie;
+  *  - cosine outputs round through DECIMAL(18,6) then render as DOUBLE
+  *    (both engines agree to ~1e-15; the decimal stage kills float-tail
+  *    ties, the double rendering survives every parquet reader);
   *  - hash-derived operators (MinHash/SimHash/LSH) can't be mirrored in
   *    SQL → no oracle (rows-only check); their correctness is asserted
   *    against the exact operators in DedupSpec instead.
