@@ -65,4 +65,38 @@ object IncrementalMart {
         round(col("sum_rub"), 0).cast(LongType).as("total_rub"),
         col("record_count"))
       .orderBy(col("year_month").desc, col("type"))
+
+  // ───── expenses-by-category (same abelian-group shape, one key) ─────
+
+  private def categoryContributions(rows: DataFrame, sign: Int): DataFrame =
+    rows
+      .filter(col("type").isin("Расход", "Expense"))
+      .groupBy(coalesce(col("category"), lit("Uncategorized")).as("category"))
+      .agg((lit(sign) * sum(col("total_rub"))).cast(DecimalType(38, 10)).as("sum_rub"),
+        (lit(sign) * count(lit(1))).as("record_count"))
+
+  def initializeCategories(staging: DataFrame): DataFrame =
+    categoryContributions(staging, 1)
+
+  def applyCategoryDelta(mart: DataFrame, oldRows: DataFrame, newRows: DataFrame): DataFrame = {
+    val delta = categoryContributions(newRows, 1)
+      .unionByName(categoryContributions(oldRows, -1))
+      .groupBy(col("category"))
+      .agg(sum(col("sum_rub")).cast(DecimalType(38, 10)).as("d_sum"),
+        sum(col("record_count")).as("d_n"))
+    mart.join(delta, Seq("category"), "full_outer")
+      .select(col("category"),
+        (coalesce(col("sum_rub"), lit(0)) + coalesce(col("d_sum"), lit(0)))
+          .cast(DecimalType(38, 10)).as("sum_rub"),
+        (coalesce(col("record_count"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("record_count"))
+      .filter(col("record_count") > 0)
+  }
+
+  /** Presentation — matches Views.expensesByCategoryV rows. */
+  def presentCategories(mart: DataFrame): DataFrame =
+    mart.select(col("category"),
+        round(col("sum_rub"), 0).cast(LongType).as("total_rub"),
+        col("record_count"))
+      .orderBy(col("total_rub").desc)
 }

@@ -49,5 +49,14 @@ class IncrementalMartSpec extends SparkTestBase {
     assert(incremental == full)
     assert(incremental == viaView)
     assert(incremental != viaView0) // the batch actually changed the mart
+
+    // same delta machinery for the category mart (one-key abelian shape)
+    val cat0 = IncrementalMart.initializeCategories(staging)
+    val catIncr = IncrementalMart.presentCategories(
+      IncrementalMart.applyCategoryDelta(cat0, oldRows, batch))
+      .collect().map(_.toString).toSet
+    val catView = Views.expensesByCategoryV(merged).drop("last_updated")
+      .collect().map(_.toString).toSet
+    assert(catIncr == catView)
   }
 }
