@@ -27,20 +27,29 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of two timed runs: single-run numbers on a shared box swing
       // ±2× on the heavy queries (GC, page cache); the min is the real
-      // execution cost
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      // execution cost. A FAILED run must not contribute a (typically
+      // fast) elapsed time — report NaN and skip the second run.
+      var failed = false
+      val times = (1 to 2).flatMap { _ =>
+        if (failed) None
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed = true
+            None
+          }
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.isEmpty) Double.NaN else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) "null" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filterNot(_.isNaN).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

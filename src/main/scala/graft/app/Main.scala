@@ -57,7 +57,12 @@ object Main {
       .observe(obs, count(lit(1)).as("n_all"),
         count(when(size(col("validation_warnings")) > 0, 1)).as("n_bad"))
 
-    val updates = Normalize.toStaging(normalized)
+    // Dedupe the batch ONCE, here: raw permits intra-batch duplicate
+    // raw_ids (insertIfAbsent only anti-joins EXISTING rows, unlike the
+    // reference's ON CONFLICT which also suppresses within-batch dupes) —
+    // feeding the raw batch to applyDelta would double-count contributions
+    // and silently drift the mart state from the staging snapshot.
+    val updates = StagingMerge.dedupeBatch(Normalize.toStaging(normalized))
     val audit = StagingMerge.auditDiff(staging0, updates)
     val auditOut = if (store.exists("audit")) store.read("audit").unionByName(audit) else audit
     val merged = StagingMerge.merge(staging0, updates)
@@ -75,6 +80,22 @@ object Main {
           store.read("mart_financials_state"), oldRows, updates)
       else graft.marts.IncrementalMart.initialize(StagingMerge.merge(staging0, updates))
     store.overwrite("mart_financials_state", martState)
+    // dimension marts carry REF-COUNTED distinct state (DISTINCT is not
+    // abelian; a departing row must not evict a name other rows still use)
+    import graft.marts.IncrementalDims
+    val clientsState =
+      if (store.exists("dim_clients_state"))
+        IncrementalDims.applyClientsDelta(store.read("dim_clients_state"), oldRows, updates)
+      else IncrementalDims.initializeClients(StagingMerge.merge(staging0, updates))
+    store.overwrite("dim_clients_state", clientsState)
+    Seq("category" -> "dim_categories_state", "vendor" -> "dim_vendors_state").foreach {
+      case (src, tbl) =>
+        val st =
+          if (store.exists(tbl))
+            IncrementalDims.applyNamesDelta(store.read(tbl), oldRows, updates, src)
+          else IncrementalDims.initializeNames(StagingMerge.merge(staging0, updates), src)
+        store.overwrite(tbl, st)
+    }
     store.overwrite("staging", merged)
 
     val metrics = obs.get
@@ -91,10 +112,17 @@ object Main {
       graft.marts.IncrementalMart.present(store.read("mart_financials_state"))
         .withColumn("last_updated", current_timestamp()))
     store.overwrite("mart_expenses_by_category", Views.expensesByCategoryV(staging))
-    store.overwrite("mart_web_transactions", Views.webTransactionsV(staging))
-    store.overwrite("mart_dim_clients", Views.dimClientsV(staging))
-    store.overwrite("mart_dim_categories", Views.dimCategoriesV(staging))
-    store.overwrite("mart_dim_vendors", Views.dimVendorsV(staging))
+    // row-level query mart: Hilbert-cluster on (day, client-hash) so date
+    // ranges AND client lookups both prune files by min/max stats
+    store.overwriteClustered("mart_web_transactions", Views.webTransactionsV(staging),
+      datediff(col("date"), lit("1970-01-01").cast("date")),
+      pmod(xxhash64(col("client")), lit(1L << 20)))
+    store.overwrite("mart_dim_clients",
+      graft.marts.IncrementalDims.presentClients(store.read("dim_clients_state")))
+    store.overwrite("mart_dim_categories",
+      graft.marts.IncrementalDims.presentNames(store.read("dim_categories_state")))
+    store.overwrite("mart_dim_vendors",
+      graft.marts.IncrementalDims.presentNames(store.read("dim_vendors_state")))
     // count the POST-swap read: `merged`'s plan points at pre-swap files
     println(s"[graft] run complete: ${nAll} changed rows, ${staging.count()} staging rows")
   }

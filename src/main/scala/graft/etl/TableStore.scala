@@ -47,6 +47,15 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
   override def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(name))
 
+  /** Overwrite with Hilbert clustering on two keys: each written file
+    * covers a tight (a, b) rectangle, so parquet min/max statistics prune
+    * scans filtered on EITHER key — the layout step a 100 TB query mart
+    * needs (Delta's OPTIMIZE ZORDER, done at write time).
+    */
+  def overwriteClustered(name: String, df: DataFrame,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): Unit =
+    overwrite(name, graft.operators.Layout.hilbertBy(df, a, b))
+
   /** Hive-style partitioned layout (SURVEY §4.1: partition staging by
     * source_type, raw by ingest date). A filter on the partition column
     * prunes whole directories at planning time — at 100 TB the daily
@@ -152,12 +161,15 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
     val newFiles = Files.list(dataDir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(_.toString).sorted
-    val files = if (replace) newFiles else currentFiles(name) ++ newFiles
     val md = manifestDir(name)
     Files.createDirectories(md)
     var v = manifests(name).lastOption.map(version).getOrElse(0) + 1
     var committed = false
     while (!committed) {
+      // Rebase INSIDE the loop: an append that loses the version race must
+      // re-list the current files at retry time, or the concurrent commit's
+      // files silently vanish from the newer manifest (lost update).
+      val files = if (replace) newFiles else currentFiles(name) ++ newFiles
       val target = md.resolve(f"v$v%08d.manifest")
       try {
         // CREATE_NEW = atomic claim of this version (if-none-match PUT on
@@ -172,6 +184,57 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
     gc(name)
   }
 
+  /** Compaction: rewrite the table's current files into `targetSplits`
+    * larger ones and commit the result as a NEW version. The daily append
+    * cadence otherwise accumulates small files without bound (the
+    * reference's Postgres had autovacuum; an object-store table needs an
+    * explicit rewrite). Snapshot isolation holds: data dirs are immutable
+    * and old manifests keep pinning the pre-compaction files until gc.
+    *
+    * Concurrency is OPTIMISTIC with conflict detection: compaction rewrites
+    * the base version's whole listing, so unlike append it cannot rebase —
+    * if another commit claims the next version first, the compacted data
+    * dir is discarded and the rewrite restarts from the fresh listing.
+    * coalesce (not repartition) keeps the rewrite shuffle-free.
+    */
+  def compact(name: String, targetSplits: Int = 1): Unit = {
+    var done = false
+    while (!done) {
+      val ms = manifests(name)
+      require(ms.nonEmpty, s"no committed version of $name to compact")
+      val base = version(ms.last)
+      import scala.jdk.CollectionConverters._
+      val files = Files.readAllLines(ms.last).asScala.toSeq.filter(_.nonEmpty)
+      if (files.length <= targetSplits) return // already compact
+      val commitId = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = tableDir(name).resolve(s"data-$commitId")
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+        .coalesce(targetSplits)
+        .write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+      val newFiles = Files.list(dataDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).sorted
+      val target = manifestDir(name).resolve(f"v${base + 1}%08d.manifest")
+      try {
+        Files.write(target, newFiles.mkString("\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // a concurrent commit won the version — our rewrite no longer
+          // covers the table; drop it and recompact from the fresh state
+          deleteRecursive(dataDir)
+      }
+    }
+    gc(name)
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+
   /** Drop manifests + data dirs no current or recent manifest references. */
   private def gc(name: String): Unit = {
     val ms = manifests(name)
@@ -183,12 +246,8 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
       .filterNot(live.contains)
       .map(f => Paths.get(f).getParent).distinct
     drop.foreach(Files.delete)
-    deadDirs.filterNot(d => live.exists(_.startsWith(d.toString))).foreach { d =>
-      if (Files.exists(d)) {
-        Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-      }
-    }
+    deadDirs.filterNot(d => live.exists(_.startsWith(d.toString)))
+      .foreach(deleteRecursive)
   }
 }
 

@@ -15,7 +15,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
   def fan(df: DataFrame): DataFrame = {
+    // Streaming plans pass through: micro-batches are already split by the
+    // source, and df.rdd would throw on an unresolved stream.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // Split count from the physical plan's file-scan leaves (driver
+    // metadata, no job, no AQE stage materialization — Bridge.scanSplits).
+    // Non-file plans (cached/local/joined) fall back to the RDD count:
+    // those are exactly the plans where rdd conversion is cheap and fan
+    // is a rarely-hit defensive path.
+    val splits = org.apache.spark.sql.graftbridge.Bridge.scanSplits(df)
+      .getOrElse(df.rdd.getNumPartitions)
+    if (splits >= target) df else df.repartition(target)
   }
 }

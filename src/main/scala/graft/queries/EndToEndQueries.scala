@@ -146,7 +146,7 @@ object EndToEndQueries {
           FROM canon WHERE rn = 1)
         SELECT CASE WHEN md5(text) < 'c0' THEN 'train'
             WHEN md5(text) < 'e0' THEN 'val' ELSE 'test' END AS split,
-          COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens, MIN(doc_id) AS min_doc
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, MIN(doc_id) AS min_doc
         FROM scored WHERE quality_score >= 300
         GROUP BY 1 ORDER BY split"""),
       "curation pipeline e2e: dedup → quality gate → hash split → corpus stats"),

@@ -183,10 +183,17 @@ object ExtendedQueries {
     // ExtendedQueriesSpec.
     "a13_approx_percentile" -> Q(
       (s, d) => {
+        // Scalar quartile columns (not array<double>): the driver's
+        // rows-only comparator sorts through pandas, which cannot hash
+        // ndarray cells.
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
             .as("quartiles"))
+          .select(col("l_returnflag"),
+            col("quartiles").getItem(0).as("q25"),
+            col("quartiles").getItem(1).as("q50"),
+            col("quartiles").getItem(2).as("q75"))
           .orderBy(col("l_returnflag"))
       },
       None,
@@ -502,7 +509,7 @@ object ExtendedQueries {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type,
-        SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT)) AS sum_k,
+        CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
         COUNT(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT)) AS n_parsed
         FROM events GROUP BY event_type ORDER BY event_type"""),
       "JSON field extraction (F13) + aggregate over semi-structured props"),

@@ -164,10 +164,31 @@ object PipelineQueries {
         c AS (SELECT doc_id, n_tokens,
           SUM(n_tokens) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-        SELECT (cum - n_tokens) // 2048 AS seq_id, COUNT(*) AS n_docs,
-          SUM(n_tokens) AS seq_tokens, MIN(doc_id) AS first_doc
+        SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens, MIN(doc_id) AS first_doc
         FROM c GROUP BY 1 ORDER BY seq_id"""),
       "fixed-token-budget sequence packing via chunked cumulative sums"),
+
+    // t7's production variant: GREEDY first-fit packing (no sequence ever
+    // overflows the budget — the invariant a trainer needs). Sequential
+    // walk distributed as bounded per-range flatMapGroups after the
+    // two-phase prefix sum; waste vs chunked + determinism + equality to a
+    // single-threaded greedy reference are asserted in PipelineOpsSpec.
+    // The walk's state is engine-internal → rows-only check.
+    "t8_greedy_packing" -> Q(
+      (s, d) => {
+        val budget = 2048L
+        val toks = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"),
+            TextStats.wsTokenCount(col("text")).cast(LongType).as("n_tokens"))
+        graft.operators.Packing.greedyPack(toks, budget)
+          .groupBy(col("seq_range"), col("seq_in_range"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("seq_range"), col("seq_in_range"))
+      },
+      None,
+      "greedy first-fit sequence packing — never-overflow training batches"),
 
     // ───── text analysis ─────
 

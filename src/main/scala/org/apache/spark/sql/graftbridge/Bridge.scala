@@ -12,4 +12,26 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Planned scan-task count of a pure file-scan pipeline, from the
+    * PHYSICAL plan's leaves — the number Spark's bin-packing actually
+    * produced (small files pack many-per-split, large files split by
+    * maxPartitionBytes; `df.inputFiles.length` gets both wrong). Driver
+    * metadata only: building FileScanRDD lists files and packs splits but
+    * launches no job, and `sparkPlan` (pre-AQE) means no shuffle stage can
+    * materialize. Returns None when the plan is not narrow-over-file-scans
+    * (exchanges, cached or local relations) — callers fall back.
+    */
+  def scanSplits(df: org.apache.spark.sql.DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.sparkPlan
+    val hasExchange = plan.collectFirst { case e: Exchange => e }.isDefined
+    val leaves = plan.collectLeaves()
+    if (!hasExchange && leaves.nonEmpty &&
+        leaves.forall(_.isInstanceOf[FileSourceScanExec]))
+      Some(leaves.map(_.asInstanceOf[FileSourceScanExec].inputRDD.getNumPartitions).sum)
+    else None
+  }
 }

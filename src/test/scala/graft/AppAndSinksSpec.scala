@@ -101,6 +101,55 @@ class AppAndSinksSpec extends SparkTestBase {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("manifest store: compaction shrinks the file count, preserves data + time travel") {
+    import graft.etl.ManifestTableStore
+    val root = java.nio.file.Files.createTempDirectory("manifest_compact").toString
+    val store = new ManifestTableStore(spark, root, keepVersions = 10)
+    // daily-append cadence: five commits, each leaving its own small files
+    (1 to 5).foreach { i =>
+      val df = Seq((i.toLong, s"row$i")).toDF("k", "v").repartition(2)
+      if (i == 1) store.overwrite("t", df) else store.append("t", df)
+    }
+    val before = store.read("t").as[(Long, String)].collect().toSet
+    val filesBefore = store.read("t").inputFiles.length
+    assert(filesBefore >= 5)
+    val vBefore = store.versions("t").max
+
+    store.compact("t", targetSplits = 1)
+
+    assert(store.versions("t").max == vBefore + 1)
+    assert(store.read("t").as[(Long, String)].collect().toSet == before)
+    assert(store.read("t").inputFiles.length == 1) // file count dropped
+    // snapshot isolation: the pre-compaction version still reads exactly
+    assert(store.readVersion("t", vBefore).as[(Long, String)].collect().toSet == before)
+    // idempotent once compact
+    store.compact("t", targetSplits = 1)
+    assert(store.versions("t").max == vBefore + 1)
+  }
+
+  test("manifest store: concurrent appenders never lose an update") {
+    import graft.etl.ManifestTableStore
+    val root = java.nio.file.Files.createTempDirectory("manifest_conc").toString
+    val store = new ManifestTableStore(spark, root, keepVersions = 20)
+    store.overwrite("t", Seq((0L, "seed")).toDF("k", "v"))
+    // two writers race real appends: each retry must REBASE on the freshly
+    // listed manifest, or the loser's rewrite drops the winner's files
+    val writers = (1 to 2).map { w =>
+      new Thread(() => {
+        val s = new ManifestTableStore(spark, root, keepVersions = 20)
+        (1 to 3).foreach { i =>
+          s.append("t", Seq((w * 10L + i, s"w$w-$i")).toDF("k", "v"))
+        }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    val got = store.read("t").as[(Long, String)].collect().toMap
+    val want = Map(0L -> "seed") ++
+      (for (w <- 1 to 2; i <- 1 to 3) yield (w * 10L + i) -> s"w$w-$i")
+    assert(got == want)
+    assert(store.versions("t").size == 7)
+  }
+
   test("S7 stringify-for-export: nulls become empty strings, all columns string") {
     val df = Seq((Some(1), Option.empty[String]), (None, Some("x")))
       .toDF("a", "b")

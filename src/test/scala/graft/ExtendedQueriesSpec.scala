@@ -81,7 +81,8 @@ class ExtendedQueriesSpec extends SparkTestBase {
 
   test("a13 approx quartiles bracket the exact percentiles") {
     val approx = SparkEntry.registry("a13_approx_percentile").fn(spark, sfTiny)
-      .select($"l_returnflag", $"quartiles").as[(String, Seq[Double])].collect().toMap
+      .select($"l_returnflag", array($"q25", $"q50", $"q75"))
+      .as[(String, Seq[Double])].collect().toMap
     val exact = Tables.lineitem(spark, sfTiny)
       .groupBy($"l_returnflag")
       .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("q"))

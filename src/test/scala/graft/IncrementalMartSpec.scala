@@ -59,4 +59,83 @@ class IncrementalMartSpec extends SparkTestBase {
       .collect().map(_.toString).toSet
     assert(catIncr == catView)
   }
+
+  test("ref-counted dim states: delta application equals the dim views on the merged snapshot") {
+    import graft.marts.IncrementalDims
+    val raw = graft.queries.EndToEndQueries.ordersAsRawProbe(spark, sfTiny)
+    val staging = stagingOf(raw).cache()
+
+    // initialize == view on the same snapshot
+    assert(IncrementalDims.presentClients(IncrementalDims.initializeClients(staging))
+      .collect().map(_.toString).toSet ==
+      Views.dimClientsV(staging).collect().map(_.toString).toSet)
+
+    // upsert batch that MOVES dimension values: some rows change client /
+    // category / vendor (the old name's refcount drops — it must vanish
+    // only when its last referencing row left), plus fresh inserts
+    val edits = staging.filter($"raw_id".cast("long") % 5 === 0)
+      .withColumn("client", concat(lit("moved_"), $"client"))
+      .withColumn("category", lit("MovedCat"))
+      .withColumn("vendor", when($"vendor".isNotNull, concat(lit("mv_"), $"vendor")))
+      .withColumn("received_at", $"received_at" + expr("interval 1 day"))
+    val inserts = staging.filter($"raw_id".cast("long") % 13 === 0)
+      .withColumn("raw_id", concat(lit("new_"), $"raw_id"))
+      .withColumn("received_at", $"received_at" + expr("interval 1 day"))
+    val batch = StagingMerge.dedupeBatch(edits.unionByName(inserts))
+
+    val oldRows = staging.join(batch.select($"raw_id"), Seq("raw_id"), "left_semi")
+    val merged = StagingMerge.merge(staging, batch).cache()
+
+    val clientsIncr = IncrementalDims.presentClients(
+      IncrementalDims.applyClientsDelta(
+        IncrementalDims.initializeClients(staging), oldRows, batch))
+      .collect().map(_.toString).toSet
+    val clientsView = Views.dimClientsV(merged).collect().map(_.toString).toSet
+    assert(clientsIncr == clientsView)
+
+    Seq("category" -> Views.dimCategoriesV _, "vendor" -> Views.dimVendorsV _)
+      .foreach { case (src, view) =>
+        val incr = IncrementalDims.presentNames(
+          IncrementalDims.applyNamesDelta(
+            IncrementalDims.initializeNames(staging, src), oldRows, batch, src))
+          .collect().map(_.getString(0)).toSet
+        val full = view(merged).collect().map(_.getString(0)).toSet
+        assert(incr == full, s"dim $src state drifted from the view")
+      }
+  }
+
+  test("intra-batch duplicate keys: dedupeBatch before applyDelta keeps the mart exact") {
+    // raw permits duplicate raw_ids within one batch (insertIfAbsent only
+    // anti-joins EXISTING rows); feeding the raw batch to applyDelta
+    // double-counts. The pipeline contract (app.Main) is dedupeBatch first
+    // — this pins that contract.
+    val raw = graft.queries.EndToEndQueries.ordersAsRawProbe(spark, sfTiny)
+    val staging = stagingOf(raw).cache()
+    val mart0 = IncrementalMart.initialize(staging).cache()
+
+    val edits = staging.filter($"raw_id".cast("long") % 7 === 0)
+      .withColumn("total_rub", $"total_rub" * 2)
+      .withColumn("received_at", $"received_at" + expr("interval 1 day"))
+    // duplicate versions of the same keys, older received_at → must LOSE
+    val losers = staging.filter($"raw_id".cast("long") % 7 === 0)
+      .withColumn("total_rub", $"total_rub" * 5)
+    val rawBatch = edits.unionByName(losers)
+
+    val batch = StagingMerge.dedupeBatch(rawBatch)
+    val oldRows = staging.join(batch.select($"raw_id"), Seq("raw_id"), "left_semi")
+    val merged = StagingMerge.merge(staging, rawBatch).cache()
+
+    val incremental = IncrementalMart.present(
+      IncrementalMart.applyDelta(mart0, oldRows, batch))
+      .collect().map(_.toString).toSet
+    val full = IncrementalMart.present(IncrementalMart.initialize(merged))
+      .collect().map(_.toString).toSet
+    assert(incremental == full)
+
+    // and the un-deduped batch DOES drift — the bug the contract prevents
+    val drifted = IncrementalMart.present(
+      IncrementalMart.applyDelta(mart0, oldRows, rawBatch))
+      .collect().map(_.toString).toSet
+    assert(drifted != full)
+  }
 }

@@ -179,6 +179,90 @@ class PipelineOpsSpec extends SparkTestBase {
     val (zx, zy) = (avgSpan(zed, "x"), avgSpan(zed, "y"))
     assert(zx <= 64 && zy <= 64, s"z avg spans: x=$zx y=$zy")
     assert(avgSpan(rowMajor, "x") > 100) // trailing key spans ~everything
+
+    // Hilbert: same clustering through the continuous curve — no quadrant
+    // jumps, so unaligned partition ranges cover tighter rectangles
+    val hed = Layout.hilbertBy(grid, $"x", $"y", 16).cache()
+    val (hx, hy) = (avgSpan(hed, "x"), avgSpan(hed, "y"))
+    assert(hx <= 64 && hy <= 64, s"hilbert avg spans: x=$hx y=$hy")
+    assert(hx + hy <= zx + zy, s"hilbert ($hx+$hy) did not tighten vs morton ($zx+$zy)")
+  }
+
+  test("hilbert index: inverse round-trip and curve adjacency") {
+    import graft.operators.Layout
+    // reference inverse (d2xy walk) — hilbert(x, y) must round-trip
+    def d2xy(d: Long): (Long, Long) = {
+      var t = d; var x = 0L; var y = 0L; var s = 1L
+      while (s < (1L << 31)) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry
+        t /= 4; s <<= 1
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(11L)
+    (1 to 500).foreach { _ =>
+      val d = rnd.nextLong() & ((1L << 62) - 1)
+      val (x, y) = d2xy(d)
+      assert(Layout.hilbert(x, y) == d, s"round-trip failed at d=$d")
+      // defining property: consecutive indices are ADJACENT cells (Morton
+      // violates this at every quadrant boundary)
+      if (d < (1L << 62) - 1) {
+        val (x2, y2) = d2xy(d + 1)
+        assert(math.abs(x2 - x) + math.abs(y2 - y) == 1,
+          s"curve jump between d=$d and ${d + 1}")
+      }
+    }
+  }
+
+  test("greedy packing: valid (never overflows), deterministic, matches sequential reference") {
+    import graft.operators.Packing
+    val budget = 500L
+    val toks = docs.select($"doc_id",
+      graft.operators.TextStats.wsTokenCount($"text").cast("long").as("n_tokens"))
+      .cache()
+    // small seqsPerRange so the test exercises MANY range boundaries
+    val packed = Packing.greedyPack(toks, budget, seqsPerRange = 4).cache()
+
+    // every doc packed exactly once
+    assert(packed.count() == toks.count())
+    assert(packed.select($"doc_id").distinct().count() == toks.count())
+
+    // validity: no sequence exceeds the budget unless it is one oversized doc
+    val seqs = packed.groupBy($"seq_range", $"seq_in_range")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
+    assert(seqs.filter($"seq_tokens" > budget && $"n_docs" > 1).count() == 0)
+
+    // determinism: a second evaluation is identical
+    val again = Packing.greedyPack(toks, budget, seqsPerRange = 4)
+      .collect().map(_.toString).toSet
+    assert(packed.collect().map(_.toString).toSet == again)
+
+    // exact equality with a single-threaded greedy walk per range
+    val byRange = packed.orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"seq_range", $"seq_in_range")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._3)
+    byRange.foreach { case (_, rows) =>
+      var seq = 0L; var fill = 0L
+      rows.sortBy(_._1).foreach { case (docId, n, _, gotSeq) =>
+        if (fill > 0 && fill + n > budget) { seq += 1; fill = 0L }
+        fill += n
+        assert(gotSeq == seq, s"doc $docId: expected seq $seq, got $gotSeq")
+      }
+    }
+
+    // packing quality: first-fit waste bound — and no worse than one extra
+    // partially-filled sequence per range vs range-local optimum
+    val totalTokens = toks.agg(sum($"n_tokens")).head().getLong(0)
+    val nSeqs = seqs.count()
+    assert(nSeqs <= 2 * ((totalTokens + budget - 1) / budget) + packed
+      .select($"seq_range").distinct().count(),
+      s"greedy produced $nSeqs sequences for $totalTokens tokens at budget $budget")
   }
 
   test("distributed cumSum equals the single-partition global window") {
