@@ -39,6 +39,29 @@ object PqIndex {
     val sample = corpus.orderBy(col("vec_id")).limit(sampleSize)
       .select(asDouble(col("embedding")).as("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    trainOn(sample, iters)
+  }
+
+  /** Residual flavor (FAISS IVFPQ): train on (v − centroid[cell]) of the
+    * sample — residuals have far smaller spread than raw vectors, so the
+    * same 4-bit budget quantizes them much more finely.
+    */
+  def trainResiduals(corpus: DataFrame, centroids: Array[Array[Double]],
+      sampleSize: Int = 10000, iters: Int = 8): Array[Array[Array[Double]]] = {
+    val v = asDouble(col("embedding"))
+    val sample = corpus.orderBy(col("vec_id")).limit(sampleSize)
+      .select(v.as("v"),
+        element_at(IvfIndex.nearestCellsPublic(v, centroids, 1), 1).as("cell"))
+      .collect()
+      .map { r =>
+        val x = r.getSeq[Double](0).toArray
+        val c = centroids(r.getInt(1))
+        Array.tabulate(x.length)(i => x(i) - c(i))
+      }
+    trainOn(sample, iters)
+  }
+
+  private def trainOn(sample: Array[Array[Double]], iters: Int): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty && sample.head.length == M * SubDim,
       s"expected dim ${M * SubDim}")
     Array.tabulate(M) { m =>
@@ -70,14 +93,32 @@ object PqIndex {
   /** Per-subspace argmin against literal centroids → 4-bit codes packed
     * into one INT. Narrow, no shuffle; ties break to the lower code via
     * struct ordering (same convention as IvfIndex.nearestCell).
+    *
+    * Residual mode (`cellAdj` = (cell column, coarse centroids)): encodes
+    * v − centroid[cell] WITHOUT materializing the residual array — the
+    * argmin distance decomposes as |cb|² − 2⟨v_m, cb⟩ + 2⟨c_m, cb⟩, and
+    * the last term is a pure literal per (cell, subspace, entry), looked
+    * up by cell id. Keeps `v` appearing exactly once per codebook entry
+    * (the plan-size discipline NOTES.md mandates; substituting a zip_with
+    * residual subtree here would multiply it M·KSub times).
     */
-  private def encodeExpr(v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+  private def encodeExpr(v: Column, codebooks: Array[Array[Array[Double]]],
+      cellAdj: Option[(Column, Array[Array[Double]])] = None): Column = {
     val codes = (0 until M).map { m =>
       val sub = slice(v, m * SubDim + 1, SubDim)
       val scored = codebooks(m).zipWithIndex.map { case (c, i) =>
         val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dotp(sub, typedLit(c.toSeq))).as("d"),
-          lit(i).as("code"))
+        val base = lit(c2) - lit(2.0) * dotp(sub, typedLit(c.toSeq))
+        val d = cellAdj match {
+          case None => base
+          case Some((cell, cents)) =>
+            // 2⟨centroid_cell[m], cb_i⟩ per cell, as one literal array
+            val adj = cents.map { cent =>
+              2.0 * c.indices.map(j => cent(m * SubDim + j) * c(j)).sum
+            }
+            base + element_at(typedLit(adj.toSeq), cell + 1)
+        }
+        struct(d.as("d"), lit(i).as("code"))
       }
       array_min(array(scored: _*)).getField("code")
     }
@@ -184,9 +225,13 @@ object PqIndex {
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
   }
 
-  /** IVFPQ: IvfIndex coarse cells × PQ codes. The corpus stores
-    * (cell, code, norm) — 16 bytes/vector; a query ADC-scans only its
-    * `nprobe` probed cells' codes, then exact-re-ranks the shortlist.
+  /** IVFPQ: IvfIndex coarse cells × RESIDUAL PQ codes (the FAISS layout).
+    * Each vector stores (cell, code of v − centroid[cell], norm) — 16
+    * bytes; a query ADC-scans only its `nprobe` probed cells' codes, with
+    * approx ⟨q, v⟩ = ⟨q, centroid_cell⟩ (driver-computed, KB literal) +
+    * Σ_m lut[m][code_m] over the residual codebooks, then exact-re-ranks
+    * the shortlist. Residuals have far smaller spread than raw vectors, so
+    * the 4-bit budget quantizes them much more finely than ann4's raw PQ.
     * At 100 TB this is the standard billion-scale ANN layout: coarse
     * partition pruning × in-cell compressed scan × exact tail.
     */
@@ -194,9 +239,16 @@ object PqIndex {
       kClusters: Int = 16, nprobe: Int = 4, refine: Int = 32): DataFrame = {
     val spark = corpus.sparkSession
     val centroids = IvfIndex.fit(corpus, kClusters)
-    val codebooks = train(corpus)
-    val indexed = IvfIndex.assignCells(corpus, centroids)
-      .join(encode(corpus, codebooks), Seq("vec_id"))
+    val codebooks = trainResiduals(corpus, centroids)
+    // two-stage select: the cell argmin materializes as a column BEFORE
+    // the encode expression references it M·KSub times (CollapseProject
+    // keeps non-cheap aliases staged — NOTES.md plan-size discipline)
+    val v = asDouble(col("embedding"))
+    val withCell = corpus.select(col("vec_id"), v.as("v"),
+      element_at(IvfIndex.nearestCellsPublic(v, centroids, 1), 1).as("cell"))
+    val indexed = withCell.select(col("vec_id"), col("cell"),
+      encodeExpr(col("v"), codebooks, Some((col("cell"), centroids))).as("code"),
+      sqrt(dotp(col("v"), col("v"))).as("norm"))
 
     val qRows = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv")).collect()
@@ -211,8 +263,10 @@ object PqIndex {
         while (d < SubDim) { s += q(m * SubDim + d) * codebooks(m)(c)(d); d += 1 }
         s
       }
-      (qid, lut.toSeq, qnorm)
-    }.toSeq.toDF("query_id", "lut", "qnorm")
+      // ⟨q, centroid_c⟩ per cell — the coarse term of the residual ADC
+      val qc = centroids.map(c => c.indices.map(i => q(i) * c(i)).sum)
+      (qid, lut.toSeq, qc.toSeq, qnorm)
+    }.toSeq.toDF("query_id", "lut", "qc", "qnorm")
     val probes = queries.select(col("vec_id").as("query_id"),
         explode(IvfIndex.nearestCellsPublic(asDouble(col("embedding")), centroids, nprobe))
           .as("cell"))
@@ -221,7 +275,7 @@ object PqIndex {
     val adcDot = (0 until M).map { m =>
       element_at(col("lut"),
         (lit(m * KSub) + shiftright(col("code"), 4 * m).bitwiseAND(0xF)) + 1)
-    }.reduce(_ + _)
+    }.reduce(_ + _) + element_at(col("qc"), col("cell") + 1)
     // join on the probed cell: each query scans nprobe/kClusters of codes
     val scored = probes.join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -23,14 +23,22 @@ object Bridge {
     * (exchanges, cached or local relations) — callers fall back.
     */
   def scanSplits(df: org.apache.spark.sql.DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.sparkPlan
-    val hasExchange = plan.collectFirst { case e: Exchange => e }.isDefined
-    val leaves = plan.collectLeaves()
-    if (!hasExchange && leaves.nonEmpty &&
-        leaves.forall(_.isInstanceOf[FileSourceScanExec]))
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    // gate on the LOGICAL plan: only narrow pipelines over a file relation
+    // qualify — anything that will plan an exchange (aggregate, join,
+    // repartition, window) changes the output partitioning, so the scan's
+    // split count is not the answer. (sparkPlan can't be probed for
+    // exchanges: EnsureRequirements inserts them at the prepare stage.)
+    val narrow = qe.optimizedPlan.collect { case p => p }.forall {
+      case _: Project | _: Filter | _: LogicalRelation => true
+      case _ => false
+    }
+    if (!narrow) return None
+    val leaves = qe.sparkPlan.collectLeaves()
+    if (leaves.nonEmpty && leaves.forall(_.isInstanceOf[FileSourceScanExec]))
       Some(leaves.map(_.asInstanceOf[FileSourceScanExec].inputRDD.getNumPartitions).sum)
     else None
   }

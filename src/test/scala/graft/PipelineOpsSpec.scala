@@ -127,6 +127,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.size == exact.size)
   }
 
+  test("residual codebooks reconstruct strictly better than raw PQ") {
+    import graft.operators.{IvfIndex, PqIndex}
+    val cents = IvfIndex.fit(emb, 16)
+    val rawCb = PqIndex.train(emb)
+    val resCb = PqIndex.trainResiduals(emb, cents)
+    val sample = emb.orderBy($"vec_id").limit(300)
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    def nearestCent(x: Array[Double]): Array[Double] =
+      cents.minBy(c => c.indices.map(i => { val t = x(i) - c(i); t * t }).sum)
+    def decode(x: Array[Double], cb: Array[Array[Array[Double]]]): Array[Double] =
+      (0 until 8).flatMap { m =>
+        val sub = x.slice(m * 8, m * 8 + 8)
+        cb(m).minBy(e => e.indices.map(i => { val t = sub(i) - e(i); t * t }).sum)
+      }.toArray
+    def sqErr(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => { val t = a(i) - b(i); t * t }).sum
+
+    val rawErr = sample.map(x => sqErr(x, decode(x, rawCb))).sum
+    val resErr = sample.map { x =>
+      val c = nearestCent(x)
+      val resid = Array.tabulate(x.length)(i => x(i) - c(i))
+      val rec = decode(resid, resCb).zip(c).map { case (r, ci) => r + ci }
+      sqErr(x, rec)
+    }.sum
+    assert(resErr < rawErr,
+      s"residual reconstruction $resErr not better than raw PQ $rawErr")
+  }
+
   test("lsh topk returns true cosines and decent recall") {
     val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
