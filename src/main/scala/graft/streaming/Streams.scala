@@ -44,6 +44,19 @@ object Streams {
   def dedupByHash(withHash: DataFrame): DataFrame =
     withHash.dropDuplicates("payload_hash")
 
+  /** Watermark-BOUNDED streaming dedup: per-hash state is dropped once the
+    * watermark passes its event time + delay, so state size is
+    * O(hashes per delay window) instead of O(all hashes ever) — plain
+    * dropDuplicates on an unbounded stream is a slow-motion OOM. Use when
+    * duplicates arrive close to the original (retries, at-least-once
+    * sources); replays older than the delay are a reprocessing signal the
+    * batch anti-join (ChangeScan) handles, not CDC.
+    */
+  def dedupByHashBounded(withHash: DataFrame, eventTimeCol: String = "received_at",
+      delay: String = "1 hour"): DataFrame =
+    withHash.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("payload_hash")
+
   /** Streaming flavor of the full incremental ELT (SURVEY §3.1): raw
     * parquet dir → content-hash dedup → per-micro-batch normalize + merge
     * into the staging store. foreachBatch gives the reference's idempotent

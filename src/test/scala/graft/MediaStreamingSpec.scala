@@ -107,6 +107,32 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(emitted.contains(Streams.Session(1L, 0L, 5 * min, 2L)))
   }
 
+  test("watermark-bounded streaming dedup drops in-window duplicates, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = stream.toDF().toDF("received_at", "payload_hash", "v")
+    val q = Streams.dedupByHashBounded(df, delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(3600_000L + min * 60000L)
+    // batch 1: h1 twice within the window → one survivor
+    stream.addData((ts(0), "h1", "a"), (ts(1), "h1", "a-dup"), (ts(2), "h2", "b"))
+    q.processAllAvailable()
+    // batch 2: advance event time far past the delay; h1's state has been
+    // dropped, so a far-later replay of h1 passes through (bounded state,
+    // the documented contract — late replays are reprocessing, not CDC)
+    stream.addData((ts(120), "h3", "c"))
+    q.processAllAvailable()
+    stream.addData((ts(121), "h1", "a-replay"), (ts(121), "h3", "c-dup"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_bounded").select($"payload_hash", $"v")
+      .as[(String, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    q.stop()
+    assert(got("h1") == Set("a", "a-replay")) // deduped in-window, replay passes
+    assert(got("h2") == Set("b"))
+    assert(got("h3") == Set("c")) // c-dup arrived within delay → suppressed
+  }
+
   test("batch sessionization matches the windowed SQL twin on real events") {
     // same µs-grid truncation the query applies (DuckDB-parity contract)
     val typed = Tables.events(spark, sfTiny)

@@ -90,6 +90,45 @@ class PropertySpec extends SparkTestBase {
     assert(twice.exceptAll(once).count() == 0 && once.exceptAll(twice).count() == 0)
   }
 
+  test("greedy packing properties hold on random workloads") {
+    import graft.operators.Packing
+    (1 to 5).foreach { trial =>
+      val budget = 100L + rnd.nextInt(400)
+      val n = 200 + rnd.nextInt(800)
+      // skewed token sizes incl. oversized docs (> budget) and tiny ones
+      val docs = (1 to n).map { i =>
+        val t = rnd.nextInt(4) match {
+          case 0 => 1L + rnd.nextInt(5)
+          case 1 => 1L + rnd.nextInt(budget.toInt)
+          case 2 => budget / 2 + rnd.nextInt(budget.toInt)
+          case _ => 1L + rnd.nextInt(20)
+        }
+        (i.toLong, t)
+      }
+      val df = docs.toDF("doc_id", "n_tokens").repartition(7)
+      val packed = Packing.greedyPack(df, budget, seqsPerRange = 3)
+        .as[(Long, Long, Long, Long)].collect()
+      // every doc exactly once, tokens preserved
+      assert(packed.length == n, s"trial $trial: lost docs")
+      assert(packed.map(_._1).toSet == docs.map(_._1).toSet)
+      assert(packed.map(p => p._1 -> p._2).toMap == docs.toMap)
+      // validity: no multi-doc sequence over budget
+      packed.groupBy(p => (p._3, p._4)).foreach { case (seq, rows) =>
+        val total = rows.map(_._2).sum
+        assert(total <= budget || rows.length == 1,
+          s"trial $trial: seq $seq overflows ($total > $budget, ${rows.length} docs)")
+      }
+      // sequences fill in doc_id order: ids within (range, seq) contiguous
+      // under the range's sorted order
+      packed.groupBy(_._3).foreach { case (_, rows) =>
+        val byId = rows.sortBy(_._1)
+        val seqIds = byId.map(_._4)
+        assert(seqIds.zip(seqIds.tail).forall { case (a, b) => a <= b },
+          s"trial $trial: seq ids not monotone over doc order")
+      }
+    }
+  }
+
   test("graft_dot is registered in SQL via session extensions") {
     val r = spark.sql("SELECT graft_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d")
       .head().getDouble(0)
