@@ -135,38 +135,12 @@ object PqIndex {
       sqrt(dotp(v, v)).as("norm"))
   }
 
-  /** Narrow pre-prune before the global shortlist window: keep at most n
-    * candidates per query WITHIN each physical partition via a bounded
-    * heap — no shuffle, no sort of the full scored set. Any global
-    * top-n-per-query row is also top-n within its own partition, so the
-    * subsequent row_number window sees ≤ partitions·n rows per query
-    * instead of the whole ADC-scored set; at a large query batch the
-    * window's sort-shuffle becomes output-sized instead of scan-sized.
+  /** Narrow pre-prune before the global shortlist window (TopK): the
+    * row_number sort-shuffle then sees ≤ partitions·n rows per query
+    * instead of the whole ADC-scored set.
     */
-  private def perPartitionTopN(scored: DataFrame, n: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    // max of this ordering = WORST kept candidate (lowest cos; tie: highest
-    // id) — exactly what the bounded heap evicts first
-    val worstFirst: Ordering[(Long, Long, Double)] =
-      Ordering.by { case (_, id, cos) => (-cos, id) }
-    scored
-      .select(col("query_id").cast(LongType), col("vec_id").cast(LongType),
-        col("approx_cos").cast(DoubleType))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        val heaps = scala.collection.mutable.Map
-          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
-        it.foreach { row =>
-          val h = heaps.getOrElseUpdate(row._1,
-            scala.collection.mutable.PriorityQueue.empty(worstFirst))
-          if (h.size < n) h.enqueue(row)
-          else if (worstFirst.lt(row, h.head)) { h.dequeue(); h.enqueue(row) }
-        }
-        heaps.valuesIterator.flatMap(_.iterator)
-      }
-      .toDF("query_id", "vec_id", "approx_cos")
-  }
+  private def perPartitionTopN(scored: DataFrame, n: Int): DataFrame =
+    TopK.perPartitionTopN(scored, "query_id", "vec_id", "approx_cos", n)
 
   /** Approximate top-k by ADC over codes, then EXACT cosine re-rank of a
     * `refine`×k shortlist. Query side collected to build LUTs (queries are

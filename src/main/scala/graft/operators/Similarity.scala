@@ -50,8 +50,11 @@ object Similarity {
       asDouble(col("embedding")).as("cv")).withColumn("cn2", norm2(col("cv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")))
+    // bounded per-partition pre-prune: the ranking window's sort-shuffle
+    // sees ≤ partitions·k rows per query, not the |Q|·|C| scored set
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    TopK.perPartitionTopN(scored, "query_id", "neighbor_id", "cos", k)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
   }
@@ -119,7 +122,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    TopK.perPartitionTopN(scored, "query_id", "neighbor_id", "cos", k)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
   }
