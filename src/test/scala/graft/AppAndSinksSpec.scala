@@ -36,6 +36,34 @@ class AppAndSinksSpec extends SparkTestBase {
     // re-run: no changes → staging unchanged
     graft.app.Main.runElt(spark, root, None, test = false)
     assert(spark.read.parquet(s"$root/staging").count() == 2)
+
+    // second batch (new rows only — load is insert-if-absent, like the
+    // reference's ON CONFLICT DO NOTHING): the incremental mart + dim
+    // STATES must apply the delta and still equal a full view recompute
+    val csvDir2 = Files.createTempDirectory("graft_csv2").toString
+    Seq(
+      "PK,Date,Type,Client,Category,Total RUB,Currency",
+      "r3,02.08.2023,Расход,C3,Cat3,\"1000,00\",RUB",
+      "r4,03.08.2023,Доход,C1,Cat1,\"10,50\",RUB")
+      .toDF("line").coalesce(1).write.mode("overwrite").text(csvDir2)
+    graft.app.Main.load(spark, root, csvDir2, "sheet_test")
+    graft.app.Main.runElt(spark, root, None, test = false)
+
+    val staging2 = spark.read.parquet(s"$root/staging")
+    assert(staging2.count() == 4)
+    val cats = spark.read.parquet(s"$root/mart_dim_categories")
+      .as[String].collect().toSet
+    assert(cats == graft.marts.Views.dimCategoriesV(staging2)
+      .as[String].collect().toSet)
+    assert(cats.contains("Cat3"))
+    val clients = spark.read.parquet(s"$root/mart_dim_clients")
+      .collect().map(_.toString).toSet
+    assert(clients == graft.marts.Views.dimClientsV(staging2)
+      .collect().map(_.toString).toSet)
+    val fin2 = spark.read.parquet(s"$root/mart_financials")
+      .drop("last_updated").collect().map(_.toString).toSet
+    assert(fin2 == graft.marts.Views.financialsV(staging2)
+      .drop("last_updated").collect().map(_.toString).toSet)
   }
 
   test("manifest store: commit-last protocol, append, snapshot isolation, gc") {
