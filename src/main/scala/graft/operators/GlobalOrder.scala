@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed global-order computations.
   *
@@ -15,21 +16,68 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
-  /** df + `cum`: running total of `value` over the global `order` —
-    * every partition works independently; only numPartitions scalar
-    * totals cross the cluster.
+  /** df + `cum`: running total of `value` over the global `order`.
+    *
+    * Integral values take the narrow path: range-repartition +
+    * sortWithinPartitions + a mapPartitions running sum — ONE full-data
+    * shuffle. (A window partitioned by `spark_partition_id` would re-hash
+    * the whole dataset a second time: Spark cannot know the range exchange
+    * already satisfies that distribution.) Non-integral values fall back
+    * to the per-partition window flavor — two shuffles, still never a
+    * single-task global window.
     */
   def cumSum(df: DataFrame, order: Column, value: Column,
       numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism
+    val integral = df.select(value).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral) cumSumNarrow(df, order, value, n)
+    else cumSumViaWindow(df, order, value, n)
+  }
+
+  private def cumSumNarrow(df: DataFrame, order: Column, value: Column,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val prepared = df
+      .withColumn("__v", value.cast(LongType))
+      .repartitionByRange(n, order)
+      .sortWithinPartitions(order)
+    val schema = prepared.schema
+    val vIdx = schema.fieldIndex("__v")
+    // ONE RDD instance (the zipWithIndex pattern): its range boundaries
+    // are sampled once and its shuffle files are written once, so the
+    // totals job and the cumulate job see IDENTICAL partitions. Two
+    // separate DataFrame branches would re-execute repartitionByRange,
+    // whose boundary sampling is seeded by RDD id — two executions can
+    // split rows differently and mis-align the prefix offsets.
+    val rdd = prepared.rdd
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var t = 0L
+      it.foreach(r => if (!r.isNullAt(vIdx)) t += r.getLong(vIdx))
+      Iterator(i -> t)
+    }.collect().sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init // exclusive prefix sums
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(out, schema.add("cum", LongType)).drop("__v")
+  }
+
+  private def cumSumViaWindow(df: DataFrame, order: Column, value: Column,
+      n: Int): DataFrame = {
     val parted = df.repartitionByRange(n, order)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__local_cum", sum(value).over(wLocal))
-    // prefix offset per partition: totals are numPartitions rows — the
-    // unpartitioned window here runs over that tiny set only
     val wPrefix = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val offsets = local.groupBy(col("__pid"))
