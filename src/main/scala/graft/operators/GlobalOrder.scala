@@ -71,6 +71,12 @@ object GlobalOrder {
     spark.createDataFrame(out, schema.add("cum", LongType)).drop("__v")
   }
 
+  /** Fallback for non-integral values (decimal money sums). CAVEAT: the
+    * offsets branch re-references the range exchange — correctness relies
+    * on exchange reuse keeping both branches' boundaries identical (see
+    * NOTES.md on repartitionByRange nondeterminism). No current caller
+    * takes this path; extend the RDD flavor before routing decimals here.
+    */
   private def cumSumViaWindow(df: DataFrame, order: Column, value: Column,
       n: Int): DataFrame = {
     val parted = df.repartitionByRange(n, order)

@@ -129,6 +129,27 @@ class AppAndSinksSpec extends SparkTestBase {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("overwriteClustered round-trips rows and tightens per-file key spans") {
+    import graft.etl.ParquetTableStore
+    val root = java.nio.file.Files.createTempDirectory("clustered").toString
+    val store = new ParquetTableStore(spark, root)
+    val df = spark.range(0, 1 << 12).select(
+      ($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"), $"id".as("payload"))
+    store.overwriteClustered("t", df, $"x", $"y")
+    val back = store.read("t")
+    assert(back.as[(Long, Long, Long)].collect().toSet ==
+      df.as[(Long, Long, Long)].collect().toSet)
+    // each written file covers a bounded rectangle in BOTH keys — the
+    // min/max pruning contract of the Hilbert layout
+    val spans = back.groupBy(input_file_name())
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(avg($"sx"), avg($"sy")).head()
+    // ~sqrt(cells-per-file) + unaligned-boundary slack; a row-major sort
+    // would leave the trailing key's span at the full 64
+    assert(spans.getDouble(0) <= 40 && spans.getDouble(1) <= 40,
+      s"clustered file spans too wide: $spans")
+  }
+
   test("manifest store: compaction shrinks the file count, preserves data + time travel") {
     import graft.etl.ManifestTableStore
     val root = java.nio.file.Files.createTempDirectory("manifest_compact").toString
