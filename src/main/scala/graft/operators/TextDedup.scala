@@ -64,6 +64,57 @@ object TextDedup {
         floor(col("c").cast(DoubleType) * 1000000d / col("u")).as("jac_micro"))
   }
 
+  // ───── connected components (pairs → dedup clusters) ─────
+
+  /** Near-dup PAIRS are not a dedup decision: similarity is transitive in
+    * practice (A≈B, B≈C ⇒ keep one of {A,B,C}), so the curation step needs
+    * the connected components of the pair graph, each labeled by its
+    * canonical (minimum) doc id. Min-label propagation: every node starts
+    * as its own label and repeatedly takes the min of its neighborhood;
+    * fixpoint in O(component diameter) rounds — near-dup clusters are
+    * shallow (chains of a few docs), so a handful of iterations.
+    *
+    * Scale: each round is one join + one agg, both shuffling on the node
+    * id — never materializes paths or the transitive closure. Convergence
+    * is a LIMIT-1 probe on the changed set, not a full count. The
+    * large-star/small-star variant (fewer rounds on adversarially deep
+    * graphs) slots into the same loop if diameters ever grow.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint each round: labels_i feeds BOTH the neighborhood min
+    // and the merge, so without lineage truncation the plan doubles per
+    // iteration (exponential — OOMs the driver around round 10). Eager
+    // checkpointing materializes each round's labels and restarts the
+    // lineage, the standard shape for iterative graph algorithms.
+    val edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("nl")), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("nl")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .limit(1).count() == 0L
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ───── MinHash + LSH ─────
 
   val NumHashes = 64

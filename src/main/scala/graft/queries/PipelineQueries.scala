@@ -54,6 +54,32 @@ object PipelineQueries {
         ORDER BY id_a, id_b"""),
       "exact 3-gram Jaccard near-dup pairs — correctness baseline for MinHash"),
 
+    // d2's pairs are not yet a dedup DECISION: similarity chains (A≈B≈C)
+    // must collapse to one canonical doc, i.e. connected components of the
+    // pair graph labeled by min doc id. Spark side: min-label propagation
+    // (join+agg per round, O(diameter) rounds); oracle: transitive closure
+    // via recursive CTE over the identical pair set.
+    "d7_dedup_clusters" -> Q(
+      (s, d) => TextDedup.connectedComponents(
+          TextDedup.jaccardPairs(Tables.documents(s, d), n = 3, minJaccard = 0.8))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+        SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach
+        GROUP BY u ORDER BY doc_id"""),
+      "near-dup clusters: connected components of the pair graph, min-id canonical"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(

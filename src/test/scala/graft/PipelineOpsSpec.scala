@@ -19,6 +19,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.forall(_.getLong(2) >= 800000L))
   }
 
+  test("connected components: chains, triangles, and isolated pairs label by min id") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a long chain still converges (diameter 9)
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val one = TextDedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(one.forall(_._2 == 1L) && one.length == 10)
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
