@@ -160,7 +160,10 @@ object Main {
   /** Health counts per layer (ref tests/test_db.py shape). */
   def check(spark: SparkSession, root: String): Unit = {
     val store = new ParquetTableStore(spark, root)
-    Seq("raw", "staging", "audit", "mart_financials").foreach { t =>
+    Seq("raw", "staging", "audit", "mart_financials", "mart_financials_state",
+      "mart_web_transactions", "mart_dim_clients", "mart_dim_categories",
+      "mart_dim_vendors", "dim_clients_state", "dim_categories_state",
+      "dim_vendors_state").foreach { t =>
       val n = if (store.exists(t)) store.read(t).count() else -1L
       println(s"[graft] $t: ${if (n < 0) "absent" else s"$n rows"}")
     }

@@ -80,6 +80,42 @@ object PipelineQueries {
         GROUP BY u ORDER BY doc_id"""),
       "near-dup clusters: connected components of the pair graph, min-id canonical"),
 
+    // The dedup DECISION applied: drop every cluster member except its
+    // canonical (minimum-id) doc, keep everything unclustered — the
+    // filter step a curation pipeline actually ships. One anti-join
+    // against the (tiny) non-canonical id set.
+    "d8_keep_canonical" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = TextDedup.connectedComponents(
+          TextDedup.jaccardPairs(docs, n = 3, minJaccard = 0.8))
+        val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        clus AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+        GROUP BY lang ORDER BY lang"""),
+      "dedup applied: keep each cluster's min-id doc + all unclustered docs"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(
