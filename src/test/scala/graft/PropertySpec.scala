@@ -129,6 +129,55 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("TopK pre-prune + window equals the plain window on random scores with ties") {
+    import graft.operators.TopK
+    import org.apache.spark.sql.expressions.Window
+    (1 to 3).foreach { trial =>
+      val k = 1 + rnd.nextInt(6)
+      val rows = (1 to 2000).map { i =>
+        // coarse score grid → many exact ties; a few NaNs exercise the
+        // Double.compare path (NaN ranks above +Inf in a desc sort)
+        val score = if (rnd.nextInt(100) == 0) Double.NaN
+          else (rnd.nextInt(20) - 10).toDouble / 4
+        (rnd.nextInt(17).toLong, i.toLong, score)
+      }
+      val df = rows.toDF("query_id", "neighbor_id", "cos").repartition(9)
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      def topk(in: org.apache.spark.sql.DataFrame) =
+        in.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+          .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      val plain = topk(df)
+      val pruned = topk(TopK.perPartitionTopN(df, "query_id", "neighbor_id", "cos", k))
+      assert(pruned == plain, s"trial $trial (k=$k): pre-prune changed the top-k")
+    }
+  }
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    import graft.operators.TextDedup
+    (1 to 3).foreach { trial =>
+      val nodes = 60 + rnd.nextInt(60)
+      val pairs = (1 to nodes).map { _ =>
+        val a = rnd.nextInt(nodes).toLong; val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val got = TextDedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(got == want, s"trial $trial: components diverge from union-find")
+    }
+  }
+
   test("graft_dot is registered in SQL via session extensions") {
     val r = spark.sql("SELECT graft_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d")
       .head().getDouble(0)
