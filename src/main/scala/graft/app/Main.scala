@@ -139,11 +139,15 @@ object Main {
       typedLit(headers),
       array(kept.map(c => col(s"`$c`")) ++
         Seq.fill(headers.length - kept.length)(lit("")): _*))
-    val rows = csv
-      .withColumn("sheet_row_number",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(monotonically_increasing_id())) + 1)
-      .select(col("sheet_row_number"), payload.as("payload"))
+    // sheet row numbers via RDD zipWithIndex (order-preserving, parallel)
+    // — a row_number window with no partition key would funnel the whole
+    // file through ONE task; +2 because sheet row 1 is the header
+    val numbered = spark.createDataFrame(
+      csv.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 2L).toInt)
+      },
+      csv.schema.add("sheet_row_number", org.apache.spark.sql.types.IntegerType))
+    val rows = numbered.select(col("sheet_row_number"), payload.as("payload"))
     val incoming = RawLoader.fromPayloads(rows, source)
     val dups = RawLoader.duplicateHashes(incoming)
     dups.take(5).foreach(r => System.err.println(s"[graft] duplicate content: $r"))

@@ -57,6 +57,15 @@ object Streams {
     withHash.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("payload_hash")
 
+  /** Stream-static enrichment: join a record stream against a STATIC
+    * dimension snapshot — the streaming flavor of the star join. The
+    * static side re-plans per micro-batch (so a mart refresh is picked up
+    * on the next batch) and broadcasts when small; no state store and no
+    * watermark involved, unlike stream-stream joins.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming flavor of the full incremental ELT (SURVEY §3.1): raw
     * parquet dir → content-hash dedup → per-micro-batch normalize + merge
     * into the staging store. foreachBatch gives the reference's idempotent

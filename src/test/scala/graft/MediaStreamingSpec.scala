@@ -107,6 +107,23 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(emitted.contains(Streams.Session(1L, 0L, 5 * min, 2L)))
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("C1", "enterprise"), ("C2", "self-serve")).toDF("client", "segment")
+    val stream = MemoryStream[(String, Long)]
+    val q = Streams.enrich(stream.toDF().toDF("client", "total"), dim, "client")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    stream.addData(("C1", 100L), ("C2", 50L), ("C9", 7L))
+    q.processAllAvailable()
+    val got = spark.table("enriched")
+      .select($"client", $"total", $"segment")
+      .as[(String, Long, Option[String])].collect().toSet
+    q.stop()
+    assert(got == Set(("C1", 100L, Some("enterprise")),
+      ("C2", 50L, Some("self-serve")), ("C9", 7L, None))) // left join keeps unmatched
+  }
+
   test("watermark-bounded streaming dedup drops in-window duplicates, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, String)]
