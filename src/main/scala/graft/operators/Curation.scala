@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/quality: benchmark decontamination, repetition signals,
+  * PII scrubbing, source-mix sampling, and token-window chunking.
+  *
+  * Every operator is a pure DataFrame transformation whose shuffle keys
+  * are content-derived, so the plans partition correctly at any scale:
+  *  - decontamination joins on the n-gram string with the (small)
+  *    benchmark side broadcast — the probe side never self-joins;
+  *  - repetition explodes bigrams and two-level-aggregates per doc
+  *    (map-side partials absorb the duplicate mass before the shuffle);
+  *  - PII masking and chunking are narrow per-row projections;
+  *  - mix sampling filters on a content-hash bucket — deterministic
+  *    across engines, reruns and repartitioning, unlike rand().
+  */
+object Curation {
+
+  /** Distinct word n-grams of the normalized text, as an exploded
+    * (id, gram) relation. Distinct-per-doc BEFORE the explode so the
+    * downstream join counts each shared gram once per document.
+    */
+  def docGrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(TextDedup.shingles(col(textCol), n)).as("gram"))
+
+  /** Benchmark decontamination (the eval-overlap gate every LLM corpus
+    * runs before training): flag training documents sharing at least one
+    * word n-gram with the held-out benchmark set, with the shared-gram
+    * count as the contamination score.
+    *
+    * Scale shape: the benchmark corpus is orders of magnitude smaller
+    * than the training corpus, so its distinct gram set is broadcast and
+    * the training side streams through a broadcast hash join — no
+    * shuffle of the 100 TB side, no self-join. If the benchmark ever
+    * outgrows broadcast, the same plan degrades gracefully to a shuffle
+    * hash join on the gram.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = docGrams(benchmark, n, idCol, textCol)
+      .select(col("gram")).distinct()
+    docGrams(Par.fan(train), n, idCol, textCol)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Gopher-style repetition signals per document: the duplicate-word
+    * fraction and the most-frequent-bigram fraction, in integer permille
+    * (floor(x·1000/denominator) — the identical IEEE double op sequence
+    * the DuckDB oracle runs).
+    *
+    * dup_word_permille  = (n_words − n_distinct_words)·1000 / n_words
+    * top_bigram_permille = max bigram multiplicity·1000 / n_bigrams
+    *
+    * The bigram multiplicities go through explode → (doc, bigram) count →
+    * per-doc max: two aggregations whose map-side partials absorb the
+    * repeated mass, never a per-doc collect.
+    */
+  def repetitionSignals(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val docs = Par.fan(docs0)
+    val words = split(TextDedup.normalizeText(col(textCol)), " ")
+    val narrow = docs.select(col(idCol), words.as("w"))
+      .withColumn("n_words", size(col("w")).cast(LongType))
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast(LongType))
+    // raw (non-distinct) bigram list — multiplicity matters here, so
+    // TextDedup.shingles (a distinct set) is the wrong tool
+    val bigrams = narrow.select(col(idCol),
+      explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val topBigram = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("max_bg"))
+    narrow.drop("w")
+      .join(topBigram, Seq(idCol), "left")
+      .select(col(idCol),
+        floor((col("n_words") - col("n_distinct")).cast(DoubleType) * 1000d / col("n_words"))
+          .cast(LongType).as("dup_word_permille"),
+        when(col("n_words") > 1,
+          floor(coalesce(col("max_bg"), lit(0L)).cast(DoubleType) * 1000d
+            / (col("n_words") - 1)))
+          .otherwise(lit(0L)).cast(LongType).as("top_bigram_permille"))
+  }
+
+  /** PII scrubbing: mask every decimal digit (phone / account / SSN
+    * shapes) and report how many characters were redacted. Narrow,
+    * codegen'd, linear — the shape of a full-corpus scrub pass.
+    */
+  def maskDigits(c: Column): Column = regexp_replace(c, "[0-9]", "X")
+
+  /** Count of digit characters in the column (what maskDigits redacts). */
+  def digitCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[0-9]", ""))
+
+  /** Deterministic source-mix sampling (corpus re-weighting): keep each
+    * document with a per-source acceptance rate, decided by a
+    * content-hash bucket in [0, 1000). The md5-derived bucket makes
+    * membership a pure function of the text — stable across engines,
+    * reruns, cluster sizes and repartitioning, where rand() is none of
+    * those. Downsampling only (rate ≤ 1000); upsampling is a separate
+    * explode-by-weight concern.
+    */
+  def hashBucket(c: Column, buckets: Int = 1000): Column =
+    pmod(conv(substring(md5(c), 1, 4), 16, 10).cast(LongType), lit(buckets.toLong))
+
+  def mixSample(docs: DataFrame, ratePermille: Column,
+      textCol: String = "text"): DataFrame =
+    docs.where(hashBucket(col(textCol)) < ratePermille)
+
+  /** Token-window chunking: split each document into fixed-size word
+    * windows with overlap (stride < size), the standard pre-training
+    * sequence-preparation step. One narrow explode per doc — no shuffle;
+    * chunk count per doc is ceil-ish in n/stride, so output size is
+    * linear in corpus size.
+    */
+  def tokenChunks(docs0: DataFrame, chunkSize: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride,
+      s"need 1 <= stride <= chunkSize, got size=$chunkSize stride=$stride")
+    val docs = Par.fan(docs0)
+    val words = split(TextDedup.normalizeText(col(textCol)), " ")
+    docs.select(col(idCol), words.as("w"), size(words).as("n"))
+      .select(col(idCol), col("w"), col("n"),
+        explode(sequence(lit(1), col("n"), lit(stride))).as("chunk_start"))
+      .select(col(idCol), col("chunk_start"),
+        least(lit(chunkSize), col("n") - col("chunk_start") + 1)
+          .cast(LongType).as("chunk_len"),
+        element_at(col("w"), col("chunk_start")).as("first_token"))
+  }
+}

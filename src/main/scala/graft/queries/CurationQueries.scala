@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.Curation
+
+/** Corpus-curation queries (training-data pipeline, beyond the
+  * reference's surface): benchmark decontamination, repetition quality
+  * signals, PII scrubbing, deterministic source-mix sampling, and
+  * token-window chunking. All oracle-checked — the operators are pure
+  * relational/regex/hash transformations both engines can express.
+  */
+object CurationQueries {
+
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** DuckDB rendering of Curation.docGrams for word n-grams of size n:
+    * distinct per doc, space-joined.
+    */
+  private def gramsSql(n: Int): String =
+    s"""toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+      grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS gram
+        FROM toks, UNNEST(range(1, len(w) - ${n - 2})) AS t(i))"""
+
+  val all: Map[String, Q] = Map(
+
+    // Benchmark decontamination: training docs sharing a word 4-gram with
+    // the held-out set (doc_id ≡ 0 mod 97 stands in for the benchmark
+    // corpus). The benchmark gram set is broadcast; the training side is
+    // never self-joined — the 100 TB side streams through one broadcast
+    // hash join.
+    "ct1_decontaminate" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.decontaminate(
+            docs.where(pmod(col("doc_id"), lit(97L)) =!= 0),
+            docs.where(pmod(col("doc_id"), lit(97L)) === 0), n = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${gramsSql(4)},
+        ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+        SELECT doc_id, COUNT(*) AS n_shared_grams FROM grams
+        WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM ev)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "eval-overlap decontamination — broadcast benchmark grams, no self-join"),
+
+    // Gopher-style repetition signals: duplicate-word and top-bigram
+    // fractions in integer permille (identical double op sequence on both
+    // engines).
+    "t9_repetition" -> Q(
+      (s, d) => Curation.repetitionSignals(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd FROM toks),
+        bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+          FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+        mx AS (SELECT doc_id, MAX(c) AS mx FROM
+          (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+        SELECT m.doc_id AS doc_id,
+          CAST(FLOOR((n - nd) * 1000.0 / n) AS BIGINT) AS dup_word_permille,
+          CASE WHEN n > 1
+            THEN CAST(FLOOR(COALESCE(mx, 0) * 1000.0 / (n - 1)) AS BIGINT)
+            ELSE 0 END AS top_bigram_permille
+        FROM m LEFT JOIN mx ON m.doc_id = mx.doc_id ORDER BY m.doc_id"""),
+      "duplicate-word + top-bigram repetition fractions per doc"),
+
+    // PII scrubbing: mask every digit run (phone / account / numeric-id
+    // shapes) in the semi-structured event payloads, report the redaction
+    // count. Narrow regex projection — the shape of a full-corpus scrub.
+    "pii1_mask_ids" -> Q(
+      (s, d) => graft.operators.Par.fan(Tables.events(s, d))
+        .select(col("event_id"),
+          Curation.maskDigits(col("props")).as("props_masked"),
+          Curation.digitCount(col("props")).cast(LongType).as("n_redacted"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+          regexp_replace(props, '[0-9]', 'X', 'g') AS props_masked,
+          CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT)
+            AS n_redacted
+        FROM events ORDER BY event_id"""),
+      "digit-masking PII scrub with redaction counts"),
+
+    // Deterministic source-mix sampling: re-weight the corpus toward a
+    // configured target mix (here: even-numbered sources keep 100%, odd
+    // keep 40%) by thresholding a content-hash bucket — reproducible
+    // across engines, reruns and repartitioning, unlike rand().
+    "mx1_source_mix" -> Q(
+      (s, d) => {
+        val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast(LongType)
+        val rate = when(pmod(srcNum, lit(2L)) === 0, lit(1000L)).otherwise(lit(400L))
+        Curation.mixSample(Tables.documents(s, d), rate)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc
+        FROM documents
+        WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1000 <
+          CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0
+            THEN 1000 ELSE 400 END
+        GROUP BY source ORDER BY source"""),
+      "content-hash source-mix downsampling to a target distribution"),
+
+    // Token-window chunking: 32-word windows, stride 24 — the sequence
+    // preparation step before packing (t7/t8 pack whole docs; t10 splits
+    // long ones). One narrow explode, no shuffle.
+    "t10_token_chunks" -> Q(
+      (s, d) => Curation.tokenChunks(Tables.documents(s, d), chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_start")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents)
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_start,
+          CAST(LEAST(32, len(w) - i + 1) AS BIGINT) AS chunk_len,
+          w[CAST(i AS INTEGER)] AS first_token
+        FROM toks, UNNEST(range(1, len(w) + 1, 24)) AS t(i)
+        ORDER BY doc_id, chunk_start"""),
+      "overlapping token-window chunking (size 32, stride 24)"))
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val train = docs(
+      1L -> "a b c d e f",      // contains benchmark 4-gram "c d e f"
+      2L -> "x y z w v u",      // clean
+      3L -> "c d e f g h",      // shares "c d e f" too
+      4L -> "f e d c b a")      // reversed — no shared ordered gram
+    val bench = docs(100L -> "q r c d e f s t")
+    val got = Curation.decontaminate(train, bench, n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("decontaminate counts each shared gram once per doc (distinct shingles)") {
+    // "a b a b a b" has 4-grams {a b a b, b a b a} each appearing twice —
+    // distinct-per-doc means multiplicity must NOT inflate the score
+    val train = docs(1L -> "a b a b a b")
+    val bench = docs(100L -> "a b a b")
+    val got = Curation.decontaminate(train, bench, n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L)) // only "a b a b" is in the benchmark set
+  }
+
+  test("repetition signals: permille math matches hand computation") {
+    val d = docs(
+      1L -> "a a a a",        // 4 words, 1 distinct → dup 750; bigram "a a" ×3 of 3 → 1000
+      2L -> "a b c d",        // all distinct → dup 0; every bigram unique → 333
+      3L -> "a b a b a")      // 5 words 2 distinct → dup 600; "a b" ×2 of 4 → 500
+    val got = Curation.repetitionSignals(d)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, a, b) => id -> ((a, b)) }.toMap
+    assert(got(1L) == ((750L, 1000L)))
+    assert(got(2L) == ((0L, 333L)))
+    assert(got(3L) == ((600L, 500L)))
+  }
+
+  test("maskDigits redacts every digit and digitCount counts them") {
+    val row = Seq(("call 555-0199 ext 7", "")).toDF("t", "pad")
+      .select(Curation.maskDigits($"t"), Curation.digitCount($"t"))
+      .as[(String, Int)].head()
+    assert(row == (("call XXX-XXXX ext X", 8)))
+  }
+
+  test("mixSample is deterministic and honors the acceptance rate") {
+    val d = (1L to 400L).map(i => (i, s"doc number $i payload")).toDF("doc_id", "text")
+    val kept = Curation.mixSample(d, lit(400L)).as[(Long, String)].collect().toSet
+    val again = Curation.mixSample(d, lit(400L)).as[(Long, String)].collect().toSet
+    assert(kept == again)                      // pure function of content
+    assert(kept.size > 100 && kept.size < 220) // ~40% of 400
+    val all = Curation.mixSample(d, lit(1000L)).count()
+    assert(all == 400L)                        // rate 1000 keeps everything
+  }
+
+  test("tokenChunks covers every word with stride windows, last chunk short") {
+    val d = docs(1L -> (1 to 50).map(i => s"w$i").mkString(" "))
+    val got = Curation.tokenChunks(d, chunkSize = 32, stride = 24)
+      .orderBy($"chunk_start")
+      .as[(Long, Int, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 1, 32L, "w1"),   // words 1..32
+      (1L, 25, 26L, "w25"), // words 25..50 (short tail)
+      (1L, 49, 2L, "w49"))) // stride lands at 49 → 2-word tail
+    // coverage: chunk starts advance by stride while ≤ n
+    assert(got.map(_._2).toSeq == Seq(1, 25, 49))
+  }
+
+  test("chunking + masking stay narrow: no shuffle beyond fan's split repair") {
+    // Par.fan's RoundRobin repartition on the single-row-group test file is
+    // expected (and a no-op on a real multi-split lake); what must NOT
+    // appear is a hash or range exchange — the operators themselves are
+    // pure per-row projections.
+    val d = Tables.documents(spark, sfTiny)
+    val chunkPlan = Curation.tokenChunks(d, 32, 24).queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("hashpartitioning") && !chunkPlan.contains("rangepartitioning"),
+      s"chunking must not hash/range shuffle:\n$chunkPlan")
+    val maskPlan = d.select(Curation.maskDigits(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!maskPlan.contains("Exchange"), s"masking must not shuffle:\n$maskPlan")
+  }
+
+  test("decontaminate broadcasts the benchmark gram side") {
+    val d = Tables.documents(spark, sfTiny)
+    val plan = Curation.decontaminate(
+        d.where(pmod(col("doc_id"), lit(97L)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(97L)) === 0), n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
+  }
+}
