@@ -96,6 +96,14 @@ object Main {
           else IncrementalDims.initializeNames(StagingMerge.merge(staging0, updates), src)
         store.overwrite(tbl, st)
     }
+    // month partitions the web mart must rebuild: new OR pre-update row
+    // months (an upsert that moves a row across months rewrites both).
+    // Derived from the pre-swap snapshot pair, so MATERIALIZE (collect)
+    // before the staging swap deletes staging0's files — a daily batch
+    // touches a handful of months, driver-side by construction.
+    val touchedMonths = updates.select(Views.webMonth(col("date")).as("month"))
+      .unionByName(oldRows.select(Views.webMonth(col("date")).as("month")))
+      .distinct().collect().map(_.getString(0)).toSeq
     store.overwrite("staging", merged)
 
     val metrics = obs.get
@@ -112,9 +120,17 @@ object Main {
       graft.marts.IncrementalMart.present(store.read("mart_financials_state"))
         .withColumn("last_updated", current_timestamp()))
     store.overwrite("mart_expenses_by_category", Views.expensesByCategoryV(staging))
-    // row-level query mart: Hilbert-cluster on (day, client-hash) so date
-    // ranges AND client lookups both prune files by min/max stats
-    store.overwriteClustered("mart_web_transactions", Views.webTransactionsV(staging),
+    // row-level query mart: maintained INCREMENTALLY at partition grain —
+    // only touched month partitions are rebuilt from staging; every other
+    // month's files are untouched. Within each partition, Hilbert-cluster
+    // on (day, client-hash) so date ranges AND client lookups both prune
+    // files by min/max stats.
+    val webP = Views.webTransactionsP(staging)
+    val webDelta =
+      if (store.exists("mart_web_transactions"))
+        webP.where(col("month").isin(touchedMonths: _*))
+      else webP
+    store.upsertPartitionsClustered("mart_web_transactions", webDelta, "month",
       datediff(col("date"), lit("1970-01-01").cast("date")),
       pmod(xxhash64(col("client")), lit(1L << 20)))
     store.overwrite("mart_dim_clients",

@@ -1,6 +1,6 @@
 package graft.marts
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -50,6 +50,22 @@ object Views {
     staging.select("raw_id", "date", "payment_date", "type", "client", "vendor",
         "category", "total_rub", "currency", "description", "source_type")
       .orderBy(col("date").desc)
+
+  /** Month partition value for the web mart's incremental layout; rows
+    * with an unparseable date land in one well-known partition instead of
+    * Hive's default-partition escape.
+    */
+  def webMonth(date: Column): Column =
+    coalesce(date_format(date, "yyyy-MM"), lit("undated"))
+
+  /** webTransactionsV + the month partition column, unordered — the
+    * partitioned write path orders by the Hilbert cluster key instead.
+    */
+  def webTransactionsP(staging: DataFrame): DataFrame =
+    staging.select(col("raw_id"), col("date"), col("payment_date"), col("type"),
+      col("client"), col("vendor"), col("category"), col("total_rub"),
+      col("currency"), col("description"), col("source_type"),
+      webMonth(col("date")).as("month"))
 
   /** dim_clients_v (ref b80da1af78f7:22-43): explicit ref-source rows
     * (source_type='ref_clients', origin 'manual', updated_at=received_at)

@@ -46,9 +46,26 @@ class AppAndSinksSpec extends SparkTestBase {
       "r3,02.08.2023,Расход,C3,Cat3,\"1000,00\",RUB",
       "r4,03.08.2023,Доход,C1,Cat1,\"10,50\",RUB")
       .toDF("line").coalesce(1).write.mode("overwrite").text(csvDir2)
+    // snapshot the July web-mart partition's files before batch 2 (which
+    // only touches August): partition-level incremental maintenance must
+    // leave them byte-identical
+    def julyFiles() = {
+      val d = java.nio.file.Paths.get(s"$root/mart_web_transactions/month=2023-07")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val julyBefore = julyFiles()
+    assert(julyBefore.nonEmpty)
+
     graft.app.Main.load(spark, root, csvDir2, "sheet_test")
     graft.app.Main.runElt(spark, root, None, test = false)
 
+    assert(julyFiles() == julyBefore,
+      "untouched month partition must not be rewritten by an August-only batch")
     val staging2 = spark.read.parquet(s"$root/staging")
     assert(staging2.count() == 4)
     val cats = spark.read.parquet(s"$root/mart_dim_categories")
@@ -64,6 +81,14 @@ class AppAndSinksSpec extends SparkTestBase {
       .drop("last_updated").collect().map(_.toString).toSet
     assert(fin2 == graft.marts.Views.financialsV(staging2)
       .drop("last_updated").collect().map(_.toString).toSet)
+    // the partition-incremental web mart equals a full view recompute
+    // (read-back month arrives as the Hive partition column)
+    val cols = graft.marts.Views.webTransactionsP(staging2).columns.map(col)
+    val web = spark.read.parquet(s"$root/mart_web_transactions")
+      .select(cols: _*).collect().map(_.toString).toSet
+    assert(web == graft.marts.Views.webTransactionsP(staging2)
+      .collect().map(_.toString).toSet)
+    assert(web.size == 4)
   }
 
   test("manifest store: commit-last protocol, append, snapshot isolation, gc") {
