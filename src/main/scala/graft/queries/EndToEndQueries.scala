@@ -151,6 +151,61 @@ object EndToEndQueries {
         GROUP BY 1 ORDER BY split"""),
       "curation pipeline e2e: dedup → quality gate → hash split → corpus stats"),
 
+    // The curation ops COMPOSED the way a pre-training data pipeline ships
+    // them: hold out a benchmark slice, drop training docs that leak a
+    // benchmark 4-gram, gate on repetition signals, then chunk the
+    // survivors into training windows. Per-lang corpus stats certify the
+    // whole cascade. One broadcast join (benchmark grams) + doc-keyed
+    // joins — nothing scan-sized is ever collected or self-joined.
+    "e2e4_decontaminated_corpus" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, TextDedup}
+        val docs = Tables.documents(s, d)
+        val isBench = pmod(col("doc_id"), lit(97L)) === 0
+        val train = docs.where(!isBench)
+        val contaminated = Curation.decontaminate(train, docs.where(isBench), n = 4)
+          .select(col("doc_id"))
+        val cleanRep = Curation.repetitionSignals(train)
+          .where(col("dup_word_permille") <= 600 && col("top_bigram_permille") <= 600)
+          .select(col("doc_id"))
+        val kept = train
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .join(cleanRep, Seq("doc_id"), "left_semi")
+        val perDoc = kept.select(col("doc_id"), col("lang"),
+          size(split(TextDedup.normalizeText(col("text")), " ")).cast(LongType).as("n_tokens"))
+        val chunks = Curation.tokenChunks(kept, chunkSize = 32, stride = 24)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        perDoc.join(chunks, Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chunks")).as("n_chunks"),
+            sum(col("n_tokens")).as("sum_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, string_split($normSql2, ' ') AS w FROM documents),
+        grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+          FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)),
+        ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        contam AS (SELECT DISTINCT doc_id FROM grams
+          WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM ev)),
+        m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd FROM toks),
+        bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+          FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+        mx AS (SELECT doc_id, MAX(c) AS mx FROM
+          (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        rep AS (SELECT m.doc_id FROM m LEFT JOIN mx ON m.doc_id = mx.doc_id
+          WHERE FLOOR((n - nd) * 1000.0 / n) <= 600
+            AND FLOOR(COALESCE(mx, 0) * 1000.0 / (n - 1)) <= 600),
+        kept AS (SELECT t.doc_id, t.lang, len(w) AS n FROM toks t
+          WHERE t.doc_id % 97 <> 0
+            AND t.doc_id NOT IN (SELECT doc_id FROM contam)
+            AND t.doc_id IN (SELECT doc_id FROM rep))
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(CEIL(n / 24.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+          CAST(SUM(n) AS BIGINT) AS sum_tokens
+        FROM kept GROUP BY lang ORDER BY lang"""),
+      "curation cascade e2e: decontaminate → repetition gate → chunk → stats"),
+
     "e2e2_financials_mart" -> Q(
       (s, d) => Views.financialsV(
           Normalize.toStaging(Normalize(rawLayer(s, d))))
