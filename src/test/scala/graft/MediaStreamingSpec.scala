@@ -124,6 +124,31 @@ class MediaStreamingSpec extends SparkTestBase {
       ("C2", 50L, Some("self-serve")), ("C9", 7L, None))) // left join keeps unmatched
   }
 
+  test("stateless curation ops run unchanged on a document stream") {
+    // maskDigits / tokenChunks / mixSample are narrow per-row transforms,
+    // so the SAME operator code scrubs a live document feed — no batch
+    // rewrite, no state store. (Par.fan passes streaming plans through.)
+    import graft.operators.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val masked = Curation.mixSample(
+        stream.toDF().toDF("doc_id", "text"), lit(1000L))
+      .withColumn("text", Curation.maskDigits(col("text")))
+    val chunks = Curation.tokenChunks(masked, chunkSize = 2, stride = 2)
+    val q = chunks.writeStream.format("memory").queryName("cur_chunks")
+      .outputMode("append").start()
+    stream.addData(1L -> "call 42 now", 2L -> "a b c")
+    q.processAllAvailable()
+    val got = spark.table("cur_chunks")
+      .as[(Long, Int, Long, String)].collect().toSet
+    q.stop()
+    assert(got == Set(
+      (1L, 1, 2L, "call"), (1L, 3, 1L, "now"),   // "42" masked to "XX"
+      (2L, 1, 2L, "a"), (2L, 3, 1L, "c")))
+    assert(spark.table("cur_chunks").where($"doc_id" === 1 && $"chunk_start" === 1)
+      .count() == 1)
+  }
+
   test("watermark-bounded streaming dedup drops in-window duplicates, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, String)]
