@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -41,6 +41,22 @@ case class HilbertValue(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HilbertValue =
     copy(left = newLeft, right = newRight)
+}
+
+/** 3-key Hilbert index (Skilling's n-dimensional transpose algorithm) —
+  * for marts queried by three independent predicates, e.g. (day, client,
+  * type). 21 bits per key → the index fits in 63 bits.
+  */
+case class Hilbert3Value(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Layout.hilbert3(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Hilbert3Value =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 object Layout {
@@ -90,6 +106,97 @@ object Layout {
   def hilbertValue(a: Column, b: Column): Column =
     Bridge.column(HilbertValue(
       Bridge.expression(a.cast(LongType)), Bridge.expression(b.cast(LongType))))
+
+  /** n-dimensional Hilbert index via Skilling's transpose algorithm
+    * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004): the
+    * input coordinates are transformed in place (inverse-undo + Gray
+    * encode per bit plane), then the index is the bit-interleave of the
+    * transformed coordinates, most-significant plane first. dims·bits
+    * must fit a long's 63 usable bits (3 dims → up to 21 bits/key).
+    */
+  def hilbertN(coords0: Array[Long], bits: Int): Long = {
+    val n = coords0.length
+    require(n * bits <= 63, s"$n dims x $bits bits overflow a long")
+    val mask = (1L << bits) - 1
+    val x = coords0.map(_ & mask)
+    // inverse undo
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // interleave: plane-major, dim 0 most significant within each plane
+    var d = 0L
+    var plane = bits - 1
+    while (plane >= 0) {
+      i = 0
+      while (i < n) { d = (d << 1) | ((x(i) >> plane) & 1L); i += 1 }
+      plane -= 1
+    }
+    d
+  }
+
+  /** Inverse of hilbertN: index → original coordinates (same Skilling
+    * transpose walk, run backwards). Used by the spec to prove the curve
+    * is a bijection whose consecutive cells are grid-adjacent.
+    */
+  def hilbertNInverse(d: Long, dims: Int, bits: Int): Array[Long] = {
+    val n = dims
+    val x = new Array[Long](n)
+    // de-interleave
+    var plane = bits - 1
+    var pos = n * bits - 1
+    while (plane >= 0) {
+      var i = 0
+      while (i < n) { x(i) |= ((d >> pos) & 1L) << plane; pos -= 1; i += 1 }
+      plane -= 1
+    }
+    // Gray decode
+    var t = x(n - 1) >> 1
+    var i = n - 1
+    while (i > 0) { x(i) ^= x(i - 1); i -= 1 }
+    x(0) ^= t
+    // undo excess work
+    var q = 2L
+    val top = 2L << (bits - 1)
+    while (q != top) {
+      val p = q - 1
+      i = n - 1
+      while (i >= 0) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i -= 1
+      }
+      q <<= 1
+    }
+    x
+  }
+
+  def hilbert3(a: Long, b: Long, c: Long, bits: Int = 21): Long =
+    hilbertN(Array(a, b, c), bits)
+
+  def hilbert3Value(a: Column, b: Column, c: Column): Column =
+    Bridge.column(Hilbert3Value(Bridge.expression(a.cast(LongType)),
+      Bridge.expression(b.cast(LongType)), Bridge.expression(c.cast(LongType))))
+
+  /** Three-key clustering through the n-dimensional Hilbert index. */
+  def hilbert3By(df: DataFrame, a: Column, b: Column, c: Column,
+      numPartitions: Int = 0): DataFrame =
+    clusterBy(df, hilbert3Value(a, b, c), numPartitions)
 
   /** Cluster a table by the Z-order of two keys: range-partition and sort
     * by the interleaved value, so each output partition (→ parquet file /

@@ -264,6 +264,52 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("3D hilbert (Skilling): bijection, round-trip, adjacency over a full cube") {
+    import graft.operators.Layout
+    val bits = 4 // 16^3 = 4096 cells — exhaustive
+    val n = 1L << (3 * bits)
+    var prev: Array[Long] = null
+    val seen = scala.collection.mutable.HashSet[(Long, Long, Long)]()
+    (0L until n).foreach { d =>
+      val x = Layout.hilbertNInverse(d, 3, bits)
+      // inverse→forward round-trip
+      assert(Layout.hilbertN(x.clone(), bits) == d, s"round-trip failed at d=$d")
+      // bijection: every cell visited exactly once
+      assert(seen.add((x(0), x(1), x(2))), s"cell revisited at d=$d")
+      assert(x.forall(v => v >= 0 && v < (1L << bits)))
+      // the Hilbert property: consecutive indices are grid-adjacent
+      if (prev != null) {
+        val l1 = (0 until 3).map(i => math.abs(x(i) - prev(i))).sum
+        assert(l1 == 1, s"curve jump between ${d - 1} and $d")
+      }
+      prev = x
+    }
+    assert(seen.size == n.toInt)
+    // expression surface evaluates the same function
+    val df = Seq((3L, 5L, 7L)).toDF("a", "b", "c")
+      .select(Layout.hilbert3Value($"a", $"b", $"c").as("h"))
+    assert(df.head().getLong(0) == Layout.hilbert3(3L, 5L, 7L))
+  }
+
+  test("3-key clustering bounds all three dimensions' partition spans") {
+    import graft.operators.Layout
+    // 32x32x16 grid: row-major ordering would leave trailing keys at full span
+    val grid = spark.range(0, 1 << 14, 1, 8).select(
+      ($"id" % 32).as("x"),
+      (($"id" / 32) % 32).cast("long").as("y"),
+      ($"id" / 1024).cast("long").as("z"))
+    def avgSpan(df: org.apache.spark.sql.DataFrame, c: String): Double =
+      df.withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy($"pid").agg((max(col(c)) - min(col(c))).as("span"))
+        .agg(avg($"span")).head().getDouble(0)
+    val clustered = Layout.hilbert3By(grid, $"x", $"y", $"z", 16).cache()
+    val (sx, sy, sz) = (avgSpan(clustered, "x"), avgSpan(clustered, "y"), avgSpan(clustered, "z"))
+    // each partition holds 1024 of the 16384 cells → a ~10^3 box; every
+    // axis span must stay near that box edge, where row-major ordering
+    // would span the full 32 on both trailing keys
+    assert(sx <= 16 && sy <= 16 && sz <= 16, s"3d spans: x=$sx y=$sy z=$sz")
+  }
+
   test("greedy packing: valid (never overflows), deterministic, matches sequential reference") {
     import graft.operators.Packing
     val budget = 500L
