@@ -409,6 +409,37 @@ object PipelineQueries {
       None,
       "k-means document clustering via the IVF quantizer (8 cells)"),
 
+    // int8 scalar quantization (FAISS SQ8): per-dim min/max training
+    // (dim-bounded collect, the centroid pattern) + a zero-shuffle narrow
+    // encode. The oracle recomputes codes and dequantization error with
+    // the identical double op sequence — fully SQL-mirrorable, unlike the
+    // hash-seeded sketches, so this one IS hash-checked.
+    "sq1_scalar_quant" -> Q(
+      (s, d) => {
+        import graft.operators.{Par, ScalarQuant}
+        val embs = Par.fan(Tables.embeddings(s, d))
+        val ranges = ScalarQuant.trainRanges(embs)
+        ScalarQuant.quantize(embs, ranges)
+          .select(col("vec_id"),
+            aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+            aggregate(col("err_micro"), lit(0L), (a, x) => greatest(a, x))
+              .as("max_err_micro"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding[CAST(i AS INTEGER)] AS v, i
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        r AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY i),
+        q AS (SELECT vec_id, CAST(v AS DOUBLE) AS vd,
+            CAST(lo AS DOUBLE) AS lod, CAST(hi AS DOUBLE) AS hid,
+            CASE WHEN hi > lo THEN FLOOR((CAST(v AS DOUBLE) - CAST(lo AS DOUBLE)) * 255.0
+              / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) + 0.5) ELSE 0 END AS code
+          FROM e JOIN r USING (i))
+        SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+          CAST(MAX(FLOOR(ABS(lod + code * (hid - lod) / 255.0 - vd) * 1000000)) AS BIGINT)
+            AS max_err_micro
+        FROM q GROUP BY vec_id ORDER BY vec_id"""),
+      "int8 scalar quantization: codes + dequant error, oracle-checked"),
+
     // F6 stored-flavor MD5 (ref main.py:156-160): the hash raw.data
     // actually persists — md5 of DEFAULT json.dumps (spaced separators).
     // The oracle rebuilds the exact byte string; a match certifies
