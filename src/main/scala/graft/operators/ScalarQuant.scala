@@ -53,4 +53,58 @@ object ScalarQuant {
         floor(abs(loI(i) + c * (hiI(i) - loI(i)) / lit(255.0)
           - element_at(col("vd"), i + 1)) * lit(1000000.0))))
   }
+
+  /** Dequantized double vector from int8 codes (code 0 lands on lo, so
+    * constant dims need no special case).
+    */
+  def dequantize(codes: Column, ranges: Array[(Double, Double)]): Column = {
+    val lo = typedLit(ranges.map(_._1))
+    val hi = typedLit(ranges.map(_._2))
+    transform(codes, (c, i) =>
+      element_at(lo, i + 1)
+        + c * (element_at(hi, i + 1) - element_at(lo, i + 1)) / lit(255.0))
+  }
+
+  /** Approximate top-k cosine search over SQ8 codes with exact re-rank
+    * (FAISS SQ8 search shape): the approximate pass scans the codes —
+    * the 4×-smaller representation a 100 TB vector corpus actually keeps
+    * hot — against the broadcast query batch, a bounded per-partition
+    * pre-prune + ranking window keeps k·refine candidates per query, and
+    * ONLY that output-sized shortlist joins back to the float vectors
+    * for exact scoring. Fully deterministic (ties break on neighbor_id),
+    * so unlike the hash-seeded ANN paths this one is oracle-checkable.
+    */
+  def sq8TopK(queries: DataFrame, candidates: DataFrame,
+      ranges: Array[(Double, Double)], k: Int, refine: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Similarity.{dot => dotp}
+    val asD = (c: Column) => c.cast(ArrayType(DoubleType))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), asD(col("embedding")).as("qv"))
+      .withColumn("qn2", dotp(col("qv"), col("qv"))))
+    val codes = quantize(candidates, ranges)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .withColumn("cv", dequantize(col("codes"), ranges))
+      .withColumn("cn2", dotp(col("cv"), col("cv")))
+      .drop("codes")
+    val scored = q.join(codes, col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos", dotp(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val shortlist = TopK.perPartitionTopN(scored, "query_id", "neighbor_id", "acos", k * refine)
+      .withColumn("rn", row_number().over(wa)).filter(col("rn") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = candidates
+      .select(col("vec_id").as("neighbor_id"), asD(col("embedding")).as("ev"))
+      .withColumn("en2", dotp(col("ev"), col("ev")))
+    val rer = shortlist
+      .join(exact, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos", dotp(col("qv"), col("ev")) / sqrt(col("qn2") * col("en2")))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    rer.withColumn("rn2", row_number().over(we)).filter(col("rn2") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
+  }
 }

@@ -440,6 +440,44 @@ object PipelineQueries {
         FROM q GROUP BY vec_id ORDER BY vec_id"""),
       "int8 scalar quantization: codes + dequant error, oracle-checked"),
 
+    // SQ8 search: approximate pass over the 4x-smaller codes, exact
+    // re-rank on the output-sized shortlist. Deterministic end to end —
+    // the ONE approximate ANN path that is hash-checked against an oracle
+    // mirroring both stages (the hash-seeded paths ann2-ann5 can't be).
+    "ann6_sq8_topk" -> Q(
+      (s, d) => {
+        import graft.operators.{Par, ScalarQuant}
+        val emb = Par.fan(Tables.embeddings(s, d))
+        val ranges = ScalarQuant.trainRanges(emb)
+        ScalarQuant.sq8TopK(emb.filter(col("vec_id") < 5), emb, ranges, k = 3, refine = 4)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS vd, i
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        r AS (SELECT i, MIN(vd) AS lod, MAX(vd) AS hid FROM e GROUP BY i),
+        deq AS (SELECT vec_id, list(
+              lod + (CASE WHEN hid > lod
+                THEN FLOOR((vd - lod) * 255.0 / (hid - lod) + 0.5) ELSE 0 END)
+                * (hid - lod) / 255.0 ORDER BY i) AS dv
+          FROM e JOIN r USING (i) GROUP BY vec_id),
+        ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_cosine_similarity(q.embedding::DOUBLE[], d.dv) AS acos
+          FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+          JOIN deq d ON d.vec_id = c.vec_id),
+        sl AS (SELECT query_id, neighbor_id FROM ap
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY acos DESC, neighbor_id) <= 12)
+        SELECT s.query_id, s.neighbor_id,
+          CAST(CAST(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+            AS DECIMAL(18,6)) AS DOUBLE) AS cos
+        FROM sl s JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings c ON c.vec_id = s.neighbor_id
+        QUALIFY row_number() OVER (PARTITION BY s.query_id
+          ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+            s.neighbor_id) <= 3
+        ORDER BY query_id, cos DESC, neighbor_id"""),
+      "SQ8 codes scan + exact re-rank top-k — deterministic, oracle-checked"),
+
     // F6 stored-flavor MD5 (ref main.py:156-160): the hash raw.data
     // actually persists — md5 of DEFAULT json.dumps (spaced separators).
     // The oracle rebuilds the exact byte string; a match certifies

@@ -36,6 +36,19 @@ class ScalarQuantSpec extends SparkTestBase {
     assert(maxErr <= bound.toLong, s"max err $maxErr above half-step bound $bound")
   }
 
+  test("sq8 topk recalls nearly all exact neighbors (1e-3 quant error vs ~0.3 gaps)") {
+    import graft.operators.Similarity
+    val df = Tables.load(spark, sfTiny, "embeddings")
+    val ranges = ScalarQuant.trainRanges(df)
+    val q = df.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, df, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = ScalarQuant.sq8TopK(q, df, ranges, k = 5, refine = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall $recall < 0.9")
+  }
+
   test("encode plan is narrow: no exchange beyond fan's split repair") {
     val df = Tables.load(spark, sfTiny, "embeddings")
     val ranges = ScalarQuant.trainRanges(df)
