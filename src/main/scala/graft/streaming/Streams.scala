@@ -78,14 +78,27 @@ object Streams {
     val raw = spark.readStream.schema(graft.schema.Layers.raw).parquet(rawDir)
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val updates = Normalize.toStaging(Normalize(batch
+        // dedupe ONCE here (same invariant as app.Main: raw permits
+        // intra-batch duplicate ids; the mart delta must not double-count)
+        val updates = StagingMerge.dedupeBatch(Normalize.toStaging(Normalize(batch
           .dropDuplicates("payload_hash")
           .select(col("id").as("raw_id"), col("sheet_row_number"),
             col("extracted_at").as("received_at"), lit("live").as("source_type"),
-            col("payload"))))
-        val merged =
-          if (store.exists("staging")) StagingMerge.merge(store.read("staging"), updates)
-          else updates
+            col("payload")))))
+        val staging0 =
+          if (store.exists("staging")) store.read("staging") else updates.limit(0)
+        val merged = StagingMerge.merge(staging0, updates)
+        // the P&L mart state rides the SAME micro-batch delta — the mart
+        // stays in lockstep with staging per batch, and the delta is
+        // applied (and materialized by the overwrite) BEFORE the staging
+        // swap invalidates staging0's files
+        val oldRows = staging0.join(updates.select(col("raw_id")), Seq("raw_id"), "left_semi")
+        val martState =
+          if (store.exists("mart_financials_state"))
+            graft.marts.IncrementalMart.applyDelta(
+              store.read("mart_financials_state"), oldRows, updates)
+          else graft.marts.IncrementalMart.initialize(merged)
+        store.overwrite("mart_financials_state", martState)
         store.overwrite("staging", merged)
       }
       .option("checkpointLocation", checkpointDir)

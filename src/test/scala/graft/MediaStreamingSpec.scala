@@ -64,6 +64,14 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(staging.count() == 2)
     assert(staging.filter($"raw_id" === "r1").head()
       .getAs[java.math.BigDecimal]("total_rub").doubleValue() == 150.0)
+    // the P&L mart state rode each micro-batch delta: present() over the
+    // state equals a full view recompute on the merged snapshot
+    val fromState = graft.marts.IncrementalMart.present(
+        store.read("mart_financials_state"))
+      .collect().map(_.toString).toSet
+    val recomputed = graft.marts.Views.financialsV(staging)
+      .drop("last_updated").collect().map(_.toString).toSet
+    assert(fromState == recomputed, "streaming mart state drifted from staging")
   }
 
   test("frame sampling slices deterministic md5-correct frames") {
