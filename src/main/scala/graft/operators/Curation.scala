@@ -112,6 +112,25 @@ object Curation {
       textCol: String = "text"): DataFrame =
     docs.where(hashBucket(col(textCol)) < ratePermille)
 
+  /** Upsampling flavor of the mix: rate > 1000 permille replicates each
+    * document floor(rate/1000) times plus one more when its hash bucket
+    * falls under the fractional remainder — so a 2600-permille source
+    * emits exactly 2.6× its docs in expectation, deterministically (the
+    * SAME docs get the extra copy on every run and every engine).
+    * `copy_idx` disambiguates replicas downstream (epoch-style training
+    * repeats). One narrow explode; output is linear in Σ rates.
+    */
+  def upsample(docs: DataFrame, ratePermille: Column,
+      textCol: String = "text"): DataFrame = {
+    val copies = floor(ratePermille.cast(LongType) / lit(1000L)).cast(LongType) +
+      when(hashBucket(col(textCol)) < pmod(ratePermille.cast(LongType), lit(1000L)), 1L)
+        .otherwise(0L)
+    docs.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Token-window chunking: split each document into fixed-size word
     * windows with overlap (stride < size), the standard pre-training
     * sequence-preparation step. One narrow explode per doc — no shuffle;

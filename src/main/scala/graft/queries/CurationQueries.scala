@@ -103,6 +103,34 @@ object CurationQueries {
         GROUP BY source ORDER BY source"""),
       "content-hash source-mix downsampling to a target distribution"),
 
+    // Upsampling flavor: odd sources emit 2.6x their docs (2 copies + a
+    // deterministic hash-chosen 60% get a third), even sources pass
+    // through. The oracle computes the closed-form copy counts; the
+    // Spark side actually EXPLODES the replicas and re-aggregates, so a
+    // match certifies the materialized output.
+    "mx2_source_upsample" -> Q(
+      (s, d) => {
+        val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast(LongType)
+        val rate = when(pmod(srcNum, lit(2L)) === 0, lit(1000L)).otherwise(lit(2600L))
+        Curation.upsample(Tables.documents(s, d), rate)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"), count_distinct(col("doc_id")).as("n_docs"),
+            max(col("copy_idx")).as("max_copy"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, doc_id,
+          CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0
+            THEN 1000 ELSE 2600 END AS rate,
+          CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1000 AS bucket
+          FROM documents),
+        n AS (SELECT source, doc_id,
+          rate // 1000 + CASE WHEN bucket < rate % 1000 THEN 1 ELSE 0 END AS copies
+          FROM c WHERE rate > 0)
+        SELECT source, CAST(SUM(copies) AS BIGINT) AS n_rows,
+          COUNT(*) AS n_docs, CAST(MAX(copies) - 1 AS BIGINT) AS max_copy
+        FROM n WHERE copies > 0 GROUP BY source ORDER BY source"""),
+      "deterministic upsampling to a >1x target mix, replicas materialized"),
+
     // Token-window chunking: 32-word windows, stride 24 — the sequence
     // preparation step before packing (t7/t8 pack whole docs; t10 splits
     // long ones). One narrow explode, no shuffle.

@@ -61,6 +61,22 @@ class CurationSpec extends SparkTestBase {
     assert(all == 400L)                        // rate 1000 keeps everything
   }
 
+  test("upsample replicates deterministically; rate 1000 is a pass-through") {
+    val d = (1L to 300L).map(i => (i, s"payload $i")).toDF("doc_id", "text")
+    val once = Curation.upsample(d, lit(1000L))
+    assert(once.count() == 300L)
+    assert(once.agg(max($"copy_idx")).head().getLong(0) == 0L)
+    val up = Curation.upsample(d, lit(2500L)).cache()
+    val n = up.count()
+    assert(n > 600 && n < 900, s"2.5x of 300 docs gave $n rows") // ~750
+    assert(up.groupBy($"doc_id").count().agg(min($"count")).head().getLong(0) >= 2L)
+    // deterministic: same replica set every run
+    assert(up.select($"doc_id", $"copy_idx").collect().toSet ==
+      Curation.upsample(d, lit(2500L)).select($"doc_id", $"copy_idx").collect().toSet)
+    // rate 0 drops everything (downsample-to-nothing edge)
+    assert(Curation.upsample(d, lit(0L)).count() == 0L)
+  }
+
   test("tokenChunks covers every word with stride windows, last chunk short") {
     val d = docs(1L -> (1 to 50).map(i => s"w$i").mkString(" "))
     val got = Curation.tokenChunks(d, chunkSize = 32, stride = 24)
