@@ -261,6 +261,36 @@ object ExtendedQueries {
         GROUP BY user_id ORDER BY user_id"""),
       "EXCEPT ALL multiset difference, occurrence-preserving"),
 
+    // Column profiling — the ANALYZE pass: nulls / exact distinct /
+    // rendered min-max for three representative columns in ONE scan
+    // (partial aggs; stack unpivots the single result row).
+    "prof1_column_profile" -> Q(
+      (s, d) => {
+        import graft.operators.Profile
+        import graft.operators.Profile.ColSpec
+        Profile.profile(graft.operators.Par.fan(Tables.lineitem(s, d)), Seq(
+            ColSpec("l_orderkey"),
+            ColSpec("l_quantity", Profile.decimalRender),
+            ColSpec("l_returnflag")))
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT 'l_orderkey' AS col_name,
+          CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+          CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+          CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+          CAST(MAX(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+          CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+          CAST(CAST(MIN(l_quantity) AS DECIMAL(20,4)) AS VARCHAR),
+          CAST(CAST(MAX(l_quantity) AS DECIMAL(20,4)) AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+          CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+          MIN(l_returnflag), MAX(l_returnflag) FROM lineitem
+        ORDER BY col_name"""),
+      "single-scan column profile: nulls, exact distinct, min/max"),
+
     // UNPIVOT: wide status columns → long form (the inverse of a9's
     // pivot); melt is a narrow projection, no shuffle beyond the agg.
     "a14_unpivot" -> Q(

@@ -104,6 +104,25 @@ class CurationSpec extends SparkTestBase {
     assert(!maskPlan.contains("Exchange"), s"masking must not shuffle:\n$maskPlan")
   }
 
+  test("profile counts nulls/distincts and renders min-max in one scan") {
+    import graft.operators.Profile
+    import graft.operators.Profile.ColSpec
+    val df = Seq(
+      (Some("a"), Some(1.5)), (None, Some(2.25)), (Some("b"), None), (Some("a"), Some(2.25)))
+      .toDF("s", "v")
+    val got = Profile.profile(df, Seq(
+        ColSpec("s"), ColSpec("v", Profile.decimalRender)))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("s") == ((1L, 2L, "a", "b")))
+    assert(got("v") == ((1L, 2L, "1.5000", "2.2500")))
+    // one scan: a single aggregate feeds the stack — no join, no union
+    val plan = Profile.profile(df, Seq(ColSpec("s"), ColSpec("v")))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union") && !plan.contains("Join"),
+      s"profile must be one pass:\n$plan")
+  }
+
   test("decontaminate broadcasts the benchmark gram side") {
     val d = Tables.documents(spark, sfTiny)
     val plan = Curation.decontaminate(
