@@ -261,6 +261,33 @@ object ExtendedQueries {
         GROUP BY user_id ORDER BY user_id"""),
       "EXCEPT ALL multiset difference, occurrence-preserving"),
 
+    // Retention cohorts — the product-analytics staple: users grouped by
+    // first-active day, counted per day offset. Two aggregations + one
+    // user-keyed join; the active set is (user, day)-distinct BEFORE the
+    // join, so the shuffle carries user-days, not raw events.
+    "a15_retention_cohorts" -> Q(
+      (s, d) => {
+        val day = date_format(timestamp_micros(expr("ts DIV 1000")), "yyyy-MM-dd")
+        val active = Tables.events(s, d)
+          .select(col("user_id"), day.as("day")).distinct()
+        val cohorts = active.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        active.join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            datediff(to_date(col("day")), to_date(col("cohort_day"))).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+        c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+        SELECT cohort_day,
+          CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE)) AS INTEGER)
+            AS day_offset,
+          COUNT(*) AS n_users
+        FROM a JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""),
+      "daily retention cohorts: first-active day x day offset"),
+
     // Column profiling — the ANALYZE pass: nulls / exact distinct /
     // rendered min-max for three representative columns in ONE scan
     // (partial aggs; stack unpivots the single result row).
