@@ -126,9 +126,16 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
   * Concurrency: the version file is created with an atomic create-new
   * (object stores: if-none-match PUT) — two racing writers can't both
   * claim version N+1; the loser retries on the next version.
+  *
+  * Manifest line format: `path` or `path\tstatsJson` — each data file may
+  * carry per-file column statistics (FileStatistics), enabling file
+  * skipping (`readWhereNum`/`readWhereStr`), metadata-only row counts
+  * (`countRows`) and giving readers of old manifests (no stats) unchanged
+  * behavior.
   */
 final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: Int = 2)
     extends TableStore {
+  import FileStatistics.FileStats
 
   private def tableDir(name: String) = Paths.get(root, name)
   private def manifestDir(name: String) = tableDir(name).resolve("_manifests")
@@ -145,12 +152,27 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
   private def version(p: java.nio.file.Path): Int =
     p.getFileName.toString.stripPrefix("v").stripSuffix(".manifest").toInt
 
-  private def currentFiles(name: String): Seq[String] = manifests(name).lastOption match {
-    case None => Seq.empty
-    case Some(m) =>
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+  private def linePath(line: String): String = line.split('\t').head
+
+  private def lineStats(line: String): Option[FileStats] =
+    line.split('\t') match {
+      case Array(_, json) => FileStatistics.fromJson(json)
+      case _              => None
+    }
+
+  private def readLines(m: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
   }
+
+  /** Current manifest's lines (path + optional stats), newest version. */
+  private def currentLines(name: String): Seq[String] = manifests(name).lastOption match {
+    case None    => Seq.empty
+    case Some(m) => readLines(m)
+  }
+
+  private def currentFiles(name: String): Seq[String] =
+    currentLines(name).map(linePath)
 
   override def exists(name: String): Boolean = manifests(name).nonEmpty
 
@@ -169,13 +191,65 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
     * manifests pin immutable data files, so any un-GC'd version
     * reconstructs exactly (bounded by keepVersions).
     */
-  def readVersion(name: String, v: Int): DataFrame = {
+  def readVersion(name: String, v: Int): DataFrame =
+    spark.read.parquet(versionFiles(name, v): _*)
+
+  private def versionFiles(name: String, v: Int): Seq[String] = {
     val m = manifests(name).find(version(_) == v)
       .getOrElse(throw new IllegalArgumentException(
         s"version $v of $name not available; have ${versions(name).mkString(",")}"))
-    import scala.jdk.CollectionConverters._
-    val files = Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
-    spark.read.parquet(files: _*)
+    readLines(m).map(linePath)
+  }
+
+  /** Append-only CDC between two committed versions: the rows added in
+    * (fromV, toV]. Data files are immutable and appends only ever add
+    * files, so the diff of the two manifests IS the change set — an
+    * incremental consumer reads exactly the new data, never the table.
+    * Rejects non-append history (overwrite/compaction rewrites files, so
+    * a file diff would misstate the changes).
+    */
+  def readChanges(name: String, fromV: Int, toV: Int): DataFrame = {
+    val from = versionFiles(name, fromV).toSet
+    val to = versionFiles(name, toV)
+    require(from.subsetOf(to.toSet),
+      s"versions $fromV..$toV of $name are not append-only (overwrite or " +
+        "compaction in between); file diff would misstate the changes")
+    val added = to.filterNot(from)
+    if (added.isEmpty) read(name).limit(0)
+    else spark.read.option("mergeSchema", "true").parquet(added: _*)
+  }
+
+  /** Metadata-only COUNT(*): sum of per-file row counts from the current
+    * manifest — no data file is opened. None when any file predates
+    * stats collection (fall back to read(name).count).
+    */
+  def countRows(name: String): Option[Long] = {
+    val stats = currentLines(name).map(lineStats)
+    if (stats.forall(_.isDefined)) Some(stats.flatten.map(_.rows).sum) else None
+  }
+
+  /** File-skipping scan for `column BETWEEN lo AND hi` (numeric flavor):
+    * open only the files whose manifest [min, max] range overlaps. The
+    * result is a SUPERSET of the matching rows (callers still apply the
+    * filter — Spark then prunes row groups via parquet footer stats); a
+    * file without stats is conservatively kept, an all-null column is
+    * safely skipped (BETWEEN never matches null). With a Hilbert-clustered
+    * layout this is the manifest-level pruning step that turns a 100 TB
+    * scan into a few files before the query even plans.
+    */
+  def readWhereNum(name: String, column: String, lo: Double, hi: Double): DataFrame =
+    readPruned(name, _.cols.get(column).forall(_.overlapsNum(lo, hi)))
+
+  /** String flavor of readWhereNum (month buckets, source keys). */
+  def readWhereStr(name: String, column: String, lo: String, hi: String): DataFrame =
+    readPruned(name, _.cols.get(column).forall(_.overlapsStr(lo, hi)))
+
+  private def readPruned(name: String, keep: FileStats => Boolean): DataFrame = {
+    val lines = currentLines(name)
+    require(lines.nonEmpty, s"no committed version of $name")
+    val kept = lines.filter(l => lineStats(l).forall(keep)).map(linePath)
+    if (kept.isEmpty) read(name).limit(0)
+    else spark.read.option("mergeSchema", "true").parquet(kept: _*)
   }
 
   override def overwrite(name: String, df: DataFrame): Unit = commit(name, df, replace = true)
@@ -190,6 +264,7 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
     val newFiles = Files.list(dataDir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(_.toString).sorted
+    val newLines = statLines(newFiles)
     val md = manifestDir(name)
     Files.createDirectories(md)
     var v = manifests(name).lastOption.map(version).getOrElse(0) + 1
@@ -198,12 +273,12 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
       // Rebase INSIDE the loop: an append that loses the version race must
       // re-list the current files at retry time, or the concurrent commit's
       // files silently vanish from the newer manifest (lost update).
-      val files = if (replace) newFiles else currentFiles(name) ++ newFiles
+      val lines = if (replace) newLines else currentLines(name) ++ newLines
       val target = md.resolve(f"v$v%08d.manifest")
       try {
         // CREATE_NEW = atomic claim of this version (if-none-match PUT on
         // an object store); a racing writer forces a retry on v+1
-        Files.write(target, files.mkString("\n").getBytes("UTF-8"),
+        Files.write(target, lines.mkString("\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         committed = true
       } catch {
@@ -211,6 +286,20 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
       }
     }
     gc(name)
+  }
+
+  /** Manifest lines for freshly written files: path + per-file stats from
+    * one distributed pass over the NEW data only (the Iceberg/Delta
+    * writer's price for manifest pruning).
+    */
+  private def statLines(newFiles: Seq[String]): Seq[String] = {
+    val stats = FileStatistics.collect(spark, newFiles)
+    newFiles.map { f =>
+      stats.get(FileStatistics.normalizePath(f)) match {
+        case Some(s) => f + "\t" + FileStatistics.toJson(s)
+        case None    => f // zero-row file: no group surfaces from the agg
+      }
+    }
   }
 
   /** Compaction: rewrite the table's current files into `targetSplits`
@@ -233,7 +322,7 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
       require(ms.nonEmpty, s"no committed version of $name to compact")
       val base = version(ms.last)
       import scala.jdk.CollectionConverters._
-      val files = Files.readAllLines(ms.last).asScala.toSeq.filter(_.nonEmpty)
+      val files = readLines(ms.last).map(linePath)
       if (files.length <= targetSplits) return // already compact
       val commitId = java.util.UUID.randomUUID().toString.take(8)
       val dataDir = tableDir(name).resolve(s"data-$commitId")
@@ -243,9 +332,10 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
       val newFiles = Files.list(dataDir).iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(_.toString).sorted
+      val newLines = statLines(newFiles)
       val target = manifestDir(name).resolve(f"v${base + 1}%08d.manifest")
       try {
-        Files.write(target, newFiles.mkString("\n").getBytes("UTF-8"),
+        Files.write(target, newLines.mkString("\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         done = true
       } catch {
@@ -268,10 +358,9 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
   private def gc(name: String): Unit = {
     val ms = manifests(name)
     if (ms.length <= keepVersions) return
-    import scala.jdk.CollectionConverters._
     val (drop, keep) = ms.splitAt(ms.length - keepVersions)
-    val live = keep.flatMap(m => Files.readAllLines(m).asScala).toSet
-    val deadDirs = drop.flatMap(m => Files.readAllLines(m).asScala)
+    val live = keep.flatMap(m => readLines(m).map(linePath)).toSet
+    val deadDirs = drop.flatMap(m => readLines(m).map(linePath))
       .filterNot(live.contains)
       .map(f => Paths.get(f).getParent).distinct
     drop.foreach(Files.delete)

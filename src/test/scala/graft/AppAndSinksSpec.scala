@@ -91,6 +91,66 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(web.size == 4)
   }
 
+  test("manifest stats: file skipping, metadata-only count, CDC version diff") {
+    import graft.etl.ManifestTableStore
+    val root = java.nio.file.Files.createTempDirectory("manifest_stats").toString
+    val store = new ManifestTableStore(spark, root, keepVersions = 10)
+    // a range-clustered table: each of the 8 files covers a tight k-range,
+    // so the manifest's per-file min/max can prune most of them
+    val df = spark.range(0, 8000).select(
+      $"id".as("k"), concat(lit("u"), format_string("%05d", $"id")).as("s"))
+      .repartitionByRange(8, $"k")
+    store.overwrite("t", df)
+    val v1 = store.versions("t").max
+
+    // metadata-only COUNT(*): no scan, exact
+    assert(store.countRows("t").contains(8000L))
+
+    // numeric pruning: a narrow k-range opens ~1 of 8 files and the
+    // pruned scan + residual filter equals the full-scan answer
+    val pruned = store.readWhereNum("t", "k", 2500, 2600)
+    assert(pruned.inputFiles.length < 8, s"expected pruning, read ${pruned.inputFiles.length} files")
+    assert(pruned.filter($"k".between(2500, 2600)).count() == 101)
+    // string pruning on the derived key works the same way
+    val prunedS = store.readWhereStr("t", "s", "u02500", "u02600")
+    assert(prunedS.inputFiles.length < 8)
+    assert(prunedS.filter($"s".between("u02500", "u02600")).count() == 101)
+    // an out-of-domain range prunes everything but keeps the schema
+    val none = store.readWhereNum("t", "k", 1e9, 2e9)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "s"))
+    // a column without stats (unknown name) keeps every file — pruning
+    // is only ever a superset
+    assert(store.readWhereNum("t", "nope", 0, 1).count() == 8000)
+
+    // CDC: the version diff of two appends is exactly the appended rows
+    store.append("t", Seq((9001L, "x")).toDF("k", "s"))
+    store.append("t", Seq((9002L, "y")).toDF("k", "s"))
+    val v3 = store.versions("t").max
+    val changes = store.readChanges("t", v1, v3)
+    assert(changes.as[(Long, String)].collect().toSet ==
+      Set((9001L, "x"), (9002L, "y")))
+    assert(store.readChanges("t", v3, v3).count() == 0)
+    assert(store.countRows("t").contains(8002L))
+    // compaction rewrites files → the diff across it must refuse
+    store.compact("t", targetSplits = 1)
+    val v4 = store.versions("t").max
+    intercept[IllegalArgumentException](store.readChanges("t", v1, v4))
+    // stats survive compaction: count stays metadata-only, pruning still on
+    assert(store.countRows("t").contains(8002L))
+
+    // backward compat: a manifest written before stats (bare paths) reads,
+    // counts (via None → caller fallback) and conservatively never prunes
+    val mDir = java.nio.file.Paths.get(root, "t", "_manifests")
+    import scala.jdk.CollectionConverters._
+    val last = java.nio.file.Files.list(mDir).iterator().asScala.toSeq
+      .maxBy(_.getFileName.toString)
+    val bare = java.nio.file.Files.readAllLines(last).asScala
+      .map(_.split('\t').head).mkString("\n")
+    java.nio.file.Files.write(last, bare.getBytes("UTF-8"))
+    assert(store.countRows("t").isEmpty)
+    assert(store.readWhereNum("t", "k", 0, 1).count() == 8002)
+  }
+
   test("manifest store: commit-last protocol, append, snapshot isolation, gc") {
     import graft.etl.ManifestTableStore
     val root = java.nio.file.Files.createTempDirectory("manifest_store").toString
