@@ -288,6 +288,107 @@ object ExtendedQueries {
         GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""),
       "daily retention cohorts: first-active day x day offset"),
 
+    // Conversion funnel over event time: users advance a stage only via an
+    // event strictly AFTER their previous stage's first hit and within a
+    // 24 h conversion window (without the window every user converts —
+    // vacuous). Three key-partitioned aggregates + two joins on user_id
+    // (co-partitioned, AQE broadcasts the shrinking stage frames) — no
+    // window function over the raw event stream, so the event table is
+    // scanned narrow and once per stage at 100 TB.
+    "a16_funnel" -> Q(
+      (s, d) => {
+        val winNs = 24L * 3600 * 1000000000L
+        val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + lit(winNs))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") > col("c_ts") && col("ts") <= col("c_ts") + lit(winNs))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        val one = (df: org.apache.spark.sql.DataFrame, step: Int, stage: String) =>
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(step).as("step"), lit(stage).as("stage"), col("users"))
+        one(v, 1, "view").unionByName(one(c, 2, "click"))
+          .unionByName(one(p, 3, "purchase")).orderBy(col("step"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS c_ts FROM events e
+            JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.v_ts
+              AND epoch_ns(e.ts) <= v.v_ts + 86400000000000
+            GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ts FROM events e
+            JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.c_ts
+              AND epoch_ns(e.ts) <= c.c_ts + 86400000000000
+            GROUP BY e.user_id)
+        SELECT 1 AS step, 'view' AS stage, COUNT(*) AS users FROM v
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+        ORDER BY step"""),
+      "view->click->purchase funnel, 24h conversion windows per stage"),
+
+    // Data-quality expectations — the reference's monitors (main.py:96-103
+    // error-rate alarm, §2.2 P10) generalized into a declarative
+    // expectation suite: PK uniqueness, FK integrity, domain ranges,
+    // derived-column consistency. Each rule is one aggregate over its
+    // table (FK = one left join against the distinct PK side); `checked`
+    // row counts make the report non-vacuous on clean data.
+    "dq1_expectations" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val doc = Tables.documents(s, d)
+        def rule(name: String, df: org.apache.spark.sql.DataFrame,
+            bad: org.apache.spark.sql.Column) =
+          df.agg(sum(when(bad, 1L).otherwise(0L)).cast("long").as("violations"),
+              count(lit(1)).as("checked"))
+            .select(lit(name).as("rule"), col("violations"), col("checked"))
+        val pk = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("violations"),
+            sum(col("c")).cast("long").as("checked"))
+          .select(lit("pk_unique_orders").as("rule"), col("violations"), col("checked"))
+        val fk = li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")).distinct(),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).cast("long")
+              .as("violations"), count(lit(1)).as("checked"))
+          .select(lit("fk_lineitem_orders").as("rule"), col("violations"), col("checked"))
+        pk.unionByName(fk)
+          .unionByName(rule("positive_order_total", o,
+            col("o_totalprice").isNull || col("o_totalprice") <= 0))
+          .unionByName(rule("range_discount", li,
+            col("l_discount") < 0 || col("l_discount") > 1))
+          .unionByName(rule("doc_len_consistent", doc,
+            col("n_chars") =!= length(col("text")).cast("long")))
+          .orderBy(col("rule"))
+      },
+      Some("""SELECT 'pk_unique_orders' AS rule,
+          CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS violations,
+          CAST(SUM(c) AS BIGINT) AS checked
+          FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)
+        UNION ALL SELECT 'fk_lineitem_orders',
+          CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(COUNT(*) AS BIGINT)
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey
+        UNION ALL SELECT 'positive_order_total',
+          CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(COUNT(*) AS BIGINT) FROM orders
+        UNION ALL SELECT 'range_discount',
+          CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(COUNT(*) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'doc_len_consistent',
+          CAST(SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(COUNT(*) AS BIGINT) FROM documents
+        ORDER BY rule"""),
+      "declarative data-quality expectations: PK/FK/range/consistency rules"),
+
     // Column profiling — the ANALYZE pass: nulls / exact distinct /
     // rendered min-max for three representative columns in ONE scan
     // (partial aggs; stack unpivots the single result row).
@@ -444,6 +545,33 @@ object ExtendedQueries {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey"""),
       "salted equi-join == plain join; hot keys scattered over 16 sub-keys"),
+
+    // Bloom-filter runtime pruning (operators/RuntimeFilter): the urgent
+    // orders' keys fold into a broadcast bitmap and the lineitem side is
+    // pruned BEFORE its shuffle — at 100 TB the fact exchange shrinks to
+    // ~the selectivity of the dim filter. False positives survive the
+    // prune but die in the join, so the oracle is the plain join.
+    "j8_bloom_prune_join" -> Q(
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val pruned = graft.operators.RuntimeFilter
+          .bloomPruneLong(li, urgent, "l_orderkey", "o_orderkey")
+        pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            decStr(dec38(sum(revenue(col("l_extendedprice"), col("l_discount"))), 8)).as("revenue"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DECIMAL(38,8)) AS VARCHAR) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      "bloom-pruned selective join == plain join; fact shuffle is result-sized"),
 
     // ───── deterministic dataset splitting (training-data curation) ─────
     // Content-hash split: the md5 hex string orders identically everywhere,

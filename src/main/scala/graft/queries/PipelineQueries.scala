@@ -409,6 +409,25 @@ object PipelineQueries {
       None,
       "k-means document clustering via the IVF quantizer (8 cells)"),
 
+    // PCA dimensionality reduction (operators/Pca): one distributed
+    // covariance pass (d²-double partial-agg buffers), driver-side Jacobi
+    // on the d×d matrix, narrow DotProduct projection. Rows-only: the
+    // eigen-decomposition is not SQL-expressible; PcaSpec proves
+    // orthonormality, variance ordering, exact full-rank reconstruction
+    // and the deterministic sign convention.
+    "emb1_pca_project" -> Q(
+      (s, d) => {
+        import graft.operators.{Par, Pca}
+        val emb = Par.fan(Tables.embeddings(s, d))
+        val model = Pca.fit(emb, "embedding", k = 4)
+        Pca.project(emb, "embedding", model)
+          .select(col("vec_id"), col("label"),
+            col("pc1"), col("pc2"), col("pc3"), col("pc4"))
+          .orderBy(col("vec_id"))
+      },
+      None,
+      "PCA top-4 projection of embeddings (pre-quantization rotation)"),
+
     // int8 scalar quantization (FAISS SQ8): per-dim min/max training
     // (dim-bounded collect, the centroid pattern) + a zero-shuffle narrow
     // encode. The oracle recomputes codes and dequantization error with

@@ -99,6 +99,14 @@ object Streams {
               store.read("mart_financials_state"), oldRows, updates)
           else graft.marts.IncrementalMart.initialize(merged)
         store.overwrite("mart_financials_state", martState)
+        // the ref-counted client dimension rides the same delta (DISTINCT
+        // is not abelian — same invariant as app.Main's batch path)
+        val clientsState =
+          if (store.exists("dim_clients_state"))
+            graft.marts.IncrementalDims.applyClientsDelta(
+              store.read("dim_clients_state"), oldRows, updates)
+          else graft.marts.IncrementalDims.initializeClients(merged)
+        store.overwrite("dim_clients_state", clientsState)
         store.overwrite("staging", merged)
       }
       .option("checkpointLocation", checkpointDir)

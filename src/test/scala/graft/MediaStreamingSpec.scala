@@ -72,6 +72,13 @@ class MediaStreamingSpec extends SparkTestBase {
     val recomputed = graft.marts.Views.financialsV(staging)
       .drop("last_updated").collect().map(_.toString).toSet
     assert(fromState == recomputed, "streaming mart state drifted from staging")
+    // the ref-counted client dimension rode the same micro-batch deltas
+    val dimFromState = graft.marts.IncrementalDims.presentClients(
+        store.read("dim_clients_state"))
+      .collect().map(_.toString).toSet
+    val dimRecomputed = graft.marts.Views.dimClientsV(staging)
+      .collect().map(_.toString).toSet
+    assert(dimFromState == dimRecomputed, "streaming dim state drifted from staging")
   }
 
   test("frame sampling slices deterministic md5-correct frames") {

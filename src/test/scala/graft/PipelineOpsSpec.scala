@@ -434,4 +434,17 @@ class PipelineOpsSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
+
+  test("bloom prune never drops a matching key and prunes most non-matches") {
+    import graft.operators.RuntimeFilter
+    val fact = spark.range(0, 20000).select($"id".as("k"))
+    val dim = spark.range(0, 20000).filter($"id" % 100 === 0).select($"id".as("dk"))
+    val pruned = RuntimeFilter.bloomPruneLong(fact, dim, "k", "dk",
+      expectedKeys = 1000L, fpp = 0.01)
+    val kept = pruned.as[Long].collect().toSet
+    // zero false negatives: every true match survives the prune
+    assert((0 until 20000 by 100).forall(k => kept.contains(k.toLong)))
+    // the prune is selective: ~1% fpp on the 99% non-matching side
+    assert(kept.size < 200 + 20000 / 20, s"bloom kept ${kept.size} of 20000")
+  }
 }
