@@ -256,6 +256,31 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
 
   override def append(name: String, df: DataFrame): Unit = commit(name, df, replace = false)
 
+  /** Hilbert-clustered overwrite: every committed file covers a tight
+    * (a, b) rectangle, so the manifest's per-file min/max prunes range
+    * predicates on EITHER key — layout and statistics are two halves of
+    * the same 100 TB design (cluster so the stats are tight, keep stats
+    * so the clustering pays at plan time).
+    */
+  def overwriteClustered(name: String, df: DataFrame,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): Unit =
+    overwrite(name, graft.operators.Layout.hilbertBy(df, a, b))
+
+  /** Metadata-only MIN/MAX of a numeric column from the current manifest
+    * (None when a file predates stats or never saw the column). The max
+    * is exact up to the 1-ulp widening the stats apply for pruning
+    * safety — fine for planning, not for an oracle-checked answer.
+    */
+  def minMaxOf(name: String, column: String): Option[(Double, Double)] = {
+    val stats = currentLines(name).map(lineStats)
+    if (!stats.forall(_.isDefined)) return None
+    val cs = stats.flatten.map(_.cols.get(column))
+    if (!cs.forall(_.isDefined)) return None
+    val bounds = cs.flatten.flatMap(c => c.minN.zip(c.maxN))
+    if (bounds.isEmpty) None
+    else Some((bounds.map(_._1).min, bounds.map(_._2).max))
+  }
+
   private def commit(name: String, df: DataFrame, replace: Boolean): Unit = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = tableDir(name).resolve(s"data-$commitId")

@@ -122,6 +122,24 @@ class AppAndSinksSpec extends SparkTestBase {
     // is only ever a superset
     assert(store.readWhereNum("t", "nope", 0, 1).count() == 8000)
 
+    // metadata-only min/max from the same stats
+    assert(store.minMaxOf("t", "k").exists { case (lo, hi) =>
+      lo <= 0.0 && lo > -1 && hi >= 7999.0 && hi < 8000.5 })
+    assert(store.minMaxOf("t", "nope").isEmpty)
+
+    // Hilbert-clustered commit: files cover tight rectangles in BOTH keys,
+    // so manifest stats prune range predicates on either one
+    val grid = spark.range(0, 1 << 12).select(
+      ($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    store.overwriteClustered("g", grid, $"x", $"y")
+    val nFiles = store.read("g").inputFiles.length
+    val px = store.readWhereNum("g", "x", 0, 3)
+    val py = store.readWhereNum("g", "y", 60, 63)
+    assert(px.inputFiles.length < nFiles && py.inputFiles.length < nFiles,
+      s"hilbert+stats pruned neither key: $nFiles -> ${px.inputFiles.length}/${py.inputFiles.length}")
+    assert(px.filter($"x" <= 3).count() == 4 * 64)
+    assert(py.filter($"y" >= 60).count() == 4 * 64)
+
     // CDC: the version diff of two appends is exactly the appended rows
     store.append("t", Seq((9001L, "x")).toDF("k", "s"))
     store.append("t", Seq((9002L, "y")).toDF("k", "s"))
