@@ -546,6 +546,38 @@ object ExtendedQueries {
         GROUP BY s_nationkey ORDER BY s_nationkey"""),
       "salted equi-join == plain join; hot keys scattered over 16 sub-keys"),
 
+    // The stream-stream interval join's BATCH twin on real events — the
+    // SAME Streams.attributionJoin code path (watermarks are no-ops in
+    // batch), so the oracle-checked result here pins the join predicate
+    // the streaming tests exercise with MemoryStream. Timestamps compare
+    // at µs on both engines (Spark TimestampType is µs; the oracle
+    // truncates epoch_ns the same way) so window boundaries can't flip.
+    "st5_attribution_join" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            timestamp_micros(expr("ts DIV 1000")).as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            timestamp_micros(expr("ts DIV 1000")).as("purchase_ts"))
+        graft.streaming.Streams.attributionJoin(clicks, purchases)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("purchase_id")).as("n_purchases"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT c.user_id, COUNT(*) AS n_pairs,
+          COUNT(DISTINCT p.event_id) AS n_purchases
+        FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS cts
+            FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS pts
+            FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+          AND p.pts >= c.cts AND p.pts <= c.cts + 1800000000
+        GROUP BY c.user_id ORDER BY c.user_id"""),
+      "30-min purchase-to-click attribution: batch twin of the streaming interval join"),
+
     // Bloom-filter runtime pruning (operators/RuntimeFilter): the urgent
     // orders' keys fold into a broadcast bitmap and the lineitem side is
     // pruned BEFORE its shuffle — at 100 TB the fact exchange shrinks to

@@ -409,6 +409,30 @@ object PipelineQueries {
       None,
       "k-means document clustering via the IVF quantizer (8 cells)"),
 
+    // Heavy hitters via Misra–Gries (operators/HeavyHitters): the top-k
+    // path whose shuffle is capacity-bounded, not vocabulary-bounded —
+    // t5's groupBy(token) at 100 TB moves every distinct URL/n-gram/id
+    // through the exchange; the sketch pass moves 64-entry buffers. The
+    // synthetic corpus is uniform (931 bigrams, max/10th = 48/44 — no
+    // natural skew), so the key domain is CONSTRUCTED scale-invariantly:
+    // even doc_ids contribute their lang (5 heavy keys, ~n/10 each), odd
+    // ones a per-doc singleton (~n/2 tail keys). The 5 heavy keys clear
+    // the N/(capacity+1) survival bound at every SF, so sketch+recount
+    // returns the EXACT top-5 — hash-checked (the sq1/ann6 pattern).
+    "t11_heavy_hitters" -> Q(
+      (s, d) => {
+        val toks = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(when(col("doc_id") % 2 === 0, col("lang"))
+            .otherwise(concat(lit("u"), col("doc_id"))).as("token"))
+        graft.operators.HeavyHitters.topK(toks, "token", k = 5, capacity = 64)
+      },
+      Some("""SELECT token, COUNT(*) AS n FROM (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN lang
+            ELSE 'u' || CAST(doc_id AS VARCHAR) END AS token
+          FROM documents) t
+        GROUP BY token ORDER BY n DESC, token LIMIT 5"""),
+      "Misra-Gries heavy hitters + exact recount == exact top-5"),
+
     // PCA dimensionality reduction (operators/Pca): one distributed
     // covariance pass (d²-double partial-agg buffers), driver-side Jacobi
     // on the d×d matrix, narrow DotProduct projection. Rows-only: the

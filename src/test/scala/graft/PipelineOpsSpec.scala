@@ -435,6 +435,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
 
+  test("misra-gries heavy hitters: sketch+recount equals exact top-k across partitions") {
+    import graft.operators.HeavyHitters
+    // skewed stream: 2 hot tokens + a long singleton tail, spread over
+    // 7 partitions so partial buffers actually merge
+    val rows = Seq.fill(3000)("hot1") ++ Seq.fill(2000)("hot2") ++
+      (0 until 5000).map(i => s"tail$i")
+    val df = rows.toDF("token").repartition(7)
+    val got = HeavyHitters.topK(df, "token", k = 2, capacity = 16)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hot1", 3000L), ("hot2", 2000L)))
+    // guarantee margin: hot2's 2000 > N/(capacity+1) = 10000/17
+    assert(2000 > 10000 / 17)
+  }
+
   test("bloom prune never drops a matching key and prunes most non-matches") {
     import graft.operators.RuntimeFilter
     val fact = spark.range(0, 20000).select($"id".as("k"))
