@@ -333,6 +333,61 @@ object ExtendedQueries {
         ORDER BY step"""),
       "view->click->purchase funnel, 24h conversion windows per stage"),
 
+    // Equi-width histogram: one hash agg over the bucket id; the double
+    // division + floor sequence is identical on both engines, so bucket
+    // boundaries can't flip.
+    "a17_histogram" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY 1 ORDER BY bucket"""),
+      "equi-width histogram of order totals"),
+
+    // Pearson correlation computed the distributed-safe way: the five
+    // sufficient statistics are EXACT decimal sums (associative — any
+    // partition order gives the same bits, unlike a naive double corr()
+    // whose accumulation order varies with partitioning), then one
+    // identical double op sequence on both engines maps them to r.
+    // Product sums are cast to DECIMAL(38,6) so every sum's unscaled
+    // value stays below 2^53 (the NOTES decimal→double conversion bound).
+    "a18_corr" -> Q(
+      (s, d) => {
+        val x = dec(col("l_quantity"), 10, 4)
+        val y = dec(col("l_discount"), 10, 4)
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            dec38(sum(dec38(x * y, 6)), 6).as("sxy"),
+            dec38(sum(x), 4).as("sx"), dec38(sum(y), 4).as("sy"),
+            dec38(sum(dec38(x * x, 6)), 6).as("sxx"),
+            dec38(sum(dec38(y * y, 6)), 6).as("syy"))
+          .select(col("l_returnflag"), col("n_rows"), {
+            val n = col("n_rows").cast("double")
+            val sxy = col("sxy").cast("double"); val sx = col("sx").cast("double")
+            val sy = col("sy").cast("double"); val sxx = col("sxx").cast("double")
+            val syy = col("syy").cast("double")
+            ((n * sxy - sx * sy) /
+              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("r")
+          })
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH s AS (SELECT l_returnflag, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(10,4)) * CAST(l_discount AS DECIMAL(10,4)) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sxy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(10,4))) AS DECIMAL(38,4)) AS sx,
+          CAST(SUM(CAST(l_discount AS DECIMAL(10,4))) AS DECIMAL(38,4)) AS sy,
+          CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(10,4)) * CAST(l_quantity AS DECIMAL(10,4)) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sxx,
+          CAST(SUM(CAST(CAST(l_discount AS DECIMAL(10,4)) * CAST(l_discount AS DECIMAL(10,4)) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n_rows,
+          (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (SQRT(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+           SQRT(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        FROM s ORDER BY l_returnflag"""),
+      "correlation from exact decimal sufficient statistics (order-independent)"),
+
     // Data-quality expectations — the reference's monitors (main.py:96-103
     // error-rate alarm, §2.2 P10) generalized into a declarative
     // expectation suite: PK uniqueness, FK integrity, domain ranges,
