@@ -143,5 +143,45 @@ object CurationQueries {
           w[CAST(i AS INTEGER)] AS first_token
         FROM toks, UNNEST(range(1, len(w) + 1, 24)) AS t(i)
         ORDER BY doc_id, chunk_start"""),
-      "overlapping token-window chunking (size 32, stride 24)"))
+      "overlapping token-window chunking (size 32, stride 24)"),
+
+    // Source-mix drift monitor: per-source L1 distance (in permille)
+    // between its language distribution and the corpus's — the alarm that
+    // catches a crawler/source going off-mix before it pollutes the blend
+    // (mx1/mx2 set the mix; dq2 watches it). All arithmetic is integer
+    // floor-division permille → exact on both engines. Two grouped counts
+    // + a broadcast grid join; the heavy scan is the (source, lang) count,
+    // everything after is KB-scale.
+    "dq2_mix_drift" -> Q(
+      (s, d) => {
+        val sl = Tables.documents(s, d)
+          .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c_sl"))
+        val bySource = sl.groupBy(col("source")).agg(sum(col("c_sl")).as("n_s"))
+        val byLang = sl.groupBy(col("lang")).agg(sum(col("c_sl")).as("c_l"))
+        val total = sl.agg(sum(col("c_sl")).as("n"))
+        val globalP = byLang.crossJoin(broadcast(total))
+          .select(col("lang"), expr("c_l * 1000 DIV n").as("p_l"))
+        bySource.crossJoin(broadcast(globalP))
+          .join(sl, Seq("source", "lang"), "left")
+          .select(col("source"),
+            abs(expr("coalesce(c_sl, 0L) * 1000 DIV n_s") - col("p_l")).as("dev"))
+          .groupBy(col("source"))
+          .agg(sum(col("dev")).cast("long").as("drift_permille"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sl AS (SELECT source, lang, COUNT(*) AS c_sl
+            FROM documents GROUP BY 1, 2),
+          bs AS (SELECT source, SUM(c_sl) AS n_s FROM sl GROUP BY 1),
+          bl AS (SELECT lang, SUM(c_sl) AS c_l FROM sl GROUP BY 1),
+          tot AS (SELECT SUM(c_sl) AS n FROM sl),
+          gp AS (SELECT lang, (c_l * 1000) // n AS p_l FROM bl, tot),
+          grid AS (SELECT bs.source, bs.n_s, gp.lang, gp.p_l
+            FROM bs CROSS JOIN gp),
+          q AS (SELECT g.source,
+              ABS((COALESCE(sl.c_sl, 0) * 1000) // g.n_s - g.p_l) AS dev
+            FROM grid g LEFT JOIN sl
+              ON sl.source = g.source AND sl.lang = g.lang)
+        SELECT source, CAST(SUM(dev) AS BIGINT) AS drift_permille
+        FROM q GROUP BY source ORDER BY source"""),
+      "per-source language-mix drift vs corpus, exact integer permille"))
 }
