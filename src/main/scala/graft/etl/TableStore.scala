@@ -327,6 +327,50 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
     }
   }
 
+  /** Copy-on-write range delete: remove rows with `column` in [lo, hi],
+    * rewriting ONLY the files whose manifest stats overlap the range —
+    * untouched files carry over into the new manifest BY REFERENCE. With
+    * a Hilbert-clustered layout a targeted delete (the GDPR case)
+    * rewrites a handful of files out of a 100 TB table; the snapshot the
+    * deleted rows lived in stays readable until gc (keepVersions is the
+    * retention knob). Same optimistic concurrency as compact: losing the
+    * version race discards the rewrite and restarts from the fresh
+    * listing (a rebase could resurrect rows a concurrent commit deleted).
+    */
+  def deleteWhereNum(name: String, column: String, lo: Double, hi: Double): Unit = {
+    import org.apache.spark.sql.functions.col
+    var done = false
+    while (!done) {
+      val ms = manifests(name)
+      require(ms.nonEmpty, s"no committed version of $name to delete from")
+      val base = version(ms.last)
+      val (touched, untouched) = readLines(ms.last).partition(l =>
+        lineStats(l).forall(_.cols.get(column).forall(_.overlapsNum(lo, hi))))
+      if (touched.isEmpty) return // stats prove nothing matches
+      val survivors = spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(linePath): _*)
+        .filter(!col(column).between(lo, hi))
+      val commitId = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = tableDir(name).resolve(s"data-$commitId")
+      survivors.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+      import scala.jdk.CollectionConverters._
+      val newFiles = Files.list(dataDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).sorted
+      val lines = untouched ++ statLines(newFiles)
+      val target = manifestDir(name).resolve(f"v${base + 1}%08d.manifest")
+      try {
+        Files.write(target, lines.mkString("\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursive(dataDir)
+      }
+    }
+    gc(name)
+  }
+
   /** Compaction: rewrite the table's current files into `targetSplits`
     * larger ones and commit the result as a NEW version. The daily append
     * cadence otherwise accumulates small files without bound (the

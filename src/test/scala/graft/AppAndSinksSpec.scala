@@ -169,6 +169,38 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(store.readWhereNum("t", "k", 0, 1).count() == 8002)
   }
 
+  test("manifest store: copy-on-write delete rewrites only overlapping files") {
+    import graft.etl.ManifestTableStore
+    val root = java.nio.file.Files.createTempDirectory("manifest_del").toString
+    val store = new ManifestTableStore(spark, root, keepVersions = 10)
+    // 8 range-clustered files over k ∈ [0, 8000)
+    val df = spark.range(0, 8000).select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartitionByRange(8, $"k")
+    store.overwrite("t", df)
+    val vBefore = store.versions("t").max
+    val filesBefore = store.read("t").inputFiles.toSet
+
+    store.deleteWhereNum("t", "k", 2500, 2599)
+
+    val after = store.read("t")
+    assert(after.count() == 7900)
+    assert(after.filter($"k".between(2500, 2599)).count() == 0)
+    // untouched files carried over BY REFERENCE (file-level pruning):
+    // most of the 8 original files survive into the new manifest
+    val filesAfter = after.inputFiles.toSet
+    assert((filesBefore intersect filesAfter).size >= 6,
+      s"delete rewrote too many files: kept ${(filesBefore intersect filesAfter).size}")
+    assert(filesAfter != filesBefore)
+    // snapshot isolation: the pre-delete version still has the rows
+    assert(store.readVersion("t", vBefore).count() == 8000)
+    // metadata count tracks the delete (stats regenerated for new files)
+    assert(store.countRows("t").contains(7900L))
+    // a provably-disjoint range is a metadata-only no-op
+    val vNow = store.versions("t").max
+    store.deleteWhereNum("t", "k", 1e9, 2e9)
+    assert(store.versions("t").max == vNow)
+  }
+
   test("manifest store: commit-last protocol, append, snapshot isolation, gc") {
     import graft.etl.ManifestTableStore
     val root = java.nio.file.Files.createTempDirectory("manifest_store").toString
