@@ -333,6 +333,35 @@ object ExtendedQueries {
         ORDER BY step"""),
       "view->click->purchase funnel, 24h conversion windows per stage"),
 
+    // TPC-H Q18 shape (large-volume customers): aggregate the fact FIRST,
+    // filter on the aggregate, then join the (now tiny) qualifying set to
+    // orders/customer — the aggregate-then-join order is the whole scale
+    // story (joining first would carry every lineitem through two joins
+    // before the HAVING could drop 97% of groups). TakeOrderedAndProject
+    // caps the result; customer broadcasts.
+    "q18_large_orders" -> Q(
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"), 10, 4)).as("qty"))
+          .filter(col("qty") > 200)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            dbl(col("qty")).as("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey")).limit(20)
+      },
+      Some("""SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+          CAST(qty AS DOUBLE) AS total_qty
+        FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(10,4))) AS DECIMAL(38,4)) AS qty
+            FROM lineitem GROUP BY 1) b
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE qty > 200
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20"""),
+      "TPC-H Q18-shaped aggregate-then-join: HAVING prunes before the joins"),
+
     // Equi-width histogram: one hash agg over the bucket id; the double
     // division + floor sequence is identical on both engines, so bucket
     // boundaries can't flip.
