@@ -80,6 +80,49 @@ object PipelineQueries {
         GROUP BY u ORDER BY doc_id"""),
       "near-dup clusters: connected components of the pair graph, min-id canonical"),
 
+    // The reference's W1 priority dedup (DISTINCT ON ... ORDER BY origin)
+    // generalized to NEAR-dup clusters: within each connected component
+    // keep the doc from the lexicographically-first source (doc_id
+    // tiebreak), unclustered docs are their own cluster. The window
+    // partitions by cluster — component-sized, never corpus-sized.
+    "d9_priority_keep" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = TextDedup.connectedComponents(
+          TextDedup.jaccardPairs(docs, n = 3, minJaccard = 0.8))
+        val labeled = docs.select(col("doc_id"), col("source"))
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("source"), col("doc_id"))
+        labeled.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+        lab AS (SELECT d.doc_id, d.source,
+            COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        keep AS (SELECT doc_id, source, ROW_NUMBER() OVER
+            (PARTITION BY cluster_id ORDER BY source, doc_id) AS rk
+          FROM lab)
+        SELECT source, COUNT(*) AS n_kept FROM keep WHERE rk = 1
+        GROUP BY source ORDER BY source"""),
+      "W1 priority dedup generalized to near-dup clusters: preferred source wins"),
+
     // The dedup DECISION applied: drop every cluster member except its
     // canonical (minimum-id) doc, keep everything unclustered — the
     // filter step a curation pipeline actually ships. One anti-join

@@ -137,4 +137,35 @@ class PlanSpec extends SparkTestBase {
     val p = planOf(graft.etl.Normalize(raw))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("j8: the bloom probe filters the fact side BELOW the join") {
+    val p = planOf(q("j8_bloom_prune_join"))
+    // the UDF probe must sit in a Filter under the join, not above it —
+    // above, the shuffle/broadcast would carry the unpruned fact side
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("UDF(l_orderkey")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not below the join (join@$joinIdx probe@$probeIdx):\n$p")
+  }
+
+  test("q18: the HAVING aggregate runs below the joins, customer broadcasts") {
+    val p = planOf(q("q18_large_orders"))
+    // lineitem aggregates before any join touches it: the first
+    // HashAggregate appears deeper in the plan than the last join
+    val lastJoin = p.lastIndexOf("Join")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg > lastJoin, s"aggregate not below joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("st5: the interval join is an equi-join on user_id, never nested-loop") {
+    val p = planOf(q("st5_attribution_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("a18: sufficient statistics aggregate partially before the exchange") {
+    val p = planOf(q("a18_corr"))
+    assert(p.split("HashAggregate").length >= 3, p)
+  }
 }
