@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Per-entity temporal smoothing — the monitoring transform a pipeline
+  * runs over its own quality/volume signals (dq1/dq2 produce the points;
+  * EMA turns them into a trend an alarm can threshold without paging on
+  * single-batch noise).
+  *
+  * Scale shape: EMA is inherently sequential IN TIME but independent
+  * ACROSS keys, so the implementation is groupByKey + one in-memory walk
+  * per entity — ONE shuffle by key, each group sorted locally (the
+  * sessionize/fMGWS shape; a key's history fits, the key count is the
+  * scale dimension). No unpartitioned window anywhere.
+  *
+  * Not oracle-checkable: the recurrence's accumulation order is the
+  * definition, and SQL window reformulations (pow-weighted sums) compute
+  * DIFFERENT float sequences — TemporalSpec asserts the recurrence
+  * against a hand-walked reference instead (rows-only in the gate).
+  */
+object Temporal {
+
+  final case class Point(key: Long, ts: Long, value: Double)
+  final case class Smoothed(key: Long, ts: Long, value: Double, ema: Double)
+
+  /** ema_i = α·v_i + (1−α)·ema_{i−1}, seeded with the first value; ties
+    * on ts break by value then insertion-independent fields so the walk
+    * is deterministic under any partitioning.
+    */
+  def ema(points: Dataset[Point], alpha: Double): Dataset[Smoothed] = {
+    import points.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    points.groupByKey(_.key).flatMapGroups { (k, it) =>
+      val sorted = it.toArray.sortBy(p => (p.ts, p.value))
+      var e = Double.NaN
+      sorted.iterator.map { p =>
+        e = if (e.isNaN) p.value else alpha * p.value + (1 - alpha) * e
+        Smoothed(k, p.ts, p.value, e)
+      }
+    }
+  }
+}

@@ -333,6 +333,28 @@ object ExtendedQueries {
         ORDER BY step"""),
       "view->click->purchase funnel, 24h conversion windows per stage"),
 
+    // Per-user EMA over event values (operators/Temporal): sequential in
+    // time per key, parallel across keys — one shuffle, local walks.
+    // Rows-only: the recurrence IS the accumulation order (see Temporal
+    // scaladoc); TemporalSpec pins the numbers.
+    "w6_ema" -> Q(
+      (s, d) => {
+        import graft.operators.Temporal
+        val ss = s
+        import ss.implicits._
+        val pts = Tables.events(s, d)
+          .select(col("user_id").as("key"), col("ts"), col("value"))
+          .as[Temporal.Point]
+        Temporal.ema(pts, alpha = 0.2).toDF()
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(when(abs(col("ema") - col("value")) > lit(0.0), 1L)
+              .otherwise(0L)).cast("long").as("n_smoothed"))
+          .orderBy(col("user_id"))
+      },
+      None,
+      "per-user EMA smoothing of event values (alpha=0.2)"),
+
     // TPC-H Q18 shape (large-volume customers): aggregate the fact FIRST,
     // filter on the aggregate, then join the (now tiny) qualifying set to
     // orders/customer — the aggregate-then-join order is the whole scale
