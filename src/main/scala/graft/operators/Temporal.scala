@@ -39,4 +39,31 @@ object Temporal {
       }
     }
   }
+
+  final case class EmaState(ema: Double, lastTs: Long)
+
+  /** Streaming twin of `ema`: flatMapGroupsWithState carries each key's
+    * (ema, lastTs) across micro-batches, so the recurrence continues
+    * exactly where the previous batch left off — on in-order-per-key
+    * delivery the emitted values are bit-identical to the batch walk
+    * over the concatenated input (TemporalSpec proves it). State is two
+    * numbers per key, the minimal monitoring footprint.
+    */
+  def emaStream(points: Dataset[Point], alpha: Double): Dataset[Smoothed] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    points.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (k: Long, it: Iterator[Point], state: GroupState[EmaState]) => {
+        val sorted = it.toArray.sortBy(p => (p.ts, p.value))
+        var e = state.getOption.map(_.ema).getOrElse(Double.NaN)
+        val out = sorted.map { p =>
+          e = if (e.isNaN) p.value else alpha * p.value + (1 - alpha) * e
+          Smoothed(k, p.ts, p.value, e)
+        }
+        if (out.nonEmpty) state.update(EmaState(e, sorted.last.ts))
+        out.iterator
+      })
+  }
 }

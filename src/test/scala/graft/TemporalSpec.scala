@@ -38,4 +38,23 @@ class TemporalSpec extends SparkTestBase {
     val ident = Temporal.ema(pts, alpha = 1.0).collect()
     assert(ident.forall(p => p.ema == p.value))
   }
+
+  test("streaming ema continues per-key state across micro-batches, equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(Point(1L, 10L, 4.0), Point(2L, 10L, 10.0))
+    val b2 = Seq(Point(1L, 20L, 8.0), Point(1L, 30L, 2.0), Point(2L, 40L, 20.0))
+
+    val src = MemoryStream[Point]
+    val q = Temporal.emaStream(src.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema_stream")
+      .outputMode("append").start()
+    src.addData(b1: _*); q.processAllAvailable()
+    src.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ema_stream").as[Smoothed].collect().toSet
+    val batch = Temporal.ema((b1 ++ b2).toDS(), alpha = 0.5).collect().toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
 }
