@@ -24,6 +24,7 @@ object Main {
       case "run" :: root :: rest => runElt(spark, root, opt(rest, "--source"), rest.contains("--test"))
       case "load" :: root :: csv :: rest => load(spark, root, csv, opt(rest, "--source").getOrElse("csv"))
       case "check" :: root :: Nil => check(spark, root)
+      case "analyze" :: root :: Nil => analyze(spark, root)
       case other => sys.error(s"usage: run|load|check <layerRoot> ... (got $other)")
     } finally spark.stop()
   }
@@ -187,5 +188,52 @@ object Main {
       val n = if (store.exists(t)) store.read(t).count() else -1L
       println(s"[graft] $t: ${if (n < 0) "absent" else s"$n rows"}")
     }
+  }
+
+  /** ANALYZE pass over the staging layer: single-scan column profile
+    * (operators/Profile) + the reference's quality monitors as declarative
+    * expectations — the reports dq1/dq2 register as gate queries, wired
+    * into the product CLI. Returns the expectation-violation total so the
+    * caller (or a cron wrapper) can alarm on non-zero, mirroring the
+    * reference's 10%-error-rate warning (main.py:96-103).
+    */
+  def analyze(spark: SparkSession, root: String): Long = {
+    import graft.operators.Profile
+    import graft.operators.Profile.ColSpec
+    val store = new ParquetTableStore(spark, root)
+    require(store.exists("staging"), s"no staging layer under $root — run `run` first")
+    val staging = store.read("staging")
+
+    val prof = Profile.profile(staging, Seq(
+      ColSpec("raw_id"), ColSpec("type"), ColSpec("client"),
+      ColSpec("total_rub", Profile.decimalRender), ColSpec("date")))
+    prof.collect().foreach { r =>
+      println(s"[graft] profile ${r.getAs[String]("col_name")}: " +
+        s"nulls=${r.getAs[Long]("n_nulls")} distinct=${r.getAs[Long]("n_distinct")} " +
+        s"min=${r.getAs[String]("min_s")} max=${r.getAs[String]("max_s")}")
+    }
+
+    // expectations over the layer contract: PK unique, hash present,
+    // financial rows carry a total (P10), dates above the garbage floor
+    val typeIsFin = col("type").isin("Доход", "Расход", "Income", "Expense")
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "null_payload_hash" -> col("payload_hash").isNull,
+      "fin_missing_total" -> (typeIsFin && col("total_rub").isNull),
+      "date_below_floor" -> (coalesce(col("payment_date"), col("date")) <
+        lit("2005-01-01").cast("timestamp")))
+    val aggs = rules.map { case (n, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).cast("long").as(n)
+    } :+ count(lit(1)).cast("long").as("checked") :+
+      (count(lit(1)) - count_distinct(col("raw_id"))).cast("long").as("dup_raw_id")
+    val row = staging.agg(aggs.head, aggs.tail: _*).head()
+    val names = rules.map(_._1) :+ "dup_raw_id"
+    var violations = 0L
+    names.foreach { n =>
+      val v = row.getAs[Long](n)
+      violations += v
+      println(s"[graft] expectation $n: $v violations / ${row.getAs[Long]("checked")} rows")
+    }
+    println(s"[graft] analyze complete: $violations total violations")
+    violations
   }
 }

@@ -26,6 +26,8 @@ class AppAndSinksSpec extends SparkTestBase {
     graft.app.Main.load(spark, root, csvDir, "sheet_test")
     graft.app.Main.runElt(spark, root, None, test = false)
     graft.app.Main.check(spark, root)
+    // ANALYZE pass: clean fixture → zero expectation violations
+    assert(graft.app.Main.analyze(spark, root) == 0L)
 
     val staging = spark.read.parquet(s"$root/staging")
     assert(staging.count() == 2)
