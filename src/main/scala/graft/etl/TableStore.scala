@@ -337,19 +337,27 @@ final class ManifestTableStore(spark: SparkSession, root: String, keepVersions: 
     * version race discards the rewrite and restarts from the fresh
     * listing (a rebase could resurrect rows a concurrent commit deleted).
     */
-  def deleteWhereNum(name: String, column: String, lo: Double, hi: Double): Unit = {
-    import org.apache.spark.sql.functions.col
+  def deleteWhereNum(name: String, column: String, lo: Double, hi: Double): Unit =
+    deleteWhere(name, column, _.overlapsNum(lo, hi), lo, hi)
+
+  /** String flavor of deleteWhereNum (month buckets, source keys). */
+  def deleteWhereStr(name: String, column: String, lo: String, hi: String): Unit =
+    deleteWhere(name, column, _.overlapsStr(lo, hi), lo, hi)
+
+  private def deleteWhere(name: String, column: String,
+      overlaps: FileStatistics.ColStat => Boolean, lo: Any, hi: Any): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
     var done = false
     while (!done) {
       val ms = manifests(name)
       require(ms.nonEmpty, s"no committed version of $name to delete from")
       val base = version(ms.last)
       val (touched, untouched) = readLines(ms.last).partition(l =>
-        lineStats(l).forall(_.cols.get(column).forall(_.overlapsNum(lo, hi))))
+        lineStats(l).forall(_.cols.get(column).forall(overlaps)))
       if (touched.isEmpty) return // stats prove nothing matches
       val survivors = spark.read.option("mergeSchema", "true")
         .parquet(touched.map(linePath): _*)
-        .filter(!col(column).between(lo, hi))
+        .filter(!col(column).between(lit(lo), lit(hi)))
       val commitId = java.util.UUID.randomUUID().toString.take(8)
       val dataDir = tableDir(name).resolve(s"data-$commitId")
       survivors.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)

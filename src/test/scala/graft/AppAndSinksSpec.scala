@@ -176,7 +176,8 @@ class AppAndSinksSpec extends SparkTestBase {
     val root = java.nio.file.Files.createTempDirectory("manifest_del").toString
     val store = new ManifestTableStore(spark, root, keepVersions = 10)
     // 8 range-clustered files over k ∈ [0, 8000)
-    val df = spark.range(0, 8000).select($"id".as("k"), ($"id" * 2).as("v"))
+    val df = spark.range(0, 8000).select($"id".as("k"),
+      concat(lit("u"), format_string("%05d", $"id")).as("s"))
       .repartitionByRange(8, $"k")
     store.overwrite("t", df)
     val vBefore = store.versions("t").max
@@ -201,6 +202,11 @@ class AppAndSinksSpec extends SparkTestBase {
     val vNow = store.versions("t").max
     store.deleteWhereNum("t", "k", 1e9, 2e9)
     assert(store.versions("t").max == vNow)
+    // string flavor prunes + deletes the same way
+    store.deleteWhereStr("t", "s", "u07990", "u07999")
+    val afterS = store.read("t")
+    assert(afterS.count() == 7890)
+    assert(afterS.filter($"s" >= "u07990").count() == 0)
   }
 
   test("manifest store: commit-last protocol, append, snapshot isolation, gc") {
