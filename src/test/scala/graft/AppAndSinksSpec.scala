@@ -171,6 +171,26 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(store.readWhereNum("t", "k", 0, 1).count() == 8002)
   }
 
+  test("manifest stats: all-null columns prune (BETWEEN never matches null), mixed nulls don't over-prune") {
+    import graft.etl.ManifestTableStore
+    val root = java.nio.file.Files.createTempDirectory("manifest_nulls").toString
+    val store = new ManifestTableStore(spark, root, keepVersions = 5)
+    // file A: x entirely null; file B: x has nulls AND values in [10, 20]
+    store.overwrite("t", spark.range(0, 100)
+      .select($"id".as("k"), lit(null).cast("long").as("x")).coalesce(1))
+    store.append("t", spark.range(0, 100)
+      .select($"id".as("k"),
+        when($"id" % 2 === 0, ($"id" % 11) + 10).as("x")).coalesce(1))
+    assert(store.read("t").inputFiles.length == 2)
+    // the all-null file is skipped, the mixed file kept: result exact
+    val pruned = store.readWhereNum("t", "x", 10, 20)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.filter($"x".between(10, 20)).count() ==
+      store.read("t").filter($"x".between(10, 20)).count())
+    // null counts surface in the stats rows (both files accounted)
+    assert(store.countRows("t").contains(200L))
+  }
+
   test("manifest store: copy-on-write delete rewrites only overlapping files") {
     import graft.etl.ManifestTableStore
     val root = java.nio.file.Files.createTempDirectory("manifest_del").toString

@@ -80,6 +80,23 @@ class PcaSpec extends SparkTestBase {
     assert(m2 < m1, s"k=2 mse $m2 not below k=1 $m1")
   }
 
+  test("pca handles zero-variance dimensions: no NaN, constant dim carries no component") {
+    // dim 2 is constant → its variance is 0; the fit must stay finite and
+    // put ~no weight on it in the leading components
+    val rows = (0 until 100).map { i =>
+      val t = (i % 19) - 9.0
+      (i.toLong, Seq(t, 2 * t + math.cos(i * 1.1) * 0.01, 7.0))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val m = Pca.fit(df, "v", k = 3)
+    assert(m.eigenvalues.forall(v => !v.isNaN && v > -1e-9))
+    assert(m.components.flatten.forall(x => !x.isNaN))
+    assert(math.abs(m.components(0)(2)) < 1e-6,
+      s"constant dim got weight ${m.components(0)(2)} in pc1")
+    val proj = Pca.project(df, "v", m).select(col("pc1")).as[Double].collect()
+    assert(proj.forall(p => !p.isNaN))
+  }
+
   test("pca projection is deterministic across fits (stable sign convention)") {
     val df = Tables.embeddings(spark, sfTiny)
     val a = Pca.fit(df, "embedding", 4)

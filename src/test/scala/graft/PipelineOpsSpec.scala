@@ -449,6 +449,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(2000 > 10000 / 17)
   }
 
+  test("misra-gries result is invariant to partition layout (merge order)") {
+    import graft.operators.HeavyHitters
+    val rows = Seq.fill(900)("hot1") ++ Seq.fill(600)("hot2") ++
+      (0 until 1500).map(i => s"tail$i")
+    val expected = Seq(("hot1", 900L), ("hot2", 600L))
+    Seq(1, 3, 13).foreach { parts =>
+      val got = HeavyHitters.topK(rows.toDF("token").repartition(parts),
+        "token", k = 2, capacity = 16).as[(String, Long)].collect().toSeq
+      assert(got == expected, s"partition layout $parts changed the answer: $got")
+    }
+  }
+
   test("bloom prune never drops a matching key and prunes most non-matches") {
     import graft.operators.RuntimeFilter
     val fact = spark.range(0, 20000).select($"id".as("k"))
