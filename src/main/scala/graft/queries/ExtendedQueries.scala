@@ -288,6 +288,34 @@ object ExtendedQueries {
         GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""),
       "daily retention cohorts: first-active day x day offset"),
 
+    // Growth accounting: new and cumulative users by first-active day.
+    // The running sum's window is over the DAILY aggregate — calendar-
+    // sized (≤ a few thousand rows for decades), never data-sized, so the
+    // unpartitioned window is safe at any corpus scale; the heavy lifting
+    // (first-day per user) is one key-partitioned aggregate.
+    "a19_cumulative_users" -> Q(
+      (s, d) => {
+        val hour = date_format(timestamp_micros(expr("ts DIV 1000")), "yyyy-MM-dd HH")
+        val first = Tables.events(s, d)
+          .select(col("user_id"), hour.as("h"))
+          .groupBy(col("user_id")).agg(min(col("h")).as("first_h"))
+        val newByHour = first.groupBy(col("first_h").as("h"))
+          .agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        newByHour
+          .withColumn("cum_users", sum(col("new_users")).over(w).cast("long"))
+          .orderBy(col("h"))
+      },
+      Some("""WITH f AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d %H')) AS h
+            FROM events GROUP BY user_id),
+          n AS (SELECT h, COUNT(*) AS new_users FROM f GROUP BY h)
+        SELECT h, new_users,
+          CAST(SUM(new_users) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS cum_users
+        FROM n ORDER BY h"""),
+      "growth accounting: new + cumulative users by first-active hour"),
+
     // Conversion funnel over event time: users advance a stage only via an
     // event strictly AFTER their previous stage's first hit and within a
     // 24 h conversion window (without the window every user converts —
