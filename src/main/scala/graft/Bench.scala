@@ -50,7 +50,16 @@ object Bench {
       "\"" + k + "\":" + (if (v.isNaN) "null" else f"$v%.3f")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: the driver captures a bounded stdout tail,
+    // which truncated the round-3 artifact. The file is the durable copy.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

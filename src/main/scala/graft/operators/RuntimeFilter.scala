@@ -17,23 +17,32 @@ import org.apache.spark.util.sketch.BloomFilter
   * False positives only cost work (the join still discards them), never
   * correctness — j8's oracle is the plain join.
   *
-  * The probe is a UDF (BloomFilterMightContain is not public API); it
-  * breaks whole-stage codegen for the one filter stage but each probe is
-  * two hashes over a broadcast bitmap — negligible against the exchange
-  * it eliminates.
+  * The probe is Catalyst's own `BloomFilterMightContain` (the expression
+  * Spark's injected runtime filters plan), reached through the graftbridge
+  * shim: the serialized filter rides as a Literal and the probe stays
+  * inside whole-stage codegen — no UDF boundary, no object
+  * serialization per row.
   */
 object RuntimeFilter {
 
   /** Prune `fact` to rows whose long-typed `factKey` might appear among
     * `dim`'s `dimKey` values. Null keys are dropped (an equi-join never
-    * matches them).
+    * matches them — and BloomFilterMightContain is null-propagating, so a
+    * null probe yields null which filter() drops).
     */
   def bloomPruneLong(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.Bridge
     val bf: BloomFilter = dim.select(col(dimKey).cast("long").as(dimKey))
       .stat.bloomFilter(dimKey, expectedKeys, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    fact.filter(might(col(factKey).cast("long")))
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    fact.filter(Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bytes)),
+      Bridge.expression(col(factKey).cast("long")))))
   }
 }

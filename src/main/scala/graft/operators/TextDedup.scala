@@ -152,6 +152,31 @@ object TextDedup {
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
   }
 
+  /** The 100 TB dedup cascade's pair stage: LSH candidate generation +
+    * EXACT Jaccard verification of the candidates. Candidate pairs come
+    * from band-bucket collisions (output-sized, never n²); each candidate
+    * is then verified narrowly against the two docs' shingle sets
+    * (array_intersect — no shingle explode, no self-join). Output schema
+    * and jac_micro arithmetic match `jaccardPairs` exactly, so whenever
+    * LSH recall is total (P(miss | j≥0.8) = (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴ per pair,
+    * and the signature seeds are fixed ⇒ deterministic per corpus) the
+    * cascade's output EQUALS the exact baseline's — which is what makes
+    * d10 oracle-checkable against d7's SQL.
+    */
+  def lshVerifiedPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val sets = Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val cands = lshCandidates(minhashSignatures(docs, n))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("u", size(col("sh_a")).cast(LongType) + size(col("sh_b")).cast(LongType) - col("c"))
+      .filter(col("c").cast(DoubleType) / col("u") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        floor(col("c").cast(DoubleType) * 1000000d / col("u")).as("jac_micro"))
+  }
+
   /** MinHash near-dup pairs: LSH candidates whose estimated Jaccard
     * (fraction of agreeing signature components) ≥ minEst. est_micro in
     * integer micro-units (n_agree/64 is dyadic — float ties are real).

@@ -363,24 +363,36 @@ object ExtendedQueries {
 
     // Per-user EMA over event values (operators/Temporal): sequential in
     // time per key, parallel across keys — one shuffle, local walks.
-    // Rows-only: the recurrence IS the accumulation order (see Temporal
-    // scaladoc); TemporalSpec pins the numbers.
+    // Hash-green via the d7/a18 recursive-CTE trick: the oracle REPLAYS
+    // the recurrence per entity with the identical double op sequence
+    // (α·x then (1−α)·e then add, α = 0.2), ordered by (ts_us, value) on
+    // both engines — equal inputs through equal IEEE ops are bit-equal.
     "w6_ema" -> Q(
       (s, d) => {
         import graft.operators.Temporal
         val ss = s
         import ss.implicits._
         val pts = Tables.events(s, d)
-          .select(col("user_id").as("key"), col("ts"), col("value"))
+          .select(col("user_id").as("key"),
+            expr("ts DIV 1000").as("ts"), col("value"))
           .as[Temporal.Point]
         Temporal.ema(pts, alpha = 0.2).toDF()
-          .groupBy(col("key").as("user_id"))
-          .agg(count(lit(1)).as("n_points"),
-            sum(when(abs(col("ema") - col("value")) > lit(0.0), 1L)
-              .otherwise(0L)).cast("long").as("n_smoothed"))
-          .orderBy(col("user_id"))
+          .select(col("key").as("user_id"), col("ts").as("ts_us"),
+            col("value"), col("ema"))
+          .orderBy(col("user_id"), col("ts_us"), col("value"))
       },
-      None,
+      Some("""WITH RECURSIVE pts AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value) AS rn
+          FROM events),
+        walk(user_id, ts_us, value, ema, rn) AS (
+          SELECT user_id, ts_us, value, value AS ema, rn FROM pts WHERE rn = 1
+          UNION ALL
+          SELECT p.user_id, p.ts_us, p.value,
+            CAST(0.2 AS DOUBLE) * p.value + CAST(0.8 AS DOUBLE) * w.ema, p.rn
+          FROM walk w JOIN pts p ON p.user_id = w.user_id AND p.rn = w.rn + 1)
+        SELECT user_id, ts_us, value, ema FROM walk
+        ORDER BY user_id, ts_us, value"""),
       "per-user EMA smoothing of event values (alpha=0.2)"),
 
     // TPC-H Q18 shape (large-volume customers): aggregate the fact FIRST,

@@ -159,6 +159,36 @@ object PipelineQueries {
         GROUP BY lang ORDER BY lang"""),
       "dedup applied: keep each cluster's min-id doc + all unclustered docs"),
 
+    // THE 100 TB dedup cascade, composed end-to-end: LSH candidate pairs
+    // (band-bucket collisions, never n²) → exact Jaccard verification of
+    // candidates only (narrow array_intersect per pair) → connected
+    // components → min-id cluster labels. Because verification is exact
+    // and LSH recall is total on this corpus (fixed seeds ⇒
+    // deterministic), the cluster set EQUALS d7's — so the scale path
+    // gets the same recursive-CTE transitive-closure oracle as the exact
+    // baseline. PipelineOpsSpec additionally pins d10 == d7 cluster-set
+    // equality through the DataFrame API.
+    "d10_lsh_clusters" -> Q(
+      (s, d) => TextDedup.connectedComponents(
+          TextDedup.lshVerifiedPairs(Tables.documents(s, d), n = 3, minJaccard = 0.8))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+        SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach
+        GROUP BY u ORDER BY doc_id"""),
+      "scale-path dedup cascade: LSH candidates -> exact verify -> clusters"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(
@@ -279,7 +309,10 @@ object PipelineQueries {
     // walk distributed as bounded per-range flatMapGroups after the
     // two-phase prefix sum; waste vs chunked + determinism + equality to a
     // single-threaded greedy reference are asserted in PipelineOpsSpec.
-    // The walk's state is engine-internal → rows-only check.
+    // Hash-green via the d7/w6 recursive-CTE trick: the walk is
+    // deterministic integer state, so the oracle replays it per range
+    // (row_number within range ordered by doc_id = the Spark sort order;
+    // range_id from the identical windowed prefix sum).
     "t8_greedy_packing" -> Q(
       (s, d) => {
         val budget = 2048L
@@ -292,7 +325,32 @@ object PipelineQueries {
             min(col("doc_id")).as("first_doc"))
           .orderBy(col("seq_range"), col("seq_in_range"))
       },
-      None,
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+            SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+        r AS (SELECT doc_id, n_tokens,
+            CAST((cum - n_tokens) // 131072 AS BIGINT) AS range_id,
+            ROW_NUMBER() OVER (PARTITION BY CAST((cum - n_tokens) // 131072 AS BIGINT)
+              ORDER BY doc_id) AS rn
+          FROM c),
+        walk(range_id, rn, doc_id, n_tokens, seq, fill) AS (
+          SELECT range_id, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq,
+            n_tokens AS fill
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT p.range_id, p.rn, p.doc_id, p.n_tokens,
+            CASE WHEN w.fill > 0 AND w.fill + p.n_tokens > 2048
+              THEN w.seq + 1 ELSE w.seq END,
+            CASE WHEN w.fill > 0 AND w.fill + p.n_tokens > 2048
+              THEN p.n_tokens ELSE w.fill + p.n_tokens END
+          FROM walk w JOIN r p ON p.range_id = w.range_id AND p.rn = w.rn + 1)
+        SELECT range_id AS seq_range, seq AS seq_in_range, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens, MIN(doc_id) AS first_doc
+        FROM walk GROUP BY 1, 2 ORDER BY seq_range, seq_in_range"""),
       "greedy first-fit sequence packing — never-overflow training batches"),
 
     // ───── text analysis ─────

@@ -33,6 +33,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(one.forall(_._2 == 1L) && one.length == 10)
   }
 
+  test("LSH-verified cascade pairs equal the exact Jaccard baseline") {
+    // the d10 pair stage: candidates from band collisions, exact verify.
+    // Recall at the (64, 16x4) parameters is total on this corpus, and
+    // verification is exact — so pairs AND scores must match d2's.
+    val exact = TextDedup.jaccardPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val cascade = TextDedup.lshVerifiedPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cascade == exact,
+      s"cascade-only: ${cascade.diff(exact)}; exact-only: ${exact.diff(cascade)}")
+    assert(exact.nonEmpty, "no planted pairs — vacuous test")
+  }
+
+  test("d10 cascade clusters equal d7 exact clusters") {
+    val viaExact = TextDedup.connectedComponents(
+        TextDedup.jaccardPairs(docs, 3, 0.8))
+      .as[(Long, Long)].collect().toSet
+    val viaLsh = TextDedup.connectedComponents(
+        TextDedup.lshVerifiedPairs(docs, 3, 0.8))
+      .as[(Long, Long)].collect().toSet
+    assert(viaLsh == viaExact)
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

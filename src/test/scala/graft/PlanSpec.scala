@@ -140,12 +140,15 @@ class PlanSpec extends SparkTestBase {
 
   test("j8: the bloom probe filters the fact side BELOW the join") {
     val p = planOf(q("j8_bloom_prune_join"))
-    // the UDF probe must sit in a Filter under the join, not above it —
+    // the probe must sit in a Filter under the join, not above it —
     // above, the shuffle/broadcast would carry the unpruned fact side
     val joinIdx = p.indexOf("Join")
-    val probeIdx = p.indexOf("UDF(l_orderkey")
+    val probeIdx = p.indexOf("might_contain")
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       s"bloom probe not below the join (join@$joinIdx probe@$probeIdx):\n$p")
+    // and it is the native Catalyst expression, not a UDF — the probe
+    // stage stays inside whole-stage codegen
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), p)
   }
 
   test("q18: the HAVING aggregate runs below the joins, customer broadcasts") {
