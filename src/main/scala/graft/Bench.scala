@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args: bench only the named queries (dev iteration); the
+    // driver passes none → full run.
+    val only = args.toSet
     val spark = GraftSession.get()
 
     // Warmup (not timed): run every query once at the smallest SF so the
@@ -17,14 +20,18 @@ object Bench {
     // generated code is cached per expression tree and reused at the
     // benchmark SF.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy(_._1).map { case (name, fn) =>
       // min of two timed runs: single-run numbers on a shared box swing
       // ±2× on the heavy queries (GC, page cache); the min is the real
       // execution cost. A FAILED run must not contribute a (typically

@@ -110,9 +110,10 @@ object IvfIndex {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dotp(col("qv"), col("nv")) /
         sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))))
-    // bounded per-partition pre-prune (TopK): ranking shuffle output-sized
+    // narrow projection + rank filter: Spark's partial WindowGroupLimit
+    // under the exchange keeps the ranking shuffle output-sized
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    TopK.perPartitionTopN(scored, "query_id", "neighbor_id", "cos", k)
+    scored.select(col("query_id"), col("neighbor_id"), col("cos"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))

@@ -135,12 +135,13 @@ object PqIndex {
       sqrt(dotp(v, v)).as("norm"))
   }
 
-  /** Narrow pre-prune before the global shortlist window (TopK): the
-    * row_number sort-shuffle then sees ≤ partitions·n rows per query
-    * instead of the whole ADC-scored set.
+  /** Narrow 3-column projection before the shortlist window: the LUT and
+    * code columns never ride the ranking shuffle, and Spark's partial
+    * WindowGroupLimit under the exchange bounds it to ≤ partitions·n rows
+    * per query instead of the whole ADC-scored set (PlanSpec pins it).
     */
   private def perPartitionTopN(scored: DataFrame, n: Int): DataFrame =
-    TopK.perPartitionTopN(scored, "query_id", "vec_id", "approx_cos", n)
+    scored.select(col("query_id"), col("vec_id"), col("approx_cos"))
 
   /** Approximate top-k by ADC over codes, then EXACT cosine re-rank of a
     * `refine`×k shortlist. Query side collected to build LUTs (queries are

@@ -91,7 +91,9 @@ object ScalarQuant {
       .withColumn("acos", dotp(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
-    val shortlist = TopK.perPartitionTopN(scored, "query_id", "neighbor_id", "acos", k * refine)
+    // narrow projection + rank filter: partial WindowGroupLimit bounds
+    // the shortlist shuffle (the dequantized vectors stay behind)
+    val shortlist = scored.select(col("query_id"), col("neighbor_id"), col("acos"))
       .withColumn("rn", row_number().over(wa)).filter(col("rn") <= k * refine)
       .select(col("query_id"), col("neighbor_id"))
     val exact = candidates

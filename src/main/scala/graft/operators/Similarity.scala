@@ -50,10 +50,13 @@ object Similarity {
       asDouble(col("embedding")).as("cv")).withColumn("cn2", norm2(col("cv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")))
-    // bounded per-partition pre-prune: the ranking window's sort-shuffle
-    // sees ≤ partitions·k rows per query, not the |Q|·|C| scored set
+    // narrow 3-column projection BEFORE the ranking window: Spark plans a
+    // partial WindowGroupLimit under the exchange (rank-filter pushdown),
+    // so the sort-shuffle sees ≤ partitions·k rows per query, not the
+    // |Q|·|C| scored set — and the vectors never ride the shuffle.
+    // PlanSpec pins the partial-limit plan shape.
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    TopK.perPartitionTopN(scored, "query_id", "neighbor_id", "cos", k)
+    scored.select(col("query_id"), col("neighbor_id"), col("cos"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
@@ -122,7 +125,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    TopK.perPartitionTopN(scored, "query_id", "neighbor_id", "cos", k)
+    scored.select(col("query_id"), col("neighbor_id"), col("cos"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))

@@ -129,27 +129,31 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
-  test("TopK pre-prune + window equals the plain window on random scores with ties") {
-    import graft.operators.TopK
+  test("rank filter plans a partial WindowGroupLimit below the exchange") {
+    // the ANN shortlist pattern relies on Spark pruning the ranking
+    // shuffle's input: row_number().over(w) + filter(rn <= k) must plan a
+    // Partial-mode WindowGroupLimit UNDER the hash exchange so only
+    // ≤ partitions·k rows per key are shuffled (this replaced the custom
+    // bounded-heap pre-prune, which measured identical and broke codegen)
     import org.apache.spark.sql.expressions.Window
-    (1 to 3).foreach { trial =>
-      val k = 1 + rnd.nextInt(6)
-      val rows = (1 to 2000).map { i =>
-        // coarse score grid → many exact ties; a few NaNs exercise the
-        // Double.compare path (NaN ranks above +Inf in a desc sort)
-        val score = if (rnd.nextInt(100) == 0) Double.NaN
-          else (rnd.nextInt(20) - 10).toDouble / 4
-        (rnd.nextInt(17).toLong, i.toLong, score)
-      }
-      val df = rows.toDF("query_id", "neighbor_id", "cos").repartition(9)
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-      def topk(in: org.apache.spark.sql.DataFrame) =
-        in.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
-          .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
-      val plain = topk(df)
-      val pruned = topk(TopK.perPartitionTopN(df, "query_id", "neighbor_id", "cos", k))
-      assert(pruned == plain, s"trial $trial (k=$k): pre-prune changed the top-k")
-    }
+    val df = (1 to 2000).map { i =>
+      (i % 17L, i.toLong, (i % 37).toDouble / 4) }
+      .toDF("query_id", "neighbor_id", "cos").repartition(9)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val ranked = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    val p = ranked.queryExecution.executedPlan.toString
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.indexOf("WindowGroupLimit", exchangeIdx)
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"no partial WindowGroupLimit below the exchange:\n$p")
+    // and the result is still the exact top-k
+    val got = ranked.select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exact = (1 to 2000).map(i => (i % 17L, i.toLong, (i % 37).toDouble / 4))
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).map(r => (q, r._2))
+      }.toSet
+    assert(got == exact)
   }
 
   test("connectedComponents equals driver-side union-find on random graphs") {
