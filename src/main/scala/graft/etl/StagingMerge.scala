@@ -43,6 +43,38 @@ object StagingMerge {
     * JSON (sorted keys, Python escaping) so they byte-match payload_json
     * and the hash input — to_json would give arbitrary key order.
     */
+  /** Field-grain audit diff: one row per (key, field) whose value changed
+    * between the old and new payload maps — the drill-down the
+    * whole-payload rows of `auditDiff` can't answer directly (SURVEY
+    * §2.10 notes explode(mapCol) covers this; the reference itself logs
+    * whole payloads only, field_name literally 'payload'). Fields present
+    * on one side only surface with a null on the other — adds and
+    * removals are changes too. Narrow after the same raw_id join as
+    * auditDiff: explode is per changed row, never corpus-wide.
+    */
+  def auditDiffFields(existing: DataFrame, updates: DataFrame): DataFrame = {
+    val u = dedupeBatch(updates)
+    val actor =
+      if (u.columns.contains("updated_by")) coalesce(col("updated_by"), lit("system"))
+      else lit("system")
+    val oldS = existing.select(
+      col("raw_id"), col("payload_hash").as("__oh"), col("raw_payload").as("__op"))
+    val newS = u.select(
+      col("raw_id"), col("payload_hash").as("__nh"), col("raw_payload").as("__np"),
+      actor.as("changed_by"))
+    oldS.join(newS, Seq("raw_id"))
+      .filter(col("__oh") =!= col("__nh"))
+      .select(col("raw_id"), col("__op"), col("__np"), col("changed_by"),
+        explode(array_distinct(
+          concat(map_keys(col("__op")), map_keys(col("__np"))))).as("field_name"))
+      .withColumn("old_value", element_at(col("__op"), col("field_name")))
+      .withColumn("new_value", element_at(col("__np"), col("field_name")))
+      .filter(!(col("old_value") <=> col("new_value")))
+      .select(col("raw_id").as("record_id"), col("field_name"),
+        col("old_value"), col("new_value"),
+        current_timestamp().as("changed_at"), col("changed_by"))
+  }
+
   def auditDiff(existing: DataFrame, updates: DataFrame): DataFrame = {
     import graft.functions.Parsers.canonicalJson
     val u = dedupeBatch(updates)

@@ -751,6 +751,48 @@ object ExtendedQueries {
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
       "bloom-pruned selective join == plain join; fact shuffle is result-sized"),
 
+    // Field-grain audit diff (StagingMerge.auditDiffFields): the
+    // reference's trigger logs whole-payload diffs (field_name literally
+    // 'payload', 7a8b9c0d1e2f:29-31); this is the drill-down — one row
+    // per changed FIELD, adds/removals included. Old/new snapshots are
+    // built per user from its first/last event (min_by/max_by — both
+    // engines have them); the oracle reconstructs the exploded map diff
+    // relationally as a UNION ALL over the known field set.
+    "j9_field_diff" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def snap(pick: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+            org.apache.spark.sql.Column) = ev.groupBy(col("user_id"))
+          .agg(pick(col("event_type"), col("event_id")).as("et"),
+            pick(col("props"), col("event_id")).as("pr"))
+          .select(col("user_id").as("raw_id"),
+            map(lit("event_type"), col("et"), lit("props"), col("pr")).as("raw_payload"),
+            md5(concat_ws("|", col("et"), col("pr"))).as("payload_hash"),
+            to_timestamp(lit("2024-01-01")).as("received_at"))
+        val oldS = snap(min_by)
+        val newS = snap(max_by)
+        graft.etl.StagingMerge.auditDiffFields(oldS, newS)
+          .select(col("record_id"), col("field_name"),
+            col("old_value"), col("new_value"))
+          .orderBy(col("record_id"), col("field_name"))
+      },
+      Some("""WITH o AS (SELECT user_id, min_by(event_type, event_id) AS et,
+            min_by(props, event_id) AS pr FROM events GROUP BY user_id),
+        n AS (SELECT user_id, max_by(event_type, event_id) AS et,
+            max_by(props, event_id) AS pr FROM events GROUP BY user_id),
+        j AS (SELECT o.user_id AS record_id, o.et AS oet, o.pr AS opr,
+            n.et AS net, n.pr AS npr
+          FROM o JOIN n ON o.user_id = n.user_id
+          WHERE md5(o.et || '|' || o.pr) <> md5(n.et || '|' || n.pr)),
+        f AS (SELECT record_id, 'event_type' AS field_name,
+            oet AS old_value, net AS new_value FROM j
+          UNION ALL
+          SELECT record_id, 'props', opr, npr FROM j)
+        SELECT record_id, field_name, old_value, new_value FROM f
+        WHERE old_value IS DISTINCT FROM new_value
+        ORDER BY record_id, field_name"""),
+      "per-field audit drill-down: exploded payload-map diff, adds/removals included"),
+
     // ───── deterministic dataset splitting (training-data curation) ─────
     // Content-hash split: the md5 hex string orders identically everywhere,
     // so train/val/test membership is stable across engines, reruns and

@@ -132,6 +132,28 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(newTotal.doubleValue() == 60000.0)
   }
 
+  test("field-grain audit diff: changed, added, and removed fields each surface") {
+    import org.apache.spark.sql.functions.{md5, to_json, current_timestamp}
+    def side(rows: Seq[(String, Map[String, String])]) =
+      rows.toDF("raw_id", "raw_payload")
+        .withColumn("payload_hash", md5(to_json($"raw_payload")))
+        .withColumn("received_at", current_timestamp())
+    // r1: amount changed, note removed, status added; r2: unchanged
+    val existing = side(Seq(
+      "r1" -> Map("amount" -> "100", "note" -> "old"),
+      "r2" -> Map("amount" -> "5")))
+    val updates = side(Seq(
+      "r1" -> Map("amount" -> "200", "status" -> "paid"),
+      "r2" -> Map("amount" -> "5")))
+    val got = StagingMerge.auditDiffFields(existing, updates)
+      .select($"record_id", $"field_name", $"old_value", $"new_value")
+      .as[(String, String, Option[String], Option[String])].collect().toSet
+    assert(got == Set(
+      ("r1", "amount", Some("100"), Some("200")),
+      ("r1", "note", Some("old"), None),
+      ("r1", "status", None, Some("paid"))))
+  }
+
   test("normalize is total under schema drift: unknown headers, missing variants") {
     // rows whose payloads carry none of the canonical variants (drifted /
     // autogenerated headers) must flow through typed as all-null with

@@ -156,6 +156,58 @@ class PropertySpec extends SparkTestBase {
     assert(got == exact)
   }
 
+  test("minhash banding pigeonhole: <= Bands-1 mismatches guarantees candidacy") {
+    // deterministic recall-completeness at the pinned (NumHashes=64,
+    // Bands=16x4) constants: a pair whose signatures differ in at most
+    // Bands-1 = 15 components must fully agree on >= 1 band (each
+    // mismatch kills at most one band), hence MUST collide in LSH. And
+    // 49/64 agreement => est 0.7656 >= 0.7, so the filtered d3 surface
+    // must contain it too.
+    import graft.operators.TextDedup
+    assert(TextDedup.NumHashes == 64 && TextDedup.Bands == 16)
+    val docs = Tables.documents(spark, sfTiny)
+    val sigs = TextDedup.minhashSignatures(docs, 3).cache()
+    val collected = sigs.as[(Long, Seq[Long])].collect()
+    val mustCollide = (for {
+      (ia, sa) <- collected; (ib, sb) <- collected if ia < ib
+      if sa.zip(sb).count { case (x, y) => x != y } <= TextDedup.Bands - 1
+    } yield (ia, ib)).toSet
+    assert(mustCollide.nonEmpty, "no near-identical signatures — vacuous test")
+    val cands = TextDedup.lshCandidates(sigs)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(mustCollide.subsetOf(cands),
+      s"banding missed ${mustCollide.diff(cands)}")
+    val filtered = TextDedup.minhashPairs(docs, 3, 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(mustCollide.subsetOf(filtered),
+      s"d3 surface missed ${mustCollide.diff(filtered)}")
+  }
+
+  test("b-bit banding pigeonhole: <= 15 byte mismatches guarantees candidacy") {
+    // same argument over the packed byte signatures: 16 bands x 4 bytes,
+    // each differing byte kills at most one band, so <= 15 differing
+    // bytes leaves a fully-agreeing band. 49/64 agreeing bytes gives
+    // corrected est (49/64 - 1/256)/(1 - 1/256) = 0.7648 >= 0.7, so the
+    // filtered d6 surface must contain the pair.
+    import graft.operators.{Par, TextDedup}
+    import graft.functions.TextSketches
+    val docs = Tables.documents(spark, sfTiny)
+    val sigs = Par.fan(docs).select($"doc_id",
+      TextSketches.bbitMinhashSig($"text", 3).as("sig"))
+    val collected = sigs.as[(Long, Seq[Long])].collect()
+    def bytes(packed: Seq[Long]): Array[Int] =
+      Array.tabulate(64)(k => ((packed(k / 8) >>> (8 * (k % 8))) & 0xFF).toInt)
+    val mustCollide = (for {
+      (ia, sa) <- collected; (ib, sb) <- collected if ia < ib
+      if bytes(sa).zip(bytes(sb)).count { case (x, y) => x != y } <= 15
+    } yield (ia, ib)).toSet
+    assert(mustCollide.nonEmpty, "no near-identical byte signatures — vacuous test")
+    val filtered = TextDedup.bbitMinhashPairs(docs, 3, 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(mustCollide.subsetOf(filtered),
+      s"d6 surface missed ${mustCollide.diff(filtered)}")
+  }
+
   test("connectedComponents equals driver-side union-find on random graphs") {
     import graft.operators.TextDedup
     (1 to 3).foreach { trial =>
