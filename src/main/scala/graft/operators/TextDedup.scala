@@ -164,9 +164,19 @@ object TextDedup {
     * d10 oracle-checkable against d7's SQL.
     */
   def lshVerifiedPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val sets = Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh"))
     val cands = lshCandidates(minhashSignatures(docs, n))
       .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    verifyPairs(docs, cands, n, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set: narrow
+    * array_intersect per pair against the two docs' shingle sets — no
+    * shingle explode, no self-join. Output schema and jac_micro
+    * arithmetic identical to `jaccardPairs`.
+    */
+  private def verifyPairs(docs: DataFrame, cands: DataFrame, n: Int,
+      minJaccard: Double): DataFrame = {
+    val sets = Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh"))
     val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -175,6 +185,41 @@ object TextDedup {
       .filter(col("c").cast(DoubleType) / col("u") >= minJaccard)
       .select(col("id_a"), col("id_b"),
         floor(col("c").cast(DoubleType) * 1000000d / col("u")).as("jac_micro"))
+  }
+
+  /** Prefix-filtering set-similarity join (the PPJoin candidate scheme):
+    * the GUARANTEED-recall scale path for near-dup pairs, where LSH's
+    * recall is only probabilistic. Shingles are globally ordered by
+    * (document frequency asc, shingle) — rarest first; a doc with |s|
+    * shingles exposes only its first |s| − ⌈t·|s|⌉ + 1 as join keys.
+    * Theorem (prefix filter): two sets with Jaccard ≥ t must share at
+    * least one prefix token under a common total order — so candidate
+    * generation misses NOTHING above threshold, and exact verification
+    * makes the output EQUAL `jaccardPairs` by construction (d11 shares
+    * d2's oracle). Posting lists join on the RAREST tokens, so candidate
+    * volume tracks the true near-dup density, not n².
+    *
+    * Scale shape: one groupBy for document frequencies, one doc-sized
+    * window to rank shingles within each doc, a self-join on prefix
+    * tokens only, then output-sized verification.
+    */
+  def prefixFilterPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(docs, n)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val wSize = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(freq, Seq("s"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wSize))
+      .filter(col("rn") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .select(col("doc_id"), col("s"))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cands = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyPairs(docs, cands, n, minJaccard)
   }
 
   /** MinHash near-dup pairs: LSH candidates whose estimated Jaccard

@@ -424,6 +424,49 @@ object ExtendedQueries {
         ORDER BY total_qty DESC, o_orderkey LIMIT 20"""),
       "TPC-H Q18-shaped aggregate-then-join: HAVING prunes before the joins"),
 
+    // TPC-H Q21 shape (suppliers who kept waiting): the semi + anti join
+    // composition — late lineitems of finished orders, EXISTS another
+    // supplier on the order, NOT EXISTS another LATE supplier. The
+    // fact-fact order join happens once; both existence probes are
+    // key-only projections of it, so the semi/anti shuffles carry two
+    // longs per row. "Late" = shipped > 90 days after order date (this
+    // schema has no commit/receipt dates).
+    "q21_waiting_suppliers" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val lo = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
+          .select(col("l_orderkey"), col("l_suppkey"), col("late"))
+        val late1 = lo.filter(col("late"))
+        val othersAny = lo.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val othersLate = late1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        val waiting = late1
+          .join(othersAny,
+            col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"), "left_semi")
+          .join(othersLate,
+            col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"), "left_anti")
+        waiting.join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      },
+      Some("""WITH lo AS (SELECT l_orderkey, l_suppkey,
+            (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F')
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""),
+      "TPC-H Q21-shaped semi + anti join: sole-late-supplier detection"),
+
     // Equi-width histogram: one hash agg over the bucket id; the double
     // division + floor sequence is identical on both engines, so bucket
     // boundaries can't flip.

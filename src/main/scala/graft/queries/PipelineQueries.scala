@@ -189,6 +189,29 @@ object PipelineQueries {
         GROUP BY u ORDER BY doc_id"""),
       "scale-path dedup cascade: LSH candidates -> exact verify -> clusters"),
 
+    // Prefix-filtering set-similarity join (PPJoin candidate scheme):
+    // the GUARANTEED-recall scale path — any pair with Jaccard ≥ t must
+    // share a token in its rarest-first prefix, so unlike LSH the recall
+    // is a theorem, not a probability. Exact verification of the
+    // (token-rarity-bounded) candidates makes the output EQUAL d2's, so
+    // it shares d2's oracle; PipelineOpsSpec pins the equality through
+    // the DataFrame API.
+    "d11_prefix_pairs" -> Q(
+      (s, d) => TextDedup.prefixFilterPairs(Tables.documents(s, d), n = 3, minJaccard = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / (ca.n + cb.n - c)) AS BIGINT) AS jac_micro
+        FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+        ORDER BY id_a, id_b"""),
+      "prefix-filtered similarity join — guaranteed-recall near-dup pairs"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(

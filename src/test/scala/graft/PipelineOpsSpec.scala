@@ -56,6 +56,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(viaLsh == viaExact)
   }
 
+  test("prefix-filtering pairs equal the exact Jaccard baseline (guaranteed recall)") {
+    val exact = TextDedup.jaccardPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val prefix = TextDedup.prefixFilterPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prefix == exact,
+      s"prefix-only: ${prefix.diff(exact)}; exact-only: ${exact.diff(prefix)}")
+    assert(exact.nonEmpty, "no planted pairs — vacuous test")
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
