@@ -467,6 +467,33 @@ object ExtendedQueries {
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""),
       "TPC-H Q21-shaped semi + anti join: sole-late-supplier detection"),
 
+    // Equi-DEPTH histogram — a17's quantile sibling — WITHOUT the
+    // single-task global window: GlobalOrder.cumSum with value 1 is a
+    // distributed rank (range-repartition + per-partition prefix +
+    // broadcast offsets), bucket = (rank−1)·B DIV total is pure integer
+    // arithmetic, and the rest is one hash agg. The oracle's ROW_NUMBER
+    // OVER (ORDER BY ...) is the same rank computed the single-node way.
+    "a20_equidepth_hist" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        val ranked = graft.operators.GlobalOrder.cumSum(o,
+          struct(col("o_totalprice"), col("o_orderkey")), lit(1))
+        val total = o.agg(count(lit(1)).as("__n"))
+        ranked.crossJoin(broadcast(total))
+          .withColumn("bucket", expr("(cum - 1) * 10 DIV __n"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"), min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH r AS (SELECT o_totalprice,
+          ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+          COUNT(*) OVER () AS n FROM orders)
+        SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+          COUNT(*) AS n_rows, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM r GROUP BY 1 ORDER BY bucket"""),
+      "exact equi-depth histogram via distributed rank — no global window"),
+
     // Equi-width histogram: one hash agg over the bucket id; the double
     // division + floor sequence is identical on both engines, so bucket
     // boundaries can't flip.
@@ -766,6 +793,37 @@ object ExtendedQueries {
           AND p.pts >= c.cts AND p.pts <= c.cts + 1800000000
         GROUP BY c.user_id ORDER BY c.user_id"""),
       "30-min purchase-to-click attribution: batch twin of the streaming interval join"),
+
+    // LEFT-OUTER flavor of st5 (Streams.attributionJoinOuter — the same
+    // code path the streaming tests drive with MemoryStream, where
+    // unmatched clicks emit their null row once the watermark proves no
+    // in-window purchase can arrive). Batch twin: plain left join;
+    // unconverted clicks are the rows the inner join silently dropped.
+    "st6_attribution_outer" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            timestamp_micros(expr("ts DIV 1000")).as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            timestamp_micros(expr("ts DIV 1000")).as("purchase_ts"))
+        graft.streaming.Streams.attributionJoinOuter(clicks, purchases)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unconverted"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT c.user_id, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unconverted
+        FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS cts
+            FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS pts
+            FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+          AND p.pts >= c.cts AND p.pts <= c.cts + 1800000000
+        GROUP BY c.user_id ORDER BY c.user_id"""),
+      "left-outer attribution: unconverted clicks surface; streaming twin emits on watermark"),
 
     // Bloom-filter runtime pruning (operators/RuntimeFilter): the urgent
     // orders' keys fold into a broadcast bitmap and the lineitem side is

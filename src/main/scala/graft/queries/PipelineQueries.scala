@@ -520,6 +520,96 @@ object PipelineQueries {
         WHERE token != '' GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
       "exact top-k vocabulary extraction"),
 
+    // Per-label embedding centroids (the "domain centroid" a curation
+    // pipeline scores documents against): element-wise mean via the a18
+    // sufficient-statistics discipline — exact DECIMAL sums per
+    // (label, dim), one identical double division at the end. A double
+    // SUM would be partition-order-dependent and unhashable.
+    "emb2_label_centroids" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("label"),
+            posexplode(col("embedding").cast(ArrayType(DoubleType))))
+        e.groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
+          .agg(sum(col("col").cast(DecimalType(18, 6))).as("s6"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            (col("s6").cast(DoubleType) / col("n")).as("c_val"), col("n"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""SELECT label, i AS dim,
+          CAST(SUM(CAST(embedding[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val,
+          COUNT(*) AS n
+        FROM (SELECT label, embedding::DOUBLE[] AS embedding FROM embeddings),
+          UNNEST(range(1, 65)) AS t(i)
+        GROUP BY label, i ORDER BY label, dim"""),
+      "per-label embedding centroids from exact decimal sums"),
+
+    // Trigram language-model corpus statistics (the n-gram LM used for
+    // perplexity-style quality filtering): occurrence counts — NOT the
+    // distinct shingle sets of the dedup family — plus document
+    // frequency per trigram. One hash agg; skewed head trigrams are
+    // exactly what t11's Misra–Gries path bounds when the cutoff moves
+    // to top-k.
+    "t13_trigram_lm" -> Q(
+      (s, d) => {
+        val w = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+        val tris = w.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 2), i -> " +
+          "concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("tri"))
+        tris.groupBy(col("tri"))
+          .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("ndocs"))
+          .filter(col("c") >= 5)
+          .orderBy(col("c").desc, col("tri"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i))
+        SELECT tri, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS ndocs
+        FROM tri GROUP BY tri HAVING COUNT(*) >= 5
+        ORDER BY c DESC, tri"""),
+      "trigram LM counts + document frequency — n-gram corpus statistics"),
+
+    // TF-IDF top terms per doc: ranking is INTEGER-keyed (tf desc, df
+    // asc, term) so it cannot flip across engines; only the score value
+    // crosses the float boundary, rendered through DECIMAL(18,6) with
+    // the identical op sequence (tf · ln(N/df)) on both sides.
+    "t14_tfidf" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("__n"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df"), col("term"))
+        tf.join(dfT, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"),
+            (col("tf") * log(col("__n").cast(DoubleType) / col("df")))
+              .cast(DecimalType(18, 6)).cast(DoubleType).as("tfidf"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+          WHERE term != '' GROUP BY 1, 2),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        r AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+            ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, dft.df, tf.term) AS rk
+          FROM tf JOIN dft USING (term))
+        SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df, rk,
+          CAST(CAST(tf * ln(CAST(n.n AS DOUBLE) / df) AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
+        FROM r CROSS JOIN n WHERE rk <= 5 ORDER BY doc_id, rk"""),
+      "TF-IDF top-5 terms per doc — integer-keyed ranking, rendered score"),
+
     // cl1: corpus clustering — k-means cell assignment (IvfIndex quantizer
     // reused as a clustering operator). Deterministic training; sizes +
     // per-cell mean norm. Not SQL-expressible → rows-only.
