@@ -69,6 +69,39 @@ object Media {
     }
   }
 
+  /** A 64-bit perceptual hash per media file. */
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** Perceptual hash (aHash shape): sample 64 "pixels", set bit i when
+    * pixel i exceeds the integer mean — near-identical media differ in
+    * few bits, so near-dup search is a hamming band join
+    * (TextDedup.hammingBandPairs), never n² over payloads.
+    *
+    * ── STUB ── a real implementation decodes, grayscales, and 8×8
+    * downsamples; no codecs exist in this container, so the "pixels" are
+    * the payload bytes at 64 evenly spaced offsets — deterministic and
+    * oracle-checkable, with the real narrow-pass plumbing around it.
+    * Integer-only arithmetic end to end (offsets, mean, comparison), so
+    * both engines compute identical bits.
+    */
+  def perceptualHash(media: Dataset[MediaFile]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val n = m.payload.length
+        if (n == 0) MediaHash(m.media_id, 0L)
+        else {
+          val px = Array.tabulate(64)(i => m.payload((i * (n - 1) / 63)) & 0xFF)
+          val avg = px.map(_.toLong).sum / 64
+          var h = 0L
+          var i = 0
+          while (i < 64) { if (px(i) > avg) h |= (1L << i); i += 1 }
+          MediaHash(m.media_id, h)
+        }
+      }
+    }
+  }
+
   /** One sampled frame of a media payload. */
   case class MediaFrame(
       media_id: Long,

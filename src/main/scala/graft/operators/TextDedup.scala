@@ -288,9 +288,15 @@ object TextDedup {
     * distance ≤ 7 must agree on ≥1 full band (pigeonhole) — so for
     * maxHamming ≤ 7 this is EXACT, never materializing n² pairs.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    hammingBandPairs(simhash(docs), maxHamming)
+
+  /** The band-join pair search over ANY 64-bit fingerprint column
+    * (doc_id, simhash) — shared by SimHash text near-dup and the
+    * multimodal perceptual-hash path (Media.perceptualHash).
+    */
+  def hammingBandPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "band join is exact only for hamming <= bands-1 = 7")
-    val sig = simhash(docs) // narrow projection — cheap on both join sides
     val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 8).map(k =>
           shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL)): _*)))

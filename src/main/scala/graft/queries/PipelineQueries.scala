@@ -807,6 +807,41 @@ object PipelineQueries {
         ORDER BY media_id, frame_idx"""),
       "fixed-size frame sampling over binary payloads (stride 2) — batched, narrow"),
 
+    // Perceptual-hash near-dup over BINARY payloads: aHash bits from 64
+    // sampled "pixels" (integer-only ⇒ both engines compute identical
+    // hashes; decode honestly stubbed, see Media.perceptualHash), then
+    // the SAME hamming band join as SimHash — exact for hamming ≤ 7 by
+    // pigeonhole. Oracle is the brute-force O(n²) pair scan; the engine
+    // side never materializes it. Bit 63 rides DuckDB's HUGEINT sum
+    // (1<<63 overflows its BIGINT shift).
+    "mm3_phash_neardup" -> Q(
+      (s, d) => {
+        val sig = Media.perceptualHash(
+            Media.documentsAsMedia(s, Tables.documents(s, d)))
+          .toDF().select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+        TextDedup.hammingBandPairs(sig, maxHamming = 7)
+          .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, i,
+            ord(substr(text, CAST(i * (length(text) - 1) // 63 AS BIGINT) + 1, 1)) AS p
+          FROM documents, UNNEST(range(0, 64)) AS t(i)),
+        h AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN p > avg_p AND i < 63 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+              WHEN p > avg_p AND i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+              ELSE 0 END) AS BIGINT) AS phash
+          FROM (SELECT doc_id, i, p,
+              CAST(SUM(p) OVER (PARTITION BY doc_id) AS BIGINT) // 64 AS avg_p FROM px)
+          GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 7
+        ORDER BY id_a, id_b"""),
+      "perceptual-hash near-dup over binary media — banded, oracle is brute force"),
+
     // ───── sessionization (batch flavor of the streaming operator) ─────
 
     "st2_sessionization" -> Q(
