@@ -12,6 +12,8 @@ import graft.marts.Views
   *   run <layerRoot> [--source S] [--test]   incremental ELT
   *   load <layerRoot> <csvPath> [--source S] ingest a values file into raw
   *   check <layerRoot>                       layer/mart health counts
+  *   analyze <layerRoot>                     column profile + expectations
+  *   dedup <docs> <out> [--threshold T] [--exact]  corpus near-dup removal
   *
   * Layers are Parquet tables under layerRoot (raw / staging / audit /
   * marts_*), managed by ParquetTableStore's atomic-swap rewrites.
@@ -25,7 +27,11 @@ object Main {
       case "load" :: root :: csv :: rest => load(spark, root, csv, opt(rest, "--source").getOrElse("csv"))
       case "check" :: root :: Nil => check(spark, root)
       case "analyze" :: root :: Nil => analyze(spark, root)
-      case other => sys.error(s"usage: run|load|check <layerRoot> ... (got $other)")
+      case "dedup" :: docs :: out :: rest =>
+        dedup(spark, docs, out,
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
+          rest.contains("--exact"))
+      case other => sys.error(s"usage: run|load|check|analyze|dedup ... (got $other)")
     } finally spark.stop()
   }
 
@@ -235,5 +241,33 @@ object Main {
     }
     println(s"[graft] analyze complete: $violations total violations")
     violations
+  }
+
+  /** Corpus dedup as a product command: near-dup pair generation →
+    * connected components → keep each cluster's canonical (min-id) doc.
+    * Default pair path is the prefix-filtering join (guaranteed recall —
+    * the 100 TB shape); `--exact` switches to the O(n²)-flavored shingle
+    * self-join baseline. Writes `<out>/clusters` (doc_id → cluster_id)
+    * and `<out>/kept` (the surviving corpus); returns the kept count.
+    */
+  def dedup(spark: SparkSession, docsPath: String, out: String,
+      threshold: Double, exact: Boolean): Long = {
+    import graft.operators.TextDedup
+    val docs = spark.read.parquet(docsPath)
+    val pairs =
+      if (exact) TextDedup.jaccardPairs(docs, n = 3, minJaccard = threshold)
+      else TextDedup.prefixFilterPairs(docs, n = 3, minJaccard = threshold)
+    val clusters = TextDedup.connectedComponents(pairs)
+    clusters.write.mode("overwrite").parquet(s"$out/clusters")
+    val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val kept = docs.join(drop, Seq("doc_id"), "left_anti")
+    kept.write.mode("overwrite").parquet(s"$out/kept")
+    val nTotal = docs.count()
+    val nKept = spark.read.parquet(s"$out/kept").count()
+    println(s"[graft] dedup: $nTotal docs -> $nKept kept " +
+      s"(${nTotal - nKept} near-dups dropped, threshold $threshold, " +
+      s"${if (exact) "exact" else "prefix-filter"} pair path)")
+    nKept
   }
 }

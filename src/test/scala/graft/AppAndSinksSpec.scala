@@ -14,6 +14,23 @@ import graft.functions.Parsers
 class AppAndSinksSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("CLI dedup: cascade drops near-dups, keeps canonicals, matches exact path") {
+    val out = Files.createTempDirectory("graft_dedup").toString
+    val docsPath = s"$sfTiny/documents.parquet"
+    val nKept = graft.app.Main.dedup(spark, docsPath, out, 0.8, exact = false)
+    val docs = spark.read.parquet(docsPath)
+    val clusters = spark.read.parquet(s"$out/clusters")
+    val kept = spark.read.parquet(s"$out/kept")
+    assert(nKept == kept.count())
+    // every cluster keeps exactly its min-id member; unclustered docs kept
+    val dropped = clusters.filter($"doc_id" =!= $"cluster_id").count()
+    assert(kept.count() == docs.count() - dropped)
+    assert(dropped > 0, "no near-dups on the planted corpus — vacuous test")
+    // prefix-filter path (guaranteed recall) == exact path
+    val outEx = Files.createTempDirectory("graft_dedup_ex").toString
+    assert(graft.app.Main.dedup(spark, docsPath, outEx, 0.8, exact = true) == nKept)
+  }
+
   test("CLI load + run + check round-trip on a CSV fixture") {
     val root = Files.createTempDirectory("graft_cli").toString
     val csvDir = Files.createTempDirectory("graft_csv").toString
