@@ -222,6 +222,46 @@ object TextDedup {
     verifyPairs(docs, cands, n, minJaccard)
   }
 
+  /** Lexicographic prefix rows: per doc, sort its shingle set and expose
+    * only the first |s| − ⌈t·|s|⌉ + 1 tokens as join keys. The prefix
+    * theorem holds under ANY common total order; lex order trades some
+    * candidate selectivity (vs rarest-first) for needing NO corpus-wide
+    * frequency pass — a NARROW projection, which is what makes it stable
+    * under corpus growth (the incremental property: a new batch's
+    * prefixes are computed without touching the existing corpus).
+    */
+  private def lexPrefixRows(docs: DataFrame, n: Int, t: Double): DataFrame =
+    Par.fan(docs)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), explode(slice(sort_array(col("sh")), lit(1),
+        (size(col("sh")) - ceil(lit(t) * size(col("sh"))).cast(IntegerType) + 1))).as("s"))
+
+  /** Incremental near-dup pairs for a GROWING corpus: candidates touch
+    * only new×new and new×existing — the existing corpus never self-joins
+    * again. Correct because lex-prefix exposure is per-doc (order stable
+    * under growth), so a qualifying pair with ≥1 new member must collide
+    * between the two prefix sets computed here; old×old pairs were found
+    * when those docs were themselves new. Exact verification runs over
+    * the union (narrow, candidate-sized). Output schema = `jaccardPairs`;
+    * incremental(old, new) ∪ previous pairs == full-batch pairs
+    * (PipelineOpsSpec proves the composition).
+    */
+  def prefixFilterPairsIncremental(existing: DataFrame, incoming: DataFrame,
+      n: Int, minJaccard: Double): DataFrame = {
+    val pNew = lexPrefixRows(incoming, n, minJaccard)
+    val pOld = lexPrefixRows(existing, n, minJaccard)
+    val a = pNew.as("a")
+    val newNew = a.join(pNew.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val newOld = a.join(pOld.as("b"), col("a.s") === col("b.s"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val cands = newNew.unionByName(newOld).dropDuplicates("id_a", "id_b")
+    verifyPairs(existing.unionByName(incoming), cands, n, minJaccard)
+  }
+
   /** MinHash near-dup pairs: LSH candidates whose estimated Jaccard
     * (fraction of agreeing signature components) ≥ minEst. est_micro in
     * integer micro-units (n_agree/64 is dyadic — float ties are real).

@@ -212,6 +212,36 @@ object PipelineQueries {
         ORDER BY id_a, id_b"""),
       "prefix-filtered similarity join — guaranteed-recall near-dup pairs"),
 
+    // INCREMENTAL dedup for a growing corpus: the even-id docs play the
+    // existing corpus, the odd-id docs a new batch. Candidates touch only
+    // new×new and new×old (the existing corpus never self-joins again —
+    // the property that makes continuous curation affordable at 100 TB);
+    // lex-order prefixes are per-doc so exposure is stable under growth,
+    // recall stays a theorem, and exact verification makes the output
+    // relational: exactly the qualifying pairs with ≥1 odd member.
+    "d12_incremental_pairs" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextDedup.prefixFilterPairsIncremental(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            n = 3, minJaccard = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / (ca.n + cb.n - c)) AS BIGINT) AS jac_micro
+        FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+          AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        ORDER BY id_a, id_b"""),
+      "incremental near-dup pairs: new batch vs corpus, old docs never re-join"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(

@@ -66,6 +66,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exact.nonEmpty, "no planted pairs — vacuous test")
   }
 
+  test("incremental prefix pairs compose to the full-batch pair set") {
+    // old-batch pairs (found when those docs were new) ∪ incremental
+    // pairs of the new batch == one-shot pairs over the whole corpus
+    val old = docs.filter($"doc_id" % 2 === 0)
+    val neu = docs.filter($"doc_id" % 2 === 1)
+    val oldPairs = TextDedup.jaccardPairs(old, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val incr = TextDedup.prefixFilterPairsIncremental(old, neu, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = TextDedup.jaccardPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert((oldPairs ++ incr) == full,
+      s"missing: ${full.diff(oldPairs ++ incr)}; extra: ${(oldPairs ++ incr).diff(full)}")
+    assert(incr.nonEmpty, "no cross-batch pairs — vacuous test")
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
