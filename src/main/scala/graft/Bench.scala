@@ -29,6 +29,27 @@ object Bench {
       }
     }
 
+    // per-query shuffle/spill accounting: a listener accumulates stage
+    // metrics; the delta across a query's FIRST timed run is its cost.
+    // Measured bytes, not plan guesses — the number that predicts 100 TB
+    // behavior (a query whose shuffle is input-sized won't survive).
+    val mShuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val mShuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val mSpill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          mShuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          mShuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          mSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spillMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .sortBy(_._1).map { case (name, fn) =>
@@ -37,13 +58,23 @@ object Bench {
       // execution cost. A FAILED run must not contribute a (typically
       // fast) elapsed time — report NaN and skip the second run.
       var failed = false
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 2).flatMap { run =>
         if (failed) None
         else {
+          val first = run == 1
+          val (r0, w0, s0) =
+            if (first) (mShuffleRead.get, mShuffleWrite.get, mSpill.get)
+            else (0L, 0L, 0L)
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (first) {
+              org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+              shuffleMb(name) = (mShuffleWrite.get - w0 + mShuffleRead.get - r0) / 2097152.0
+              spillMb(name) = (mSpill.get - s0) / 1048576.0
+            }
+            Some(dt)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             failed = true
@@ -57,7 +88,10 @@ object Bench {
       "\"" + k + "\":" + (if (v.isNaN) "null" else f"$v%.3f")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def mb(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""shuffle_mb":${mb(shuffleMb)},"spill_mb":${mb(spillMb)},"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver captures a bounded stdout tail,
     // which truncated the round-3 artifact. The file is the durable copy.

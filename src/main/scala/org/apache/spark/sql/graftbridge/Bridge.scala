@@ -13,6 +13,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Block until every queued listener event is delivered — the metrics
+    * a SparkListener accumulates are only consistent after the bus
+    * drains (`SparkContext.listenerBus` is private[spark]; this shim
+    * lives inside org.apache.spark, the standard extension pattern).
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Planned scan-task count of a pure file-scan pipeline, from the
     * PHYSICAL plan's leaves — the number Spark's bin-packing actually
     * produced (small files pack many-per-split, large files split by
