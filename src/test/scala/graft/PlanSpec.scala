@@ -171,4 +171,62 @@ class PlanSpec extends SparkTestBase {
     val p = planOf(q("a18_corr"))
     assert(p.split("HashAggregate").length >= 3, p)
   }
+
+  test("dynamic partition pruning fires on a partition-key join") {
+    import spark.implicits._
+    // at 100 TB the fact table is partitioned and the dim filter is only
+    // known at runtime — DPP turns the partition-key join into a
+    // partition filter on the scan, so unmatched partitions are never
+    // read. Prove the mechanism fires under OUR session config.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.events(spark, sfTiny)
+      .write.partitionBy("event_type").mode("overwrite").parquet(s"$dir/fact")
+    // the dim must be a FILTERED SCAN at planning time (a literal local
+    // relation constant-folds, and the PartitionPruning rule then sees no
+    // selective predicate to propagate)
+    Seq(("purchase", 1), ("click", 0)).toDF("etype", "flag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter($"flag" === 1)
+    val joined = fact.join(dim, fact("event_type") === dim("etype"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$p")
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{when, concat, lit}
+    // salting (j6) is the manual fix; AQE's skew-join split is the
+    // automatic one — prove it engages under our session config (with
+    // thresholds scaled down to fixture size).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val big = spark.range(0, 40000)
+        .select(when($"id" % 4 =!= 0, 0L).otherwise($"id").as("k"),
+          concat(lit("payload_payload_payload_"), $"id").as("v"))
+      val small = spark.range(0, 2000).select($"id".as("k"), $"id".as("w"))
+      val j = big.join(small, Seq("k"))
+      // materialize THIS Dataset's QueryExecution — AQE finalizes the
+      // plan at runtime (count()/write() would plan a separate one)
+      assert(j.collect().nonEmpty)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew-split join in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
