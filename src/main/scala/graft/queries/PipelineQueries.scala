@@ -602,6 +602,44 @@ object PipelineQueries {
         ORDER BY c DESC, tri"""),
       "trigram LM counts + document frequency — n-gram corpus statistics"),
 
+    // Embedding outlier detection (mislabeled/noise screening): score
+    // every vector against its OWN label's centroid and flag the far
+    // tail. Composes emb2's decimal-exact centroids (broadcast — 10×64
+    // doubles) with d5's cosine parity; the scan side is one narrow
+    // DotProduct pass, no self-join anywhere.
+    "e2e5_embedding_outliers" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+        val cents = e.select(col("label"), posexplode(col("emb")))
+          .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
+          .agg(sum(col("col").cast(DecimalType(18, 6))).as("s6"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"), (col("s6").cast(DoubleType) / col("n")).as("c_val"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c_val")))),
+            x => x.getField("c_val")).as("cent"))
+        val dotp = Similarity.dot _
+        e.join(broadcast(cents), Seq("label"))
+          .withColumn("cs", dotp(col("emb"), col("cent")) /
+            sqrt(dotp(col("emb"), col("emb")) * dotp(col("cent"), col("cent"))))
+          .filter(col("cs") < -0.05)
+          .select(col("vec_id"), col("label"),
+            col("cs").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        c AS (SELECT label, i AS dim,
+            CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val
+          FROM e, UNNEST(range(1, 65)) AS t(i) GROUP BY label, i),
+        ca AS (SELECT label, list(c_val ORDER BY dim) AS cent FROM c GROUP BY label),
+        s AS (SELECT e.vec_id, e.label,
+            list_cosine_similarity(e.emb, ca.cent) AS cs
+          FROM e JOIN ca USING (label))
+        SELECT vec_id, label, CAST(CAST(cs AS DECIMAL(18,6)) AS DOUBLE) AS cos
+        FROM s WHERE cs < -0.05 ORDER BY vec_id"""),
+      "per-label centroid outliers: broadcast centroids, narrow cosine scan"),
+
     // TF-IDF top terms per doc: ranking is INTEGER-keyed (tf desc, df
     // asc, term) so it cannot flip across engines; only the score value
     // crosses the float boundary, rendered through DECIMAL(18,6) with
