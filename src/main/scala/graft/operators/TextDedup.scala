@@ -204,16 +204,9 @@ object TextDedup {
     * tokens only, then output-sized verification.
     */
   def prefixFilterPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(docs, n)
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val wSize = Window.partitionBy(col("doc_id"))
-    val prefix = sh.join(freq, Seq("s"))
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("sz", count(lit(1)).over(wSize))
-      .filter(col("rn") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
-      .select(col("doc_id"), col("s"))
+    val prefix = dfPrefixRows(sh, freq, minJaccard)
     val a = prefix.as("a"); val b = prefix.as("b")
     val cands = a.join(b,
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -222,34 +215,47 @@ object TextDedup {
     verifyPairs(docs, cands, n, minJaccard)
   }
 
-  /** Lexicographic prefix rows: per doc, sort its shingle set and expose
-    * only the first |s| − ⌈t·|s|⌉ + 1 tokens as join keys. The prefix
-    * theorem holds under ANY common total order; lex order trades some
-    * candidate selectivity (vs rarest-first) for needing NO corpus-wide
-    * frequency pass — a NARROW projection, which is what makes it stable
-    * under corpus growth (the incremental property: a new batch's
-    * prefixes are computed without touching the existing corpus).
+  /** Rarest-first prefix rows under a given document-frequency order:
+    * rank each doc's shingles by (df asc, shingle), keep the first
+    * |s| − ⌈t·|s|⌉ + 1 — the doc-sized window + one join against the
+    * frequency table.
     */
-  private def lexPrefixRows(docs: DataFrame, n: Int, t: Double): DataFrame =
-    Par.fan(docs)
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .select(col("doc_id"), explode(slice(sort_array(col("sh")), lit(1),
-        (size(col("sh")) - ceil(lit(t) * size(col("sh"))).cast(IntegerType) + 1))).as("s"))
+  private def dfPrefixRows(sh: DataFrame, freq: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val wSize = Window.partitionBy(col("doc_id"))
+    sh.join(freq, Seq("s"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wSize))
+      .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("s"))
+  }
 
   /** Incremental near-dup pairs for a GROWING corpus: candidates touch
-    * only new×new and new×existing — the existing corpus never self-joins
-    * again. Correct because lex-prefix exposure is per-doc (order stable
-    * under growth), so a qualifying pair with ≥1 new member must collide
-    * between the two prefix sets computed here; old×old pairs were found
-    * when those docs were themselves new. Exact verification runs over
-    * the union (narrow, candidate-sized). Output schema = `jaccardPairs`;
-    * incremental(old, new) ∪ previous pairs == full-batch pairs
+    * only new×new and new×existing — the existing corpus never SELF-joins
+    * again (the quadratic piece is gone; what remains per batch is one
+    * narrow frequency count, two prefix projections, and joins whose one
+    * side is batch-sized). Correctness: the prefix theorem needs only a
+    * common total order WITHIN this batch's comparison — both sides'
+    * prefixes here use the same union-corpus (df, shingle) order, so any
+    * qualifying pair with ≥1 new member must collide; old×old pairs were
+    * found when those docs were themselves new, under that batch's order
+    * (each valid independently). Rarest-first keeps candidate volume
+    * near-dup-sized — and the df counts feeding the order are plain
+    * abelian sums, so a production deployment maintains them
+    * incrementally (the IncrementalMart pattern) instead of recounting.
+    * Exact verification runs over candidates only. Output schema =
+    * `jaccardPairs`; old-pairs ∪ incremental == full-batch pairs
     * (PipelineOpsSpec proves the composition).
     */
   def prefixFilterPairsIncremental(existing: DataFrame, incoming: DataFrame,
       n: Int, minJaccard: Double): DataFrame = {
-    val pNew = lexPrefixRows(incoming, n, minJaccard)
-    val pOld = lexPrefixRows(existing, n, minJaccard)
+    val shNew = shingleRows(incoming, n)
+    val shOld = shingleRows(existing, n)
+    val freq = shNew.unionByName(shOld)
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val pNew = dfPrefixRows(shNew, freq, minJaccard)
+    val pOld = dfPrefixRows(shOld, freq, minJaccard)
     val a = pNew.as("a")
     val newNew = a.join(pNew.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

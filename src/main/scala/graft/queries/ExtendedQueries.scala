@@ -467,6 +467,34 @@ object ExtendedQueries {
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""),
       "TPC-H Q21-shaped semi + anti join: sole-late-supplier detection"),
 
+    // TPC-H Q17 shape (small-quantity revenue): the correlated scalar
+    // subquery `l_quantity < 0.2 * (SELECT AVG(l_quantity) ... WHERE
+    // l_partkey = p_partkey)` DECORRELATED the way an optimizer would:
+    // one per-part aggregate (exact decimal sufficient statistics, one
+    // double division), joined back to the fact — per-part avg is
+    // computed once, not per probe row. The threshold multiply/compare
+    // is the identical double op sequence on both engines.
+    "q17_small_quantity" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val avgQ = li.groupBy(col("l_partkey").as("ap"))
+          .agg((dbl(dec38(sum(dec(col("l_quantity"), 10, 4)), 4)) /
+            count(lit(1))).as("avg_q"))
+        li.join(avgQ, col("l_partkey") === col("ap"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+          .agg(count(lit(1)).as("n_items"),
+            decStr(dec38(sum(dec(col("l_extendedprice"), 12, 4)), 4)).as("revenue"))
+      },
+      Some("""WITH a AS (SELECT l_partkey AS ap,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,4))) AS DECIMAL(38,4)) AS DOUBLE)
+            / COUNT(*) AS avg_q
+          FROM lineitem GROUP BY 1)
+        SELECT COUNT(*) AS n_items,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+        FROM lineitem JOIN a ON l_partkey = ap
+        WHERE l_quantity < 0.2 * avg_q"""),
+      "TPC-H Q17-shaped decorrelated scalar subquery: per-part avg joined once"),
+
     // Equi-DEPTH histogram — a17's quantile sibling — WITHOUT the
     // single-task global window: GlobalOrder.cumSum with value 1 is a
     // distributed rank (range-repartition + per-partition prefix +
