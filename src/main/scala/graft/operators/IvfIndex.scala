@@ -95,27 +95,42 @@ object IvfIndex {
     emb.select(col("vec_id"), nearestCell(v, centroids).as("cell"))
   }
 
+  /** The materialized index: (neighbor_id, nv, cell) rows a production
+    * deployment persists and queries many times. Appending a new vector
+    * batch is THIS projection over the batch unioned onto the stored
+    * index — centroids stay frozen (the FAISS add-after-train shape), so
+    * incremental build == batch build by construction, and the existing
+    * index is never recomputed (PipelineOpsSpec pins the equality).
+    */
+  def buildIndex(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val cv = asDouble(col("embedding"))
+    corpus.select(col("vec_id").as("neighbor_id"), cv.as("nv"),
+      nearestCell(cv, centroids).as("cell"))
+  }
+
+  /** Approximate top-k over a prebuilt index (see `buildIndex`). */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nprobe: Int = 4): DataFrame = {
+    val cv = asDouble(col("embedding"))
+    val queryProbes = queries.select(col("vec_id").as("query_id"), cv.as("qv"),
+        explode(nearestCells(cv, centroids, nprobe)).as("cell"))
+    val scored = queryProbes.join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotp(col("qv"), col("nv")) /
+        sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
+  }
+
   /** Approximate top-k: probe the query's `nprobe` nearest cells, exact
     * cosine rescoring within them only.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       kClusters: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
     val centroids = fit(corpus, kClusters, iters)
-    val cv = asDouble(col("embedding"))
-    val corpusCells = corpus.select(col("vec_id").as("neighbor_id"), cv.as("nv"),
-      nearestCell(cv, centroids).as("cell"))
-    val queryProbes = queries.select(col("vec_id").as("query_id"), cv.as("qv"),
-        explode(nearestCells(cv, centroids, nprobe)).as("cell"))
-    val scored = queryProbes.join(corpusCells, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dotp(col("qv"), col("nv")) /
-        sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))))
-    // narrow projection + rank filter: Spark's partial WindowGroupLimit
-    // under the exchange keeps the ranking shuffle output-sized
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.select(col("query_id"), col("neighbor_id"), col("cos"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
+    ivfTopKIndexed(queries, buildIndex(corpus, centroids), centroids, k, nprobe)
   }
 }

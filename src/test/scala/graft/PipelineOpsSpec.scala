@@ -66,6 +66,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exact.nonEmpty, "no planted pairs — vacuous test")
   }
 
+  test("IVF index append: incremental build equals batch build, old index untouched") {
+    import graft.operators.IvfIndex
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val neu = emb.filter($"vec_id" % 2 === 1)
+    val centroids = IvfIndex.fit(old, 8, 3) // trained once, frozen
+    val incremental = IvfIndex.buildIndex(old, centroids)
+      .unionByName(IvfIndex.buildIndex(neu, centroids)) // the append
+    val batch = IvfIndex.buildIndex(emb, centroids)
+    val q = emb.filter($"vec_id" < 5)
+    val a = IvfIndex.ivfTopKIndexed(q, incremental, centroids, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = IvfIndex.ivfTopKIndexed(q, batch, centroids, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("incremental prefix pairs compose to the full-batch pair set") {
     // old-batch pairs (found when those docs were new) ∪ incremental
     // pairs of the new batch == one-shot pairs over the whole corpus
