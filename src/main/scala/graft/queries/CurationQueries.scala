@@ -131,6 +131,46 @@ object CurationQueries {
         FROM n WHERE copies > 0 GROUP BY source ORDER BY source"""),
       "deterministic upsampling to a >1x target mix, replicas materialized"),
 
+    // Temperature-scaled language rebalancing (the multilingual training
+    // mix: rare languages upsampled toward p^α, α = 0.5): per-lang rate
+    // = ⌊1000·√(c_max/c_l)⌋ permille, DERIVED FROM THE CORPUS COUNTS
+    // rather than hand-set like mx2. The rate math is per-lang (one
+    // divide, one sqrt — no cross-lang float sum to order), replication
+    // reuses the deterministic content-hash machinery, so the whole mix
+    // is reproducible across engines, reruns and cluster sizes.
+    "mx3_temperature_mix" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        val cmax = counts.agg(max(col("c")).as("cmax"))
+        val rates = counts.crossJoin(broadcast(cmax))
+          .select(col("lang"), col("c").as("n_orig"),
+            floor(lit(1000d) * sqrt(col("cmax").cast(DoubleType) / col("c")))
+              .cast(LongType).as("rate_permille"))
+        val tagged = docs.join(broadcast(rates), Seq("lang"))
+        Curation.upsample(tagged, col("rate_permille"))
+          .groupBy(col("lang"))
+          .agg(max(col("n_orig")).as("n_orig"),
+            max(col("rate_permille")).as("rate_permille"),
+            count(lit(1)).as("n_out"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        m AS (SELECT MAX(c) AS cmax FROM c),
+        r AS (SELECT lang, c AS n_orig,
+            CAST(FLOOR(1000 * sqrt(CAST(cmax AS DOUBLE) / c)) AS BIGINT) AS rate_permille
+          FROM c, m),
+        n AS (SELECT d.lang, r.n_orig, r.rate_permille,
+            r.rate_permille // 1000 + CASE WHEN
+              CAST(concat('0x', substr(md5(d.text), 1, 4)) AS BIGINT) % 1000
+              < r.rate_permille % 1000 THEN 1 ELSE 0 END AS copies
+          FROM documents d JOIN r USING (lang))
+        SELECT lang, CAST(MAX(n_orig) AS BIGINT) AS n_orig,
+          CAST(MAX(rate_permille) AS BIGINT) AS rate_permille,
+          CAST(SUM(copies) AS BIGINT) AS n_out
+        FROM n WHERE copies > 0 GROUP BY lang ORDER BY lang"""),
+      "temperature (a=0.5) language rebalancing — rates derived from corpus counts"),
+
     // Token-window chunking: 32-word windows, stride 24 — the sequence
     // preparation step before packing (t7/t8 pack whole docs; t10 splits
     // long ones). One narrow explode, no shuffle.
