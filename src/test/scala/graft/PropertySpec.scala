@@ -208,6 +208,36 @@ class PropertySpec extends SparkTestBase {
       s"d6 surface missed ${mustCollide.diff(filtered)}")
   }
 
+  test("prefix filter equals exact Jaccard on random corpora (theorem check)") {
+    // the classic prefix-filter bug is an off-by-one in
+    // |s| - ceil(t*|s|) + 1; random small-vocab corpora force heavy
+    // token overlap, so a too-short prefix WOULD drop qualifying pairs
+    import graft.operators.TextDedup
+    (1 to 3).foreach { trial =>
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      val docs = (0L until 40L).map { id =>
+        val n = 5 + rnd.nextInt(8)
+        val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = Seq(0.5, 0.7, 0.8)(trial - 1)
+      val exact = TextDedup.jaccardPairs(docs, 2, t)
+        .as[(Long, Long, Long)].collect().toSet
+      val prefix = TextDedup.prefixFilterPairs(docs, 2, t)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(prefix == exact, s"trial $trial t=$t: " +
+        s"missed ${exact.diff(prefix)}, extra ${prefix.diff(exact)}")
+      // incremental composition on the same corpus
+      val old = docs.filter($"doc_id" % 2 === 0)
+      val neu = docs.filter($"doc_id" % 2 === 1)
+      val oldPairs = TextDedup.jaccardPairs(old, 2, t)
+        .as[(Long, Long, Long)].collect().toSet
+      val incr = TextDedup.prefixFilterPairsIncremental(old, neu, 2, t)
+        .as[(Long, Long, Long)].collect().toSet
+      assert((oldPairs ++ incr) == exact, s"trial $trial t=$t incremental mismatch")
+    }
+  }
+
   test("connectedComponents equals driver-side union-find on random graphs") {
     import graft.operators.TextDedup
     (1 to 3).foreach { trial =>
