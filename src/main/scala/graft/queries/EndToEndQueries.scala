@@ -151,6 +151,83 @@ object EndToEndQueries {
         GROUP BY 1 ORDER BY split"""),
       "curation pipeline e2e: dedup → quality gate → hash split → corpus stats"),
 
+    // The SCALE-PATH curation cascade composed end-to-end: near-dup
+    // removal via the prefix-filter join (guaranteed recall, never n²) →
+    // connected components → keep canonicals → quality gate →
+    // temperature-scaled language rebalancing with rates derived from
+    // the SURVIVORS' counts. The oracle replays the whole chain —
+    // recursive-CTE closure, the same quality formula, the same
+    // per-lang rate math — so a hash match certifies the composition,
+    // not just the stages.
+    "e2e6_curation_mix" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, TextDedup, TextStats}
+        val docs = Tables.documents(s, d)
+        val clusters = TextDedup.connectedComponents(
+          TextDedup.prefixFilterPairs(docs, n = 3, minJaccard = 0.8))
+        val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        val kept = docs.join(drop, Seq("doc_id"), "left_anti")
+        val gated = TextStats.qualityMetrics(kept)
+          .filter(col("quality_score") >= 300)
+        val counts = gated.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        val cmax = counts.agg(max(col("c")).as("cmax"))
+        val rates = counts.crossJoin(broadcast(cmax))
+          .select(col("lang"), col("c").as("n_docs"),
+            floor(lit(1000d) * sqrt(col("cmax").cast("double") / col("c")))
+              .cast(LongType).as("rate_permille"))
+        val tagged = gated.select(col("lang"), col("doc_id"), col("text"))
+          .join(broadcast(rates), Seq("lang"))
+        Curation.upsample(tagged, col("rate_permille"))
+          .groupBy(col("lang"))
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("rate_permille")).as("rate_permille"),
+            count(lit(1)).as("n_out"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        clus AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+        kept AS (SELECT doc_id, lang, text FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)),
+        gated AS (SELECT doc_id, lang, text FROM (
+          SELECT doc_id, lang, text,
+            (CASE WHEN len(string_split($normSql2, ' ')) > 0
+              THEN CAST(FLOOR(CAST(len(list_filter(string_split($normSql2, ' '),
+                x -> list_contains(['the','a','and','of','to','in','is','on'], x))) AS DOUBLE)
+                * 1000 / len(string_split($normSql2, ' '))) AS BIGINT) ELSE 0 END)
+            + least(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 100) * 10
+            - (CASE WHEN length(text) > 0
+              THEN CAST(FLOOR(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                * 1000 / length(text)) AS BIGINT) ELSE 0 END) AS quality_score
+          FROM kept) WHERE quality_score >= 300),
+        c AS (SELECT lang, COUNT(*) AS c FROM gated GROUP BY lang),
+        m AS (SELECT MAX(c) AS cmax FROM c),
+        r AS (SELECT lang, c AS n_docs,
+            CAST(FLOOR(1000 * sqrt(CAST(cmax AS DOUBLE) / c)) AS BIGINT) AS rate_permille
+          FROM c, m),
+        n AS (SELECT g.lang, r.n_docs, r.rate_permille,
+            r.rate_permille // 1000 + CASE WHEN
+              CAST(concat('0x', substr(md5(g.text), 1, 4)) AS BIGINT) % 1000
+              < r.rate_permille % 1000 THEN 1 ELSE 0 END AS copies
+          FROM gated g JOIN r USING (lang))
+        SELECT lang, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+          CAST(MAX(rate_permille) AS BIGINT) AS rate_permille,
+          CAST(SUM(copies) AS BIGINT) AS n_out
+        FROM n WHERE copies > 0 GROUP BY lang ORDER BY lang"""),
+      "scale-path curation composed: near-dup cascade -> quality gate -> temperature mix"),
+
     // The curation ops COMPOSED the way a pre-training data pipeline ships
     // them: hold out a benchmark slice, drop training docs that leak a
     // benchmark 4-gram, gate on repetition signals, then chunk the
