@@ -40,6 +40,40 @@ object Temporal {
     }
   }
 
+  final case class Flagged(key: Long, ts: Long, value: Double, ema: Double,
+    is_anom: Int)
+
+  /** Anomaly flags from the EMA residual: dev_i = |v_i − ema_{i−1}|,
+    * smoothed by its own EMA (β); a point is anomalous when its deviation
+    * exceeds k× the smoothed deviation so far. Two doubles of state per
+    * key, the same grouped-local-walk shape as `ema` — and the same
+    * recursive-CTE replay makes it oracle-checkable: every float op is
+    * sequenced identically on both engines.
+    */
+  def emaAnomaly(points: Dataset[Point], alpha: Double, beta: Double,
+      k: Double): Dataset[Flagged] = {
+    import points.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1 && k > 0)
+    points.groupByKey(_.key).flatMapGroups { (key, it) =>
+      val sorted = it.toArray.sortBy(p => (p.ts, p.value))
+      var e = Double.NaN
+      var ed = Double.NaN
+      sorted.iterator.map { p =>
+        val anom =
+          if (!e.isNaN && !ed.isNaN) {
+            val dev = math.abs(p.value - e)
+            if (dev > k * ed) 1 else 0
+          } else 0
+        if (!e.isNaN) {
+          val dev = math.abs(p.value - e)
+          ed = if (ed.isNaN) dev else beta * dev + (1 - beta) * ed
+        }
+        e = if (e.isNaN) p.value else alpha * p.value + (1 - alpha) * e
+        Flagged(key, p.ts, p.value, e, anom)
+      }
+    }
+  }
+
   final case class EmaState(ema: Double, lastTs: Long)
 
   /** Streaming twin of `ema`: flatMapGroupsWithState carries each key's

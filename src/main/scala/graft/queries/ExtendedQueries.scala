@@ -395,6 +395,48 @@ object ExtendedQueries {
         ORDER BY user_id, ts_us, value"""),
       "per-user EMA smoothing of event values (alpha=0.2)"),
 
+    // w6's alarm stage: flag points whose EMA residual exceeds 3x its own
+    // smoothed level (operators/Temporal.emaAnomaly — two doubles of
+    // state per key). The oracle replays BOTH recurrences in one
+    // recursive CTE with the identical float op sequence; the flag is
+    // projected as an integer.
+    "w7_ema_anomaly" -> Q(
+      (s, d) => {
+        import graft.operators.Temporal
+        val ss = s
+        import ss.implicits._
+        val pts = Tables.events(s, d)
+          .select(col("user_id").as("key"),
+            expr("ts DIV 1000").as("ts"), col("value"))
+          .as[Temporal.Point]
+        Temporal.emaAnomaly(pts, alpha = 0.2, beta = 0.3, k = 3.0).toDF()
+          .select(col("key").as("user_id"), col("ts").as("ts_us"),
+            col("value"), col("ema"), col("is_anom"))
+          .orderBy(col("user_id"), col("ts_us"), col("value"))
+      },
+      Some("""WITH RECURSIVE pts AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value) AS rn
+          FROM events),
+        walk(user_id, ts_us, value, ema, emadev, rn, is_anom) AS (
+          SELECT user_id, ts_us, value, value AS ema,
+            CAST(NULL AS DOUBLE) AS emadev, rn, 0 AS is_anom
+          FROM pts WHERE rn = 1
+          UNION ALL
+          SELECT p.user_id, p.ts_us, p.value,
+            CAST(0.2 AS DOUBLE) * p.value + CAST(0.8 AS DOUBLE) * w.ema,
+            CASE WHEN w.emadev IS NULL THEN abs(p.value - w.ema)
+              ELSE CAST(0.3 AS DOUBLE) * abs(p.value - w.ema)
+                + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * w.emadev END,
+            p.rn,
+            CASE WHEN w.emadev IS NOT NULL
+              AND abs(p.value - w.ema) > CAST(3.0 AS DOUBLE) * w.emadev
+              THEN 1 ELSE 0 END
+          FROM walk w JOIN pts p ON p.user_id = w.user_id AND p.rn = w.rn + 1)
+        SELECT user_id, ts_us, value, ema, CAST(is_anom AS INT) AS is_anom
+        FROM walk ORDER BY user_id, ts_us, value"""),
+      "EMA-residual anomaly flags (3x smoothed deviation) — the monitoring alarm"),
+
     // TPC-H Q18 shape (large-volume customers): aggregate the fact FIRST,
     // filter on the aggregate, then join the (now tiny) qualifying set to
     // orders/customer — the aggregate-then-join order is the whole scale

@@ -20,6 +20,23 @@ class TemporalSpec extends SparkTestBase {
       Smoothed(2L, 10L, 10.0, 10.0), Smoothed(2L, 40L, 20.0, 15.0)))
   }
 
+  test("emaAnomaly flags the spike and only the spike (hand-walked)") {
+    // alpha=0.5, beta=0.5, k=2: steady 10s then a spike to 100.
+    // i=1: e=10            ed=—     anom 0
+    // i=2: dev=0  ed=0     e=10     anom 0 (ed was unset)
+    // i=3: dev=0  ed=0     e=10     anom 0 (0 > 2·0 false)
+    // i=4: dev=90 ed=45    e=55     anom 1 (90 > 2·0)
+    // i=5: dev=45 ed=45    e=32.5   anom 0 (45 > 2·45 false)
+    val pts = Seq(
+      Point(7L, 10L, 10.0), Point(7L, 20L, 10.0), Point(7L, 30L, 10.0),
+      Point(7L, 40L, 100.0), Point(7L, 50L, 10.0))
+    val got = Temporal.emaAnomaly(pts.toDS().repartition(3),
+        alpha = 0.5, beta = 0.5, k = 2.0)
+      .collect().sortBy(_.ts).map(f => (f.ts, f.ema, f.is_anom)).toSeq
+    assert(got == Seq((10L, 10.0, 0), (20L, 10.0, 0), (30L, 10.0, 0),
+      (40L, 55.0, 1), (50L, 32.5, 0)))
+  }
+
   test("ema invariants on real events: bounded by running min/max, alpha=1 is identity") {
     val pts = Tables.events(spark, sfTiny)
       .selectExpr("user_id as key", "ts", "value").as[Point]
