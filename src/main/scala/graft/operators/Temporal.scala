@@ -74,6 +74,44 @@ object Temporal {
     }
   }
 
+  final case class AnomState(ema: Double, emadev: Double, lastTs: Long)
+
+  /** Streaming twin of `emaAnomaly`: flatMapGroupsWithState carries each
+    * key's (ema, emadev) across micro-batches — on in-order-per-key
+    * delivery the flags are bit-identical to the batch walk over the
+    * concatenated input (TemporalSpec proves it). NaN marks unset state
+    * (parquet-safe; Option[Double] would be, too, but the walk's NaN
+    * sentinel keeps the two implementations line-for-line identical).
+    */
+  def emaAnomalyStream(points: Dataset[Point], alpha: Double, beta: Double,
+      k: Double): Dataset[Flagged] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1 && k > 0)
+    points.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: Long, it: Iterator[Point], state: GroupState[AnomState]) => {
+        val sorted = it.toArray.sortBy(p => (p.ts, p.value))
+        var e = state.getOption.map(_.ema).getOrElse(Double.NaN)
+        var ed = state.getOption.map(_.emadev).getOrElse(Double.NaN)
+        val out = sorted.map { p =>
+          val anom =
+            if (!e.isNaN && !ed.isNaN) {
+              val dev = math.abs(p.value - e)
+              if (dev > k * ed) 1 else 0
+            } else 0
+          if (!e.isNaN) {
+            val dev = math.abs(p.value - e)
+            ed = if (ed.isNaN) dev else beta * dev + (1 - beta) * ed
+          }
+          e = if (e.isNaN) p.value else alpha * p.value + (1 - alpha) * e
+          Flagged(key, p.ts, p.value, e, anom)
+        }
+        if (out.nonEmpty) state.update(AnomState(e, ed, sorted.last.ts))
+        out.iterator
+      })
+  }
+
   final case class EmaState(ema: Double, lastTs: Long)
 
   /** Streaming twin of `ema`: flatMapGroupsWithState carries each key's

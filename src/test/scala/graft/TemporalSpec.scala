@@ -74,4 +74,28 @@ class TemporalSpec extends SparkTestBase {
     val batch = Temporal.ema((b1 ++ b2).toDS(), alpha = 0.5).collect().toSet
     assert(streamed == batch, s"stream $streamed != batch $batch")
   }
+
+  test("streaming anomaly flags continue state across micro-batches, equal batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // spike lands in the SECOND micro-batch — the flag depends on state
+    // (ema, emadev) carried over from the first
+    val b1 = Seq(Point(7L, 10L, 10.0), Point(7L, 20L, 10.0), Point(7L, 30L, 10.0))
+    val b2 = Seq(Point(7L, 40L, 100.0), Point(7L, 50L, 10.0))
+
+    val src = MemoryStream[Point]
+    val q = Temporal.emaAnomalyStream(src.toDS(), alpha = 0.5, beta = 0.5, k = 2.0)
+      .writeStream.format("memory").queryName("anom_stream")
+      .outputMode("append").start()
+    src.addData(b1: _*); q.processAllAvailable()
+    src.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("anom_stream")
+      .as[Temporal.Flagged].collect().toSet
+    val batch = Temporal.emaAnomaly((b1 ++ b2).toDS(),
+      alpha = 0.5, beta = 0.5, k = 2.0).collect().toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.count(_.is_anom == 1) == 1, "expected exactly the spike flagged")
+  }
 }
