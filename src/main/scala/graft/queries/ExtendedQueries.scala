@@ -177,6 +177,41 @@ object ExtendedQueries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       "exact interpolated median per group (approx_percentile is the scale path)"),
 
+    // EXACT rank-selection quartiles per group (vs a11's interpolated
+    // median and a13's sketch): the value AT rank ⌈q·n⌉ under a total
+    // order — pure integer rank selection, so the output is an actual
+    // data element and hash-safe. The window partitions BY GROUP
+    // (group-sized sorts, never a global single task).
+    "a21_exact_quartiles" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_orderkey"), col("l_linenumber"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        val wn = Window.partitionBy(col("l_returnflag"))
+        val ranked = li.withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("n", count(lit(1)).over(wn))
+        def at(q: Double) =
+          max(when(col("rn") === ceil(lit(q) * col("n")), col("l_quantity")))
+        ranked.groupBy(col("l_returnflag"))
+          .agg(max(col("n")).as("n"),
+            at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_quantity,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+        SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+          MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN l_quantity END) AS p25,
+          MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN l_quantity END) AS p50,
+          MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN l_quantity END) AS p75
+        FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "exact rank-selection quartiles per group — data elements, group-sized sorts"),
+
     // a11's 100 TB path: sketch-based quantiles (KLL-style) — one pass, no
     // sort. Deterministic for fixed input but engine-specific → rows-only;
     // the error envelope vs exact percentile is asserted in
