@@ -13,6 +13,9 @@ object Bench {
     // optional args: bench only the named queries (dev iteration); the
     // driver passes none → full run.
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[bench] WARNING: unknown query names ignored: ${unknown.toSeq.sorted.mkString(", ")}")
     val spark = GraftSession.get()
 
     // Warmup (not timed): run every query once at the smallest SF so the
@@ -47,7 +50,8 @@ object Bench {
         }
       }
     })
-    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val shuffleReadMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val shuffleWriteMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spillMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     val results = SparkEntry.queries.toSeq
@@ -69,9 +73,13 @@ object Bench {
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val dt = (System.nanoTime() - t0) / 1e9
+            // drain after BOTH runs: late stage-completion events from
+            // run 2 must not land after the NEXT query's baseline
+            // snapshot and inflate that query's delta.
+            org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
             if (first) {
-              org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
-              shuffleMb(name) = (mShuffleWrite.get - w0 + mShuffleRead.get - r0) / 2097152.0
+              shuffleReadMb(name) = (mShuffleRead.get - r0) / 1048576.0
+              shuffleWriteMb(name) = (mShuffleWrite.get - w0) / 1048576.0
               spillMb(name) = (mSpill.get - s0) / 1048576.0
             }
             Some(dt)
@@ -91,16 +99,24 @@ object Bench {
     def mb(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""shuffle_mb":${mb(shuffleMb)},"spill_mb":${mb(spillMb)},"sf":"$sfDir"}"""
+      f""""shuffle_read_mb":${mb(shuffleReadMb)},"shuffle_write_mb":${mb(shuffleWriteMb)},""" +
+      f""""spill_mb":${mb(spillMb)},"sf":"$sfDir"}"""
     println(line)
-    // Also persist to a file: the driver captures a bounded stdout tail,
-    // which truncated the round-3 artifact. The file is the durable copy.
+    // Persist the full line to a file — the durable copy. Skip when an
+    // `only` subset ran (dev iteration): partial totals must not clobber
+    // the full-run artifact (unless an explicit out path was given).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
-    }
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
+    } else System.err.println(s"[bench] partial run (${only.size} queries): not writing $out")
+    // LAST stdout line: a compact summary WITHOUT the shuffle/spill maps,
+    // so the driver's bounded tail capture always ends with a parseable
+    // JSON line even as the full artifact grows.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact":"$out"}""")
     spark.stop()
   }
 }

@@ -91,7 +91,8 @@ object Media {
         val n = m.payload.length
         if (n == 0) MediaHash(m.media_id, 0L)
         else {
-          val px = Array.tabulate(64)(i => m.payload((i * (n - 1) / 63)) & 0xFF)
+          // Long arithmetic: i*(n-1) overflows Int for payloads > ~34 MB
+          val px = Array.tabulate(64)(i => m.payload((i.toLong * (n - 1) / 63).toInt) & 0xFF)
           val avg = px.map(_.toLong).sum / 64
           var h = 0L
           var i = 0

@@ -135,6 +135,36 @@ object PqIndex {
       sqrt(dotp(v, v)).as("norm"))
   }
 
+  /** The persistable PQ index row: codes PLUS the raw vector for the
+    * exact re-rank tail (the FAISS IndexRefineFlat layout — the
+    * compressed scan ranks, the stored vector rescores the shortlist).
+    * Appending a new batch is THIS projection with the codebooks frozen,
+    * so incremental build == batch build by construction.
+    */
+  def buildIndex(corpus: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val v = asDouble(col("embedding"))
+    corpus.select(col("vec_id"), encodeExpr(v, codebooks).as("code"),
+      sqrt(dotp(v, v)).as("norm"), v.as("nv"))
+  }
+
+  /** The persistable IVFPQ index row: coarse cell + residual code + norm +
+    * raw vector — (vec_id, cell, code, norm, nv). Centroids and codebooks
+    * stay frozen after training (add-after-train), so appends never touch
+    * existing rows.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    // two-stage select: the cell argmin materializes as a column BEFORE
+    // the encode expression references it M·KSub times (CollapseProject
+    // keeps non-cheap aliases staged — NOTES.md plan-size discipline)
+    val v = asDouble(col("embedding"))
+    val withCell = corpus.select(col("vec_id"), v.as("v"),
+      element_at(IvfIndex.nearestCellsPublic(v, centroids, 1), 1).as("cell"))
+    withCell.select(col("vec_id"), col("cell"),
+      encodeExpr(col("v"), codebooks, Some((col("cell"), centroids))).as("code"),
+      sqrt(dotp(col("v"), col("v"))).as("norm"), col("v").as("nv"))
+  }
+
   /** Narrow 3-column projection before the shortlist window: the LUT and
     * code columns never ride the ranking shuffle, and Spark's partial
     * WindowGroupLimit under the exchange bounds it to ≤ partitions·n rows
@@ -153,43 +183,45 @@ object PqIndex {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, refine: Int = 32,
       codebooks0: Array[Array[Array[Double]]] = null): DataFrame = {
-    val spark = corpus.sparkSession
     val codebooks = if (codebooks0 != null) codebooks0 else train(corpus)
-    val codes = encode(corpus, codebooks)
+    pqTopKIndexed(queries, buildIndex(corpus, codebooks), codebooks, k, refine)
+  }
 
-    // per-query LUT: lut[m*KSub + c] = <q_sub_m, centroid_mc>
-    val qRows = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv")).collect()
+  /** Per-query ADC lookup tables: lut[m*KSub + c] = ⟨q_sub_m, centroid_mc⟩,
+    * plus the query norm — KB per query, broadcast to the code scan.
+    */
+  private def queryLuts(queries: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val luts = qRows.map { r =>
-      val qid = r.getLong(0)
-      val q = r.getSeq[Double](1).toArray
-      val qnorm = math.sqrt(q.map(x => x * x).sum)
-      val lut = Array.tabulate(M * KSub) { i =>
-        val m = i / KSub; val c = i % KSub
-        var s = 0.0; var d = 0
-        while (d < SubDim) { s += q(m * SubDim + d) * codebooks(m)(c)(d); d += 1 }
-        s
-      }
-      (qid, lut.toSeq, qnorm)
-    }.toSeq.toDF("query_id", "lut", "qnorm")
+    queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv")).collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Double](1).toArray
+        val qnorm = math.sqrt(q.map(x => x * x).sum)
+        val lut = Array.tabulate(M * KSub) { i =>
+          val m = i / KSub; val c = i % KSub
+          var s = 0.0; var d = 0
+          while (d < SubDim) { s += q(m * SubDim + d) * codebooks(m)(c)(d); d += 1 }
+          s
+        }
+        (qid, lut.toSeq, qnorm)
+      }.toSeq.toDF("query_id", "lut", "qnorm")
+  }
 
-    // ADC: sum the M table entries the packed code selects
-    val adcDot = (0 until M).map { m =>
-      element_at(col("lut"),
-        (lit(m * KSub) + shiftright(col("code"), 4 * m).bitwiseAND(0xF)) + 1)
-    }.reduce(_ + _)
-    val scored = codes.join(broadcast(luts), col("query_id") =!= col("vec_id"))
-      .withColumn("approx_cos", adcDot / (col("qnorm") * col("norm")))
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("vec_id"))
-    val shortlist = perPartitionTopN(scored, k * refine)
-      .withColumn("rn", row_number().over(wa))
-      .filter(col("rn") <= k * refine)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  /** ADC sum of the M table entries a packed code selects. */
+  private def adcDotExpr: Column = (0 until M).map { m =>
+    element_at(col("lut"),
+      (lit(m * KSub) + shiftright(col("code"), 4 * m).bitwiseAND(0xF)) + 1)
+  }.reduce(_ + _)
 
-    // exact re-rank of the shortlist only
-    val cv = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("nv"))
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist against
+    * the index's stored vectors — the shared tail of every PQ variant.
+    */
+  private def exactReRank(shortlist: DataFrame, queries: DataFrame,
+      index: DataFrame, k: Int): DataFrame = {
+    val cv = index.select(col("vec_id").as("neighbor_id"), col("nv"))
     val qv = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
     val exact = shortlist.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
       .withColumn("cos", dotp(col("qv"), col("nv")) /
@@ -198,6 +230,24 @@ object PqIndex {
     exact.withColumn("rn", row_number().over(wf)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
+  }
+
+  /** Approximate top-k over a PREBUILT index (see `buildIndex`): the
+    * deployment path — training cost is paid once at index-build time,
+    * queries pay only the ADC scan + shortlist re-rank.
+    */
+  def pqTopKIndexed(queries: DataFrame, index: DataFrame,
+      codebooks: Array[Array[Array[Double]]], k: Int, refine: Int = 32): DataFrame = {
+    val luts = queryLuts(queries, codebooks)
+    val scored = index.join(broadcast(luts), col("query_id") =!= col("vec_id"))
+      .withColumn("approx_cos", adcDotExpr / (col("qnorm") * col("norm")))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val shortlist = perPartitionTopN(scored, k * refine)
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= k * refine)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    exactReRank(shortlist, queries, index, k)
   }
 
   /** IVFPQ: IvfIndex coarse cells × RESIDUAL PQ codes (the FAISS layout).
@@ -212,47 +262,38 @@ object PqIndex {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       kClusters: Int = 16, nprobe: Int = 4, refine: Int = 32): DataFrame = {
-    val spark = corpus.sparkSession
     val centroids = IvfIndex.fit(corpus, kClusters)
     val codebooks = trainResiduals(corpus, centroids)
-    // two-stage select: the cell argmin materializes as a column BEFORE
-    // the encode expression references it M·KSub times (CollapseProject
-    // keeps non-cheap aliases staged — NOTES.md plan-size discipline)
-    val v = asDouble(col("embedding"))
-    val withCell = corpus.select(col("vec_id"), v.as("v"),
-      element_at(IvfIndex.nearestCellsPublic(v, centroids, 1), 1).as("cell"))
-    val indexed = withCell.select(col("vec_id"), col("cell"),
-      encodeExpr(col("v"), codebooks, Some((col("cell"), centroids))).as("code"),
-      sqrt(dotp(col("v"), col("v"))).as("norm"))
+    ivfPqTopKIndexed(queries, buildIvfPqIndex(corpus, centroids, codebooks),
+      centroids, codebooks, k, nprobe, refine)
+  }
 
-    val qRows = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv")).collect()
+  /** IVFPQ top-k over a PREBUILT index (see `buildIvfPqIndex`): probe the
+    * query's `nprobe` cells, ADC-scan only those cells' codes with the
+    * residual correction ⟨q,v⟩ ≈ ⟨q,centroid_cell⟩ + Σ_m lut[code_m],
+    * exact-re-rank the shortlist against the stored vectors.
+    */
+  def ivfPqTopKIndexed(queries: DataFrame, index: DataFrame,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      k: Int, nprobe: Int = 4, refine: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val luts = qRows.map { r =>
-      val qid = r.getLong(0)
-      val q = r.getSeq[Double](1).toArray
-      val qnorm = math.sqrt(q.map(x => x * x).sum)
-      val lut = Array.tabulate(M * KSub) { i =>
-        val m = i / KSub; val c = i % KSub
-        var s = 0.0; var d = 0
-        while (d < SubDim) { s += q(m * SubDim + d) * codebooks(m)(c)(d); d += 1 }
-        s
-      }
-      // ⟨q, centroid_c⟩ per cell — the coarse term of the residual ADC
-      val qc = centroids.map(c => c.indices.map(i => q(i) * c(i)).sum)
-      (qid, lut.toSeq, qc.toSeq, qnorm)
-    }.toSeq.toDF("query_id", "lut", "qc", "qnorm")
+    // LUT + ⟨q, centroid_c⟩ per cell — the coarse term of the residual ADC
+    val luts = queryLuts(queries, codebooks)
+    val qcs = queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv")).collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        (r.getLong(0), centroids.map(c => c.indices.map(i => q(i) * c(i)).sum).toSeq)
+      }.toSeq.toDF("query_id", "qc")
     val probes = queries.select(col("vec_id").as("query_id"),
         explode(IvfIndex.nearestCellsPublic(asDouble(col("embedding")), centroids, nprobe))
           .as("cell"))
-      .join(luts, Seq("query_id"))
+      .join(luts, Seq("query_id")).join(qcs, Seq("query_id"))
 
-    val adcDot = (0 until M).map { m =>
-      element_at(col("lut"),
-        (lit(m * KSub) + shiftright(col("code"), 4 * m).bitwiseAND(0xF)) + 1)
-    }.reduce(_ + _) + element_at(col("qc"), col("cell") + 1)
+    val adcDot = adcDotExpr + element_at(col("qc"), col("cell") + 1)
     // join on the probed cell: each query scans nprobe/kClusters of codes
-    val scored = probes.join(indexed, Seq("cell"))
+    val scored = probes.join(index, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("approx_cos", adcDot / (col("qnorm") * col("norm")))
     val wa = Window.partitionBy(col("query_id"))
@@ -261,15 +302,6 @@ object PqIndex {
       .withColumn("rn", row_number().over(wa))
       .filter(col("rn") <= k * refine)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-    val cv = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("nv"))
-    val qv = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
-    val exact = shortlist.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
-      .withColumn("cos", dotp(col("qv"), col("nv")) /
-        sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))))
-    val wf = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    exact.withColumn("rn", row_number().over(wf)).filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
+    exactReRank(shortlist, queries, index, k)
   }
 }

@@ -115,6 +115,124 @@ object TextDedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Incremental connected components for a GROWING corpus — the cluster
+    * stage of incremental dedup (pairs stage: `prefixFilterPairsIncremental`).
+    * Instead of re-running CC over every pair ever found, contract each
+    * existing cluster to its canonical label and run CC only on the
+    * DELTA graph: each new edge's endpoints map through their existing
+    * label (unknown docs map to themselves), so the reduced graph has one
+    * node per TOUCHED cluster/new doc and one edge per delta pair —
+    * delta-sized, not corpus-sized. Convergence takes rounds proportional
+    * to the delta graph's diameter, not the corpus's.
+    *
+    * Correctness: prevLabels is a contraction of the old pair graph onto
+    * min-id supernodes, which preserves connectivity; and because every
+    * supernode id IS the min doc id of its old component, the min label
+    * of a merged component in the reduced graph equals the global min
+    * over the union — so composed labels match a from-scratch CC over
+    * (old ∪ new) pairs exactly (PipelineOpsSpec proves it; d13 shares
+    * d7's recursive-CTE oracle).
+    *
+    * Scale shape: two batch-sized label-lookup joins, CC on the reduced
+    * graph, one broadcast-able remap join back onto prevLabels. The full
+    * label table is touched only by the final remap — a narrow join on
+    * cluster_id, no iteration over it.
+    */
+  def ccIncremental(prevLabels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val la = prevLabels.select(col("doc_id").as("id_a"), col("cluster_id").as("lab_a"))
+    val lb = prevLabels.select(col("doc_id").as("id_b"), col("cluster_id").as("lab_b"))
+    val reduced = newPairs.select(col("id_a"), col("id_b"))
+      .join(la, Seq("id_a"), "left")
+      .join(lb, Seq("id_b"), "left")
+      .select(coalesce(col("lab_a"), col("id_a")).as("u0"),
+        coalesce(col("lab_b"), col("id_b")).as("v0"))
+      .filter(col("u0") =!= col("v0")) // edges internal to one old cluster
+      .select(least(col("u0"), col("v0")).as("id_a"),
+        greatest(col("u0"), col("v0")).as("id_b"))
+      .distinct()
+    // merged: (supernode, new label) for every cluster/doc the delta touches
+    val merged = connectedComponents(reduced, maxIter)
+      .select(col("doc_id").as("node"), col("cluster_id").as("new_label"))
+    // old docs: remap their cluster label if it merged, else keep it
+    val rePrev = prevLabels
+      .join(merged.withColumnRenamed("node", "cluster_id"), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    // supernodes that are NOT an old canonical doc are new (or previously
+    // singleton) docs — they enter the label table directly
+    val newNodes = merged
+      .join(prevLabels.select(col("doc_id")),
+        merged("node") === prevLabels("doc_id"), "left_anti")
+      .select(col("node").as("doc_id"), col("new_label").as("cluster_id"))
+    rePrev.unionByName(newNodes)
+  }
+
+  /** Large-star/small-star connected components (the alternating
+    * MapReduce algorithm of Kiveris et al.): converges in O(log² n)
+    * rounds on ANY graph — including adversarially deep chains where
+    * min-label propagation needs O(diameter) rounds. Same output contract
+    * as `connectedComponents` (doc_id, cluster_id = component min).
+    *
+    *  - large-star: every node points its LARGER neighbors at the min of
+    *    its closed neighborhood — halves the depth of tall subtrees.
+    *  - small-star: every node points its smaller-or-equal neighbors (and
+    *    itself) at that min — flattens local stars.
+    *
+    * Each phase is one groupBy + one join shuffling on the node id (the
+    * same per-round cost shape as min-label propagation). Convergence is
+    * detected by an order-insensitive (count, xor-of-hashes) checksum of
+    * the edge set — one tiny agg per round, no set-compare join.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m")) // m < u always
+      dir.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(
+          xxhash64(least(col("u"), col("v")), greatest(col("u"), col("v")))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var prev = checksum(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    // fixpoint edge set is a union of stars centered at each component's
+    // min: leaves point at the center; centers label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+      .distinct()
+  }
+
   // ───── MinHash + LSH ─────
 
   val NumHashes = 64

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet persistence for the ANN index families — the deployment shape
+  * the reference's incremental doctrine implies for vector search: TRAIN
+  * ONCE (k-means centroids, PQ codebooks — driver-side KB), persist them
+  * beside the encoded corpus, then APPEND-ENCODE each new batch with the
+  * frozen quantizers and serve queries from the stored index. Per-call
+  * retraining (what ann4/ann5 did through round 5) burns minutes of
+  * k-means per query at 100 TB; a stored index pays it once.
+  *
+  * Layout under `path/`:
+  *   - `centroids/`  (cell INT, centroid ARRAY<DOUBLE>)        [IVF, IVFPQ]
+  *   - `codebooks/`  (m INT, k INT, centroid ARRAY<DOUBLE>)    [PQ, IVFPQ]
+  *   - `codes/`      buildIndex / buildIvfPqIndex rows, append-mode
+  *
+  * All writes go through a SUCCESS marker (`_graft_index_ready`) written
+  * after the parquet commit, so a concurrent reader never sees a
+  * half-built index.
+  */
+object VectorIndexStore {
+
+  private def p(path: String, part: String) = s"$path/$part"
+  private def marker(path: String) =
+    java.nio.file.Paths.get(path, "_graft_index_ready")
+
+  def exists(path: String): Boolean = java.nio.file.Files.exists(marker(path))
+
+  // ───── PQ (flat ADC index: codes + stored vectors) ─────
+
+  /** Train on the corpus, encode it, persist codebooks + codes. */
+  def writePq(path: String, corpus: DataFrame,
+      sampleSize: Int = 10000, iters: Int = 8): Unit = {
+    val codebooks = PqIndex.train(corpus, sampleSize, iters)
+    writeCodebooks(corpus.sparkSession, p(path, "codebooks"), codebooks)
+    PqIndex.buildIndex(corpus, codebooks)
+      .write.mode("overwrite").parquet(p(path, "codes"))
+    touch(path)
+  }
+
+  /** Encode a new batch with the STORED codebooks and append — no
+    * retraining, existing rows untouched (add-after-train).
+    */
+  def appendPq(spark: SparkSession, path: String, batch: DataFrame): Unit =
+    PqIndex.buildIndex(batch, readCodebooks(spark, p(path, "codebooks")))
+      .write.mode("append").parquet(p(path, "codes"))
+
+  /** Top-k from the stored PQ index. */
+  def pqTopK(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, refine: Int = 32): DataFrame =
+    PqIndex.pqTopKIndexed(queries, spark.read.parquet(p(path, "codes")),
+      readCodebooks(spark, p(path, "codebooks")), k, refine)
+
+  // ───── IVFPQ (coarse cells × residual codes) ─────
+
+  /** Train coarse quantizer + residual codebooks, encode, persist all
+    * three artifacts.
+    */
+  def writeIvfPq(path: String, corpus: DataFrame, kClusters: Int = 16,
+      sampleSize: Int = 10000, iters: Int = 8): Unit = {
+    val centroids = IvfIndex.fit(corpus, kClusters)
+    val codebooks = PqIndex.trainResiduals(corpus, centroids, sampleSize, iters)
+    writeCentroids(corpus.sparkSession, p(path, "centroids"), centroids)
+    writeCodebooks(corpus.sparkSession, p(path, "codebooks"), codebooks)
+    PqIndex.buildIvfPqIndex(corpus, centroids, codebooks)
+      .write.mode("overwrite").parquet(p(path, "codes"))
+    touch(path)
+  }
+
+  def appendIvfPq(spark: SparkSession, path: String, batch: DataFrame): Unit =
+    PqIndex.buildIvfPqIndex(batch,
+        readCentroids(spark, p(path, "centroids")),
+        readCodebooks(spark, p(path, "codebooks")))
+      .write.mode("append").parquet(p(path, "codes"))
+
+  def ivfPqTopK(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, refine: Int = 32): DataFrame =
+    PqIndex.ivfPqTopKIndexed(queries, spark.read.parquet(p(path, "codes")),
+      readCentroids(spark, p(path, "centroids")),
+      readCodebooks(spark, p(path, "codebooks")), k, nprobe, refine)
+
+  // ───── artifact (de)serialization — KB-sized tables ─────
+
+  def writeCodebooks(spark: SparkSession, dir: String,
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cents, m) =>
+      cents.zipWithIndex.map { case (c, k) => (m, k, c.toSeq) }
+    }.toSeq.toDF("m", "k", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def readCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(dir)
+      .select(col("m"), col("k"), col("centroid")).collect()
+    val byM = rows.groupBy(_.getInt(0))
+    Array.tabulate(byM.size) { m =>
+      val cs = byM(m).sortBy(_.getInt(1))
+      cs.map(_.getSeq[Double](2).toArray)
+    }
+  }
+
+  def writeCentroids(spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def readCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(dir).select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  private def touch(path: String): Unit = {
+    try java.nio.file.Files.write(marker(path), Array.emptyByteArray)
+    catch { case _: Throwable => () }
+  }
+
+  // ───── build-if-absent cache (the registry's deployment surface) ─────
+  //
+  // ann4/ann5 run against the index a deployment would keep warm; the
+  // first invocation per corpus trains + persists it (under target/ — a
+  // scratch artifact, not a repo file), later invocations only read.
+  // Keyed by corpus dir + parquet mtime so a regenerated corpus rebuilds.
+
+  private val cacheRoot =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft-index")
+  private val ensureLock = new Object
+
+  private def cacheKey(corpusDir: String): String = {
+    val mtime = new java.io.File(corpusDir, "embeddings.parquet").lastModified
+    corpusDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + mtime
+  }
+
+  /** Stored-PQ path for a corpus dir, building it on first use. */
+  def ensurePq(corpusDir: String, corpus: DataFrame): String = {
+    val path = s"$cacheRoot/pq_${cacheKey(corpusDir)}"
+    ensureLock.synchronized { if (!exists(path)) writePq(path, corpus) }
+    path
+  }
+
+  /** Stored-IVFPQ path for a corpus dir, building it on first use. */
+  def ensureIvfPq(corpusDir: String, corpus: DataFrame): String = {
+    val path = s"$cacheRoot/ivfpq_${cacheKey(corpusDir)}"
+    ensureLock.synchronized { if (!exists(path)) writeIvfPq(path, corpus) }
+    path
+  }
+}

@@ -98,6 +98,64 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(incr.nonEmpty, "no cross-batch pairs — vacuous test")
   }
 
+  test("incremental clusters equal batch clusters over a multi-batch corpus") {
+    // three arrival batches: labels evolve by contraction + delta CC only,
+    // yet must equal a from-scratch CC over all pairs at every step
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    val l0 = TextDedup.connectedComponents(TextDedup.jaccardPairs(b0, 3, 0.8))
+    val d1 = TextDedup.prefixFilterPairsIncremental(b0, b1, 3, 0.8)
+    val l1 = TextDedup.ccIncremental(l0, d1)
+    val c01 = b0.unionByName(b1)
+    assert(l1.as[(Long, Long)].collect().toMap ==
+      TextDedup.connectedComponents(TextDedup.jaccardPairs(c01, 3, 0.8))
+        .as[(Long, Long)].collect().toMap,
+      "after batch 1: incremental != batch")
+    val d2 = TextDedup.prefixFilterPairsIncremental(c01, b2, 3, 0.8)
+    val l2 = TextDedup.ccIncremental(l1, d2)
+    val batch = TextDedup.connectedComponents(TextDedup.jaccardPairs(docs, 3, 0.8))
+      .as[(Long, Long)].collect().toMap
+    assert(l2.as[(Long, Long)].collect().toMap == batch,
+      "after batch 2: incremental != batch")
+    assert(batch.nonEmpty, "no clusters — vacuous test")
+  }
+
+  test("incremental clusters merge two existing clusters bridged by a new doc") {
+    // adversarial shape for the contraction: prev labels hold two separate
+    // components; one new edge pair bridges them through a new node, and
+    // a second new node attaches to nothing
+    val prev = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val delta = Seq((2L, 100L), (100L, 11L), (200L, 201L))
+      .toDF("id_a", "id_b")
+    val got = TextDedup.ccIncremental(prev, delta)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 100L -> 1L,
+      200L -> 200L, 201L -> 200L))
+  }
+
+  test("large-star/small-star CC matches min-label propagation on the corpus") {
+    val pairs = TextDedup.jaccardPairs(docs, 3, 0.8)
+    val viaProp = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = TextDedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp)
+    assert(viaProp.nonEmpty, "no clusters — vacuous test")
+  }
+
+  test("large-star/small-star converges in O(log n) rounds on a 1000-node chain") {
+    // min-label propagation needs O(diameter)=999 rounds here; the
+    // alternating star algorithm must finish within the 50-round cap
+    // (≈2·log² n) and label every node with the component min.
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = TextDedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect()
+    assert(got.length == 1000 && got.forall(_._2 == 1L),
+      s"bad labels: ${got.filter(_._2 != 1L).take(5).mkString(",")}")
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -204,6 +262,60 @@ class PipelineOpsSpec extends SparkTestBase {
     // cell pruning (nprobe 4 of 16) stacks on PQ coarseness — bound looser
     assert(recall >= 0.6, s"ivfpq recall $recall < 0.6")
     assert(got.size == exact.size)
+  }
+
+  test("PQ index store: append-after-train equals batch build, queries match inline") {
+    import graft.operators.{PqIndex, VectorIndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val neu = emb.filter($"vec_id" % 2 === 1)
+    // train + persist on the OLD corpus only, then append the new batch
+    // with frozen codebooks
+    VectorIndexStore.writePq(s"$dir/pq", old)
+    VectorIndexStore.appendPq(spark, s"$dir/pq", neu)
+    val cb = VectorIndexStore.readCodebooks(spark, s"$dir/pq/codebooks")
+    // roundtrip: stored codebooks == retrained codebooks (deterministic)
+    val fresh = PqIndex.train(old)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq == fresh.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebook parquet roundtrip drifted")
+    // appended index == batch build with the same codebooks
+    val appended = spark.read.parquet(s"$dir/pq/codes")
+      .select($"vec_id", $"code", $"norm").as[(Long, Int, Double)].collect().toSet
+    val batch = PqIndex.buildIndex(emb, cb)
+      .select($"vec_id", $"code", $"norm").as[(Long, Int, Double)].collect().toSet
+    assert(appended == batch, "append-encode drifted from batch encode")
+    // stored-index query == inline query with the same codebooks
+    val q = emb.filter($"vec_id" < 5)
+    val viaStore = VectorIndexStore.pqTopK(spark, s"$dir/pq", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = PqIndex.pqTopKIndexed(q, PqIndex.buildIndex(emb, cb), cb, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStore == inline && viaStore.nonEmpty)
+  }
+
+  test("IVFPQ index store: append-after-train equals batch build, queries match inline") {
+    import graft.operators.{IvfIndex, PqIndex, VectorIndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val neu = emb.filter($"vec_id" % 2 === 1)
+    VectorIndexStore.writeIvfPq(s"$dir/ivfpq", old)
+    VectorIndexStore.appendIvfPq(spark, s"$dir/ivfpq", neu)
+    val cents = VectorIndexStore.readCentroids(spark, s"$dir/ivfpq/centroids")
+    val cb = VectorIndexStore.readCodebooks(spark, s"$dir/ivfpq/codebooks")
+    assert(cents.map(_.toSeq).toSeq == IvfIndex.fit(old, 16).map(_.toSeq).toSeq,
+      "centroid parquet roundtrip drifted")
+    val appended = spark.read.parquet(s"$dir/ivfpq/codes")
+      .select($"vec_id", $"cell", $"code").as[(Long, Int, Int)].collect().toSet
+    val batch = PqIndex.buildIvfPqIndex(emb, cents, cb)
+      .select($"vec_id", $"cell", $"code").as[(Long, Int, Int)].collect().toSet
+    assert(appended == batch, "append-encode drifted from batch encode")
+    val q = emb.filter($"vec_id" < 5)
+    val viaStore = VectorIndexStore.ivfPqTopK(spark, s"$dir/ivfpq", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = PqIndex.ivfPqTopKIndexed(q,
+        PqIndex.buildIvfPqIndex(emb, cents, cb), cents, cb, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStore == inline && viaStore.nonEmpty)
   }
 
   test("residual codebooks reconstruct strictly better than raw PQ") {
