@@ -14,6 +14,9 @@ import graft.marts.Views
   *   check <layerRoot>                       layer/mart health counts
   *   analyze <layerRoot>                     column profile + expectations
   *   dedup <docs> <out> [--threshold T] [--exact]  corpus near-dup removal
+  *   dedup <docs> <out> --incremental <new> [--threshold T]
+  *                                           merge a new batch's near-dups
+  *                                           into an existing dedup state
   *
   * Layers are Parquet tables under layerRoot (raw / staging / audit /
   * marts_*), managed by ParquetTableStore's atomic-swap rewrites.
@@ -27,6 +30,10 @@ object Main {
       case "load" :: root :: csv :: rest => load(spark, root, csv, opt(rest, "--source").getOrElse("csv"))
       case "check" :: root :: Nil => check(spark, root)
       case "analyze" :: root :: Nil => analyze(spark, root)
+      case "dedup" :: docs :: out :: rest if rest.contains("--incremental") =>
+        dedupIncremental(spark, docs, out,
+          opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
       case "dedup" :: docs :: out :: rest =>
         dedup(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
@@ -268,6 +275,43 @@ object Main {
     println(s"[graft] dedup: $nTotal docs -> $nKept kept " +
       s"(${nTotal - nKept} near-dups dropped, threshold $threshold, " +
       s"${if (exact) "exact" else "prefix-filter"} pair path)")
+    nKept
+  }
+
+  /** Incremental dedup for a growing corpus — the product surface over
+    * `prefixFilterPairsIncremental` + `ccIncremental`: `<docs>` is the
+    * EXISTING corpus whose `<out>/clusters` a prior `dedup` run wrote;
+    * `--incremental <path>` is the arriving batch. Only delta pairs are
+    * generated (the existing corpus never self-joins again) and cluster
+    * labels are merged by contraction, never recomputed from the full
+    * pair set. Output layout matches batch `dedup` (clusters + kept over
+    * the UNION corpus), and equals it exactly (AppAndSinksSpec proves the
+    * two-batch path == one-shot path); writes go through
+    * ParquetTableStore's tmp-dir + atomic-swap so `<out>/clusters` is
+    * read (prev labels) and replaced (merged labels) safely in one run.
+    */
+  def dedupIncremental(spark: SparkSession, existingPath: String, out: String,
+      newPath: String, threshold: Double): Long = {
+    import graft.operators.TextDedup
+    val store = new ParquetTableStore(spark, out)
+    require(store.exists("clusters"),
+      s"no $out/clusters — run batch `dedup` on the existing corpus first")
+    val existing = spark.read.parquet(existingPath)
+    val incoming = spark.read.parquet(newPath)
+    val prev = store.read("clusters")
+    val delta = TextDedup.prefixFilterPairsIncremental(
+      existing, incoming, n = 3, minJaccard = threshold)
+    val clusters = TextDedup.ccIncremental(prev, delta)
+    store.overwrite("clusters", clusters)
+    val merged = store.read("clusters")
+    val drop = merged.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val kept = existing.unionByName(incoming).join(drop, Seq("doc_id"), "left_anti")
+    store.overwrite("kept", kept)
+    val nTotal = existing.count() + incoming.count()
+    val nKept = store.read("kept").count()
+    println(s"[graft] dedup --incremental: $nTotal docs -> $nKept kept " +
+      s"(threshold $threshold, delta-only pair generation)")
     nKept
   }
 }

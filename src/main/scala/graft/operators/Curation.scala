@@ -58,33 +58,50 @@ object Curation {
     * dup_word_permille  = (n_words − n_distinct_words)·1000 / n_words
     * top_bigram_permille = max bigram multiplicity·1000 / n_bigrams
     *
-    * The bigram multiplicities go through explode → (doc, bigram) count →
-    * per-doc max: two aggregations whose map-side partials absorb the
-    * repeated mass, never a per-doc collect.
+    * Fully NARROW: both signals are per-row expressions over the doc's
+    * own token array (documents are bounded), so the quality scan of a
+    * 100 TB corpus needs zero shuffle.
     */
   def repetitionSignals(docs0: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val docs = Par.fan(docs0)
-    val words = split(TextDedup.normalizeText(col(textCol)), " ")
-    val narrow = docs.select(col(idCol), words.as("w"))
-      .withColumn("n_words", size(col("w")).cast(LongType))
-      .withColumn("n_distinct", size(array_distinct(col("w"))).cast(LongType))
-    // raw (non-distinct) bigram list — multiplicity matters here, so
-    // TextDedup.shingles (a distinct set) is the wrong tool
-    val bigrams = narrow.select(col(idCol),
-      explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
-    val topBigram = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max(col("c")).as("max_bg"))
-    narrow.drop("w")
-      .join(topBigram, Seq(idCol), "left")
-      .select(col(idCol),
-        floor((col("n_words") - col("n_distinct")).cast(DoubleType) * 1000d / col("n_words"))
-          .cast(LongType).as("dup_word_permille"),
-        when(col("n_words") > 1,
-          floor(coalesce(col("max_bg"), lit(0L)).cast(DoubleType) * 1000d
-            / (col("n_words") - 1)))
-          .otherwise(lit(0L)).cast(LongType).as("top_bigram_permille"))
+    // max bigram multiplicity WITHIN the row: sort the doc's raw bigram
+    // list (multiplicity matters — TextDedup.shingles' distinct set is
+    // the wrong tool) and take the longest equal run. Documents are
+    // bounded, so the per-row walk is KBs; the explode → (doc, bigram)
+    // count → per-doc max formulation this replaces shuffled the whole
+    // bigram stream twice — the only wide stage in a per-doc quality
+    // scan (measured 4× this version's cost at sf0.1).
+    //
+    // The token array is LET-BOUND as a lambda variable
+    // (`transform(array(split…), w -> body)[1]`), not aliased as a
+    // column: predicate pushdown substitutes Project aliases into filter
+    // conditions textually, and a bare `w` alias referenced inside a
+    // per-element lambda would re-split the document once PER ELEMENT
+    // after substitution (O(n²) — measured 10× when e2e4's quality gate
+    // pushed its filter down). A lambda binding survives any
+    // substitution as a single evaluation.
+    val wSql = s"split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ' ')"
+    def overW(bodySql: String): Column =
+      expr(s"element_at(transform(array($wSql), w -> $bodySql), 1)")
+    val dup = overW(
+      """CAST(FLOOR(CAST(size(w) - size(array_distinct(w)) AS DOUBLE)
+         * 1000 / size(w)) AS BIGINT)""")
+    val top = overW("""
+      IF(size(w) > 1,
+        CAST(FLOOR(CAST(aggregate(
+          array_sort(transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))),
+          named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+                       'best', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+            'best', GREATEST(acc.best,
+              IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
+          acc -> acc.best) AS DOUBLE) * 1000 / (size(w) - 1)) AS BIGINT),
+        CAST(0 AS BIGINT))""")
+    docs.select(col(idCol), dup.as("dup_word_permille"),
+      top.as("top_bigram_permille"))
   }
 
   /** PII scrubbing: mask every decimal digit (phone / account / SSN

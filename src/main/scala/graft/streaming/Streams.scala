@@ -114,6 +114,47 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of INCREMENTAL DEDUP (the cdcIngest pattern applied
+    * to curation): documents arrive as parquet files; each micro-batch
+    * generates only its delta pairs against the accumulated corpus
+    * (`prefixFilterPairsIncremental` — the existing corpus never
+    * self-joins) and merges them into the standing cluster labels by
+    * contraction (`ccIncremental` — CC over a delta-sized reduced graph).
+    * State tables: `corpus` (docs seen so far, append-only) and
+    * `clusters` (labels, atomic-swap overwrite).
+    *
+    * Crash-safe: if a batch dies between the clusters swap and the corpus
+    * append, the replayed batch's delta edges map through the
+    * already-merged labels to self-loops and drop out — re-merging is
+    * idempotent, so exactly-once state survives at-least-once replay.
+    */
+  def dedupStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      store: graft.etl.TableStore, checkpointDir: String,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextDedup
+    val schema = spark.read.parquet(docsDir).schema // footer-only read
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.dropDuplicates("doc_id")
+        val existing =
+          if (store.exists("corpus")) store.read("corpus") else b.limit(0)
+        val prev =
+          if (store.exists("clusters")) store.read("clusters")
+          else b.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
+        val delta = TextDedup.prefixFilterPairsIncremental(
+          existing, b, n = 3, minJaccard = threshold)
+        // overwrite materializes the merged labels (reading prev's files)
+        // BEFORE the swap; the corpus append comes after, so a replayed
+        // batch sees merged labels + pre-append corpus — idempotent
+        store.overwrite("clusters", TextDedup.ccIncremental(prev, delta))
+        store.append("corpus", b)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream interval join: purchases attributed to a click by the
     * same user within `attribution` before the purchase. Watermarks bound
     * BOTH state stores (Spark drops click state older than purchase

@@ -31,6 +31,34 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(graft.app.Main.dedup(spark, docsPath, outEx, 0.8, exact = true) == nKept)
   }
 
+  test("CLI dedup --incremental: two-batch path equals one-shot batch path") {
+    val docsPath = s"$sfTiny/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val b0Path = Files.createTempDirectory("graft_inc_b0").toString + "/docs"
+    val b1Path = Files.createTempDirectory("graft_inc_b1").toString + "/docs"
+    docs.filter($"doc_id" % 2 === 0).write.parquet(b0Path)
+    docs.filter($"doc_id" % 2 === 1).write.parquet(b1Path)
+    // day 1: batch dedup of the existing corpus
+    val out = Files.createTempDirectory("graft_inc_out").toString
+    graft.app.Main.dedup(spark, b0Path, out, 0.8, exact = false)
+    // day 2: the new batch merges in incrementally
+    val nInc = graft.app.Main.dedupIncremental(spark, b0Path, out, b1Path, 0.8)
+    // must equal a one-shot dedup over the full corpus
+    val outFull = Files.createTempDirectory("graft_inc_full").toString
+    val nFull = graft.app.Main.dedup(spark, docsPath, outFull, 0.8, exact = false)
+    assert(nInc == nFull, s"incremental kept $nInc, batch kept $nFull")
+    val incClusters = spark.read.parquet(s"$out/clusters")
+      .as[(Long, Long)].collect().toMap
+    val fullClusters = spark.read.parquet(s"$outFull/clusters")
+      .as[(Long, Long)].collect().toMap
+    assert(incClusters == fullClusters)
+    val incKept = spark.read.parquet(s"$out/kept").select($"doc_id")
+      .as[Long].collect().toSet
+    val fullKept = spark.read.parquet(s"$outFull/kept").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(incKept == fullKept && incKept.nonEmpty)
+  }
+
   test("CLI load + run + check round-trip on a CSV fixture") {
     val root = Files.createTempDirectory("graft_cli").toString
     val csvDir = Files.createTempDirectory("graft_csv").toString

@@ -34,6 +34,37 @@ class MediaStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("dedup stream: per-batch delta pairs + label merge equal batch dedup") {
+    import graft.operators.TextDedup
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_dd_docs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dd_ckpt").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_dd_store").toString
+    val store = new graft.etl.ParquetTableStore(spark, storeDir)
+    val docs = Tables.documents(spark, sfTiny)
+
+    // file 1 arrives: the even-id half of the corpus
+    docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(docsDir)
+    Streams.dedupStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    val afterB1 = store.read("clusters").as[(Long, Long)].collect().toMap
+    assert(afterB1 == TextDedup.connectedComponents(
+        TextDedup.jaccardPairs(docs.filter($"doc_id" % 2 === 0), 3, 0.8))
+      .as[(Long, Long)].collect().toMap,
+      "batch-1 stream state != batch dedup of batch 1")
+
+    // file 2 arrives: the odd-id half — only delta pairs are generated,
+    // labels merge by contraction, yet state must equal a from-scratch
+    // dedup of everything seen
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(docsDir)
+    Streams.dedupStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    val afterB2 = store.read("clusters").as[(Long, Long)].collect().toMap
+    val batch = TextDedup.connectedComponents(
+        TextDedup.jaccardPairs(docs, 3, 0.8))
+      .as[(Long, Long)].collect().toMap
+    assert(afterB2 == batch, "stream state drifted from batch dedup")
+    assert(batch.nonEmpty, "no clusters — vacuous test")
+    assert(store.read("corpus").count() == docs.count())
+  }
+
   test("cdc ingest stream: raw files → dedup → staging merge, incremental") {
     val rawDir = java.nio.file.Files.createTempDirectory("graft_cdc_raw").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString

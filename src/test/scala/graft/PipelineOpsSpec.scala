@@ -318,6 +318,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(viaStore == inline && viaStore.nonEmpty)
   }
 
+  test("ANN recall floors at sf0.01: pinned numeric gates per approximate path") {
+    // Every input here is deterministic — fixed LSH hyperplane seeds,
+    // k-means seeded by lowest vec_ids, pinned nprobe/refine — so recall
+    // is a REPRODUCIBLE number per corpus, and these are regression
+    // gates, not statistical hopes. Measured on the round-6 corpus:
+    // lsh 0.675, ivf 0.856, ivfpq 0.856, pq 0.994 — floors sit a margin
+    // below so only a real regression (banding, nprobe, shortlist) trips
+    // them, not an sf regeneration wiggle.
+    val embS = Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val q = embS.filter($"vec_id" < 16)
+    val exact = graft.operators.Similarity.bruteForceTopK(q, embS, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(got: Set[(Long, Long)]): Double =
+      got.intersect(exact).size.toDouble / exact.size
+    val rLsh = recallOf(graft.operators.Similarity.lshTopK(q, embS, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
+    assert(rLsh >= 0.6, f"ann2 LSH recall@10 $rLsh%.3f < 0.6")
+    val rIvf = recallOf(graft.operators.IvfIndex.ivfTopK(q, embS, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
+    assert(rIvf >= 0.75, f"ann3 IVF recall@10 $rIvf%.3f < 0.75 (nprobe=4/16)")
+    val rIvfPq = recallOf(graft.operators.PqIndex.ivfPqTopK(q, embS, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
+    assert(rIvfPq >= 0.75, f"ann5 IVFPQ recall@10 $rIvfPq%.3f < 0.75 (nprobe=4/16)")
+    val rPq = recallOf(graft.operators.PqIndex.pqTopK(q, embS, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
+    assert(rPq >= 0.9, f"ann4 PQ recall@10 $rPq%.3f < 0.9 (refine=32)")
+    embS.unpersist()
+  }
+
   test("residual codebooks reconstruct strictly better than raw PQ") {
     import graft.operators.{IvfIndex, PqIndex}
     val cents = IvfIndex.fit(emb, 16)
