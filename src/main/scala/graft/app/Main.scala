@@ -17,6 +17,9 @@ import graft.marts.Views
   *   dedup <docs> <out> --incremental <new> [--threshold T]
   *                                           merge a new batch's near-dups
   *                                           into an existing dedup state
+  *   index build <emb> <out> [--ivfpq]       train + persist an ANN index
+  *   index append <emb> <out>                encode a new batch, frozen quantizers
+  *   index query <queries> <idx> <res> [--k K]  top-k from the stored index
   *
   * Layers are Parquet tables under layerRoot (raw / staging / audit /
   * marts_*), managed by ParquetTableStore's atomic-swap rewrites.
@@ -30,6 +33,13 @@ object Main {
       case "load" :: root :: csv :: rest => load(spark, root, csv, opt(rest, "--source").getOrElse("csv"))
       case "check" :: root :: Nil => check(spark, root)
       case "analyze" :: root :: Nil => analyze(spark, root)
+      case "index" :: "build" :: emb :: out :: rest =>
+        indexBuild(spark, emb, out, rest.contains("--ivfpq"))
+      case "index" :: "append" :: emb :: out :: Nil =>
+        indexAppend(spark, emb, out)
+      case "index" :: "query" :: q :: idx :: resOut :: rest =>
+        indexQuery(spark, q, idx, resOut,
+          opt(rest, "--k").map(_.toInt).getOrElse(10))
       case "dedup" :: docs :: out :: rest if rest.contains("--incremental") =>
         dedupIncremental(spark, docs, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
@@ -277,6 +287,47 @@ object Main {
       s"${if (exact) "exact" else "prefix-filter"} pair path)")
     nKept
   }
+
+  /** Vector-index lifecycle as a product surface (the FAISS
+    * train-once / add-after-train / query-many deployment shape over
+    * VectorIndexStore): `build` trains + persists, `append` encodes a
+    * new batch with the FROZEN quantizers (never retrains, never touches
+    * existing rows), `query` serves top-k from the stored artifacts.
+    */
+  def indexBuild(spark: SparkSession, embPath: String, out: String,
+      ivfpq: Boolean): Unit = {
+    import graft.operators.VectorIndexStore
+    val emb = spark.read.parquet(embPath)
+    if (ivfpq) VectorIndexStore.writeIvfPq(out, emb)
+    else VectorIndexStore.writePq(out, emb)
+    val n = spark.read.parquet(s"$out/codes").count()
+    println(s"[graft] index build: $n vectors -> $out (${if (ivfpq) "ivfpq" else "pq"})")
+  }
+
+  def indexAppend(spark: SparkSession, embPath: String, out: String): Unit = {
+    import graft.operators.VectorIndexStore
+    val emb = spark.read.parquet(embPath)
+    if (isIvfPq(out)) VectorIndexStore.appendIvfPq(spark, out, emb)
+    else VectorIndexStore.appendPq(spark, out, emb)
+    val n = spark.read.parquet(s"$out/codes").count()
+    println(s"[graft] index append: now $n vectors in $out")
+  }
+
+  def indexQuery(spark: SparkSession, queriesPath: String, idx: String,
+      resOut: String, k: Int): Long = {
+    import graft.operators.VectorIndexStore
+    val q = spark.read.parquet(queriesPath)
+    val res =
+      if (isIvfPq(idx)) VectorIndexStore.ivfPqTopK(spark, idx, q, k)
+      else VectorIndexStore.pqTopK(spark, idx, q, k)
+    res.write.mode("overwrite").parquet(resOut)
+    val n = spark.read.parquet(resOut).count()
+    println(s"[graft] index query: ${n} result rows -> $resOut (k=$k)")
+    n
+  }
+
+  private def isIvfPq(idx: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "centroids"))
 
   /** Incremental dedup for a growing corpus — the product surface over
     * `prefixFilterPairsIncremental` + `ccIncremental`: `<docs>` is the

@@ -59,6 +59,39 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(incKept == fullKept && incKept.nonEmpty)
   }
 
+  test("CLI index build/append/query: stored lifecycle equals one-shot build") {
+    val embPath = s"$sfTiny/embeddings.parquet"
+    val emb = spark.read.parquet(embPath)
+    val b0 = Files.createTempDirectory("graft_idx_b0").toString + "/emb"
+    val b1 = Files.createTempDirectory("graft_idx_b1").toString + "/emb"
+    emb.filter($"vec_id" % 2 === 0).write.parquet(b0)
+    emb.filter($"vec_id" % 2 === 1).write.parquet(b1)
+    val qPath = Files.createTempDirectory("graft_idx_q").toString + "/q"
+    emb.filter($"vec_id" < 5).write.parquet(qPath)
+
+    // lifecycle: build on batch 0, append batch 1, query
+    val idx = Files.createTempDirectory("graft_idx").toString + "/ivfpq"
+    graft.app.Main.indexBuild(spark, b0, idx, ivfpq = true)
+    graft.app.Main.indexAppend(spark, b1, idx)
+    val res = Files.createTempDirectory("graft_idx_res").toString + "/r"
+    val n = graft.app.Main.indexQuery(spark, qPath, idx, res, k = 3)
+    assert(n == 15, s"expected 5 queries x k=3, got $n")
+    // equals a one-shot stored query over the same artifacts (the store
+    // spec already pins append == batch; this pins the CLI wiring)
+    val direct = graft.operators.VectorIndexStore.ivfPqTopK(
+        spark, idx, emb.filter($"vec_id" < 5), k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaCli = spark.read.parquet(res)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaCli == direct && viaCli.nonEmpty)
+    // pq flavor detection: a pq index (no centroids dir) routes to pqTopK
+    val idxPq = Files.createTempDirectory("graft_idx_pq").toString + "/pq"
+    graft.app.Main.indexBuild(spark, b0, idxPq, ivfpq = false)
+    graft.app.Main.indexAppend(spark, b1, idxPq)
+    val resPq = Files.createTempDirectory("graft_idx_res2").toString + "/r"
+    assert(graft.app.Main.indexQuery(spark, qPath, idxPq, resPq, k = 3) == 15)
+  }
+
   test("CLI load + run + check round-trip on a CSV fixture") {
     val root = Files.createTempDirectory("graft_cli").toString
     val csvDir = Files.createTempDirectory("graft_csv").toString

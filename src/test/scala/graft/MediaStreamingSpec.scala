@@ -34,6 +34,19 @@ class MediaStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("perceptualHash survives payloads past the Int-arithmetic overflow point") {
+    // 63*(n-1) overflows Int for n > ~34 MB — the offset math must run in
+    // Long or the sampled index goes negative and throws
+    val n = 40 * 1024 * 1024
+    val payload = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+    val media = Seq(Media.MediaFile(9L, "video", payload, "s")).toDS()
+    val h = Media.perceptualHash(media).collect()
+    assert(h.length == 1 && h.head.media_id == 9L)
+    // deterministic: same payload → same hash
+    val h2 = Media.perceptualHash(media).collect()
+    assert(h.head.phash == h2.head.phash)
+  }
+
   test("dedup stream: per-batch delta pairs + label merge equal batch dedup") {
     import graft.operators.TextDedup
     val docsDir = java.nio.file.Files.createTempDirectory("graft_dd_docs").toString
