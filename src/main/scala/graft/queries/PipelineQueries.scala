@@ -255,13 +255,11 @@ object PipelineQueries {
     "d13_incremental_clusters" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val existing = docs.filter(col("doc_id") % 2 === 0)
-        val incoming = docs.filter(col("doc_id") % 2 === 1)
-        val prevLabels = TextDedup.connectedComponents(
-          TextDedup.prefixFilterPairs(existing, n = 3, minJaccard = 0.8))
-        val delta = TextDedup.prefixFilterPairsIncremental(
-          existing, incoming, n = 3, minJaccard = 0.8)
-        TextDedup.ccIncremental(prevLabels, delta).orderBy(col("doc_id"))
+        TextDedup.incrementalClusters(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            n = 3, minJaccard = 0.8)
+          .orderBy(col("doc_id"))
       },
       Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
