@@ -238,6 +238,40 @@ object TextDedup {
       .distinct()
   }
 
+  /** Duplicated-SPAN detection — the exact-substring complement to
+    * whole-document dedup: a doc can be globally unique yet consist
+    * mostly of boilerplate spans repeated across the corpus (headers,
+    * licenses, templated text), which inflates n-gram counts and wastes
+    * training tokens. Every POSITION-level n-token window (stride 1,
+    * multiplicity kept — unlike `shingles`' distinct sets) is counted
+    * corpus-wide; a window occurring at ≥2 positions anywhere is
+    * duplicated, and each doc reports its duplicated-window fraction in
+    * integer permille.
+    *
+    * Scale shape: one narrow window explode (positions ≈ corpus tokens),
+    * one gram-keyed count whose map-side partials absorb the repeated
+    * mass, one gram-keyed join back, one doc-keyed agg — every wide
+    * stage shuffles on content-derived keys, nothing is ever all-pairs.
+    * Docs shorter than n tokens have no windows and don't appear.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    val w = split(normalizeText(col("text")), " ")
+    val rows = Par.fan(docs)
+      .select(col("doc_id"), w.as("w"))
+      .where(size(col("w")) >= n) // sequence(0, size-n) flips direction if negative
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
+        .as("g"))
+    val freq = rows.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    rows.join(freq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("cnt") >= 2, lit(1))).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        floor(col("n_dup_windows").cast(DoubleType) * 1000d / col("n_windows"))
+          .cast(LongType).as("dup_permille"))
+  }
+
   // ───── MinHash + LSH ─────
 
   val NumHashes = 64

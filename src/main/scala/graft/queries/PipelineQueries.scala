@@ -278,6 +278,25 @@ object PipelineQueries {
         GROUP BY u ORDER BY doc_id"""),
       "incremental clusters: delta pairs merged into existing labels, CC on the contraction"),
 
+    // Exact-substring (span-level) duplication: the signal used to strip
+    // boilerplate spans a whole-doc dedup can't see. Position-level
+    // 8-token windows, corpus-wide multiplicity, per-doc duplicated
+    // fraction — gram-keyed shuffles only, fully SQL-mirrorable.
+    "d14_duplicated_spans" -> Q(
+      (s, d) => TextDedup.duplicatedSpans(Tables.documents(s, d), n = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        pos AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+          FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i) WHERE len(w) >= 8),
+        f AS (SELECT g, COUNT(*) AS cnt FROM pos GROUP BY g)
+        SELECT doc_id, COUNT(*) AS n_windows,
+          CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_windows,
+          CAST(FLOOR(CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            * 1000 / COUNT(*)) AS BIGINT) AS dup_permille
+        FROM pos JOIN f USING (g)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "span-level exact-substring duplication: per-doc duplicated-window permille"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(

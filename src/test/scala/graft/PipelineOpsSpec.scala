@@ -156,6 +156,28 @@ class PipelineOpsSpec extends SparkTestBase {
       s"bad labels: ${got.filter(_._2 != 1L).take(5).mkString(",")}")
   }
 
+  test("duplicated spans: planted boilerplate is flagged, unique text is not") {
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val d = Seq(
+      (1L, s"$boiler unique one tail tokens here now right"),
+      (2L, s"$boiler other unique middle section goes here now"),
+      (3L, "completely different words with no shared window at all x y z"),
+      (4L, "three words only")) // < 8 tokens: no windows, absent
+      .toDF("doc_id", "text")
+    val got = TextDedup.duplicatedSpans(d, n = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(4L), "sub-window doc must not appear")
+    assert(got(3L)._3 == 0L && got(3L)._4 == 0L, "unique doc flagged")
+    // docs 1 and 2 share exactly the boilerplate window (1 of 8 windows each)
+    assert(got(1L)._2 == 8L && got(1L)._3 == 1L && got(1L)._4 == 125L, s"${got(1L)}")
+    assert(got(2L)._3 == 1L)
+    // within-doc repetition also counts as duplication
+    val rep = Seq((9L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    val gotRep = TextDedup.duplicatedSpans(rep, n = 8)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(gotRep._3 >= 2L, s"self-repeated window not flagged: $gotRep")
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -264,6 +264,43 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("ccIncremental equals batch CC on random graphs split into arrival batches") {
+    import graft.operators.TextDedup
+    (1 to 3).foreach { trial =>
+      val nodes = 60 + rnd.nextInt(60)
+      val pairs = (1 to 2 * nodes).map { _ =>
+        val a = rnd.nextInt(nodes).toLong; val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // batch split by edge, NOT by node: delta edges freely bridge,
+      // re-enter, and extend existing clusters
+      val (oldPairs, newPairs) = pairs.partition(_.hashCode() % 2 == 0)
+      val prev = TextDedup.connectedComponents(oldPairs.toDF("id_a", "id_b"))
+      val got = TextDedup.ccIncremental(prev, newPairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val want = TextDedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: incremental diverges from batch CC")
+      assert(newPairs.nonEmpty && oldPairs.nonEmpty, "degenerate split")
+    }
+  }
+
+  test("large-star/small-star equals min-label propagation on random graphs") {
+    import graft.operators.TextDedup
+    (1 to 3).foreach { trial =>
+      val nodes = 60 + rnd.nextInt(60)
+      val pairs = (1 to nodes).map { _ =>
+        val a = rnd.nextInt(nodes).toLong; val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val viaStar = TextDedup.connectedComponentsStar(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val viaProp = TextDedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == viaProp, s"trial $trial: star CC diverges")
+    }
+  }
+
   test("graft_dot is registered in SQL via session extensions") {
     val r = spark.sql("SELECT graft_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d")
       .head().getDouble(0)
