@@ -255,21 +255,74 @@ object TextDedup {
     * Docs shorter than n tokens have no windows and don't appear.
     */
   def duplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    val postings = spanPostings(docs, n)
+    spanStats(postings, postings.groupBy(col("g")).agg(sum(col("k")).as("cnt")))
+  }
+
+  /** Per-(doc, window) multiplicities — the posting-list state table an
+    * incremental deployment stores: (doc_id, g, k). Sum of k per doc =
+    * its window count; sum of k per g = the corpus-wide span count.
+    */
+  def spanPostings(docs: DataFrame, n: Int): DataFrame = {
     val w = split(normalizeText(col("text")), " ")
-    val rows = Par.fan(docs)
+    Par.fan(docs)
       .select(col("doc_id"), w.as("w"))
       .where(size(col("w")) >= n) // sequence(0, size-n) flips direction if negative
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
         .as("g"))
-    val freq = rows.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-    rows.join(freq, Seq("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("k"))
+  }
+
+  /** Doc-level span stats from a postings table + corpus-wide counts. */
+  private def spanStats(postings: DataFrame, freq: DataFrame): DataFrame =
+    postings.join(freq, Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        count(when(col("cnt") >= 2, lit(1))).as("n_dup_windows"))
+      .agg(sum(col("k")).as("n_windows"),
+        sum(when(col("cnt") >= 2, col("k")).otherwise(lit(0L))).as("n_dup_windows"))
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         floor(col("n_dup_windows").cast(DoubleType) * 1000d / col("n_windows"))
           .cast(LongType).as("dup_permille"))
+
+  /** INCREMENTAL duplicated spans — the quality signal where a new batch
+    * retroactively changes OLD docs: a span unique in the existing
+    * corpus (cnt 1) becomes duplicated the moment an arriving doc
+    * repeats it, so old stats can't just be unioned with new ones.
+    * State a deployment keeps: `prevPostings` (doc, g, k), `prevFreq`
+    * (g, cnt — abelian sums), `prevStats` (the served doc-level table).
+    *
+    * Per batch, the only corpus-sized table touched is prevPostings, and
+    * only by a semi-join against the CROSSING grams (prev cnt == 1 and
+    * the batch re-mentions them — batch-bounded, typically tiny): grams
+    * already duplicated (cnt ≥ 2) were counted in prevStats, grams still
+    * unique stay unique. Everything else is batch-sized: the batch's
+    * postings, its freq delta, and its own stats against the merged
+    * counts. Output == `duplicatedSpans` over the union corpus
+    * (PipelineOpsSpec proves two-batch == one-shot).
+    */
+  def duplicatedSpansIncremental(prevPostings: DataFrame, prevFreq: DataFrame,
+      prevStats: DataFrame, incoming: DataFrame, n: Int): DataFrame = {
+    val batchPostings = spanPostings(incoming, n)
+    val deltaFreq = batchPostings.groupBy(col("g")).agg(sum(col("k")).as("dcnt"))
+    // grams crossing the duplication threshold: exactly-once in the old
+    // corpus AND re-mentioned by the batch
+    val crossed = prevFreq.filter(col("cnt") === 1)
+      .join(deltaFreq, Seq("g"), "left_semi")
+    // each crossing gram upgrades its single old posting's k windows
+    val oldDelta = prevPostings.join(crossed, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("k")).as("add_dup"))
+    val updatedOld = prevStats.join(oldDelta, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        (col("n_dup_windows") + coalesce(col("add_dup"), lit(0L))).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        floor(col("n_dup_windows").cast(DoubleType) * 1000d / col("n_windows"))
+          .cast(LongType).as("dup_permille"))
+    // the batch's own docs score against the merged counts — needed only
+    // for grams the batch mentions, so one batch-sized left join, never
+    // a re-aggregation over the corpus gram table
+    val batchFreq = deltaFreq.join(prevFreq, Seq("g"), "left")
+      .select(col("g"), (col("dcnt") + coalesce(col("cnt"), lit(0L))).as("cnt"))
+    updatedOld.unionByName(spanStats(batchPostings, batchFreq))
   }
 
   // ───── MinHash + LSH ─────

@@ -297,6 +297,37 @@ object PipelineQueries {
         GROUP BY doc_id ORDER BY doc_id"""),
       "span-level exact-substring duplication: per-doc duplicated-window permille"),
 
+    // INCREMENTAL span duplication: the quality signal where an arriving
+    // batch retroactively changes OLD docs (a unique span becomes
+    // duplicated when a new doc repeats it). Even docs = existing state
+    // (postings/freq/stats tables a deployment stores), odd docs = the
+    // batch; only crossing grams (prev cnt == 1, re-mentioned) touch the
+    // stored postings, via one semi-join. Composed output must equal the
+    // one-shot d14 over the full corpus — so it shares d14's oracle.
+    "d15_incremental_spans" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val existing = docs.filter(col("doc_id") % 2 === 0)
+        val incoming = docs.filter(col("doc_id") % 2 === 1)
+        val prevPostings = TextDedup.spanPostings(existing, n = 8)
+        val prevFreq = prevPostings.groupBy(col("g")).agg(sum(col("k")).as("cnt"))
+        val prevStats = TextDedup.duplicatedSpans(existing, n = 8)
+        TextDedup.duplicatedSpansIncremental(
+            prevPostings, prevFreq, prevStats, incoming, n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        pos AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+          FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i) WHERE len(w) >= 8),
+        f AS (SELECT g, COUNT(*) AS cnt FROM pos GROUP BY g)
+        SELECT doc_id, COUNT(*) AS n_windows,
+          CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_windows,
+          CAST(FLOOR(CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            * 1000 / COUNT(*)) AS BIGINT) AS dup_permille
+        FROM pos JOIN f USING (g)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "incremental span duplication: crossing grams retro-update old docs"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(

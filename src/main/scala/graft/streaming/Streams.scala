@@ -155,6 +155,39 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of the ANN index lifecycle's append path: embedding
+    * batches arrive as parquet files and are encoded with the stored
+    * FROZEN quantizers (pq or ivfpq auto-detected) — training never
+    * re-runs, existing code rows are never touched, and queries served
+    * from the index see each batch as soon as its micro-batch commits.
+    * The index must already exist (`VectorIndexStore.writePq`/`writeIvfPq`
+    * or `index build`).
+    *
+    * Delivery note: parquet append is NOT idempotent, so this surface is
+    * exactly-once only up to Structured Streaming's file-source
+    * bookkeeping (a crash INSIDE foreachBatch before checkpoint commit
+    * replays the batch and double-encodes it). The dedup/cdc streams
+    * route through idempotent merges instead; an index deployment that
+    * needs hard exactly-once writes codes through a manifest commit —
+    * batch-id-named files — which `etl.ManifestTableStore` provides.
+    */
+  def indexAppendStream(spark: org.apache.spark.sql.SparkSession, embDir: String,
+      indexPath: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.VectorIndexStore
+    val schema = spark.read.parquet(embDir).schema
+    val ivfpq = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(indexPath, "centroids"))
+    spark.readStream.schema(schema).parquet(embDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (ivfpq) VectorIndexStore.appendIvfPq(spark, indexPath, batch)
+        else VectorIndexStore.appendPq(spark, indexPath, batch)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream interval join: purchases attributed to a click by the
     * same user within `attribution` before the purchase. Watermarks bound
     * BOTH state stores (Spark drops click state older than purchase

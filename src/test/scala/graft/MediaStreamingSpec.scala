@@ -78,6 +78,34 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(store.read("corpus").count() == docs.count())
   }
 
+  test("index append stream: arriving batches encode with frozen quantizers") {
+    import graft.operators.VectorIndexStore
+    val emb = Tables.embeddings(spark, sfTiny)
+    val b0 = java.nio.file.Files.createTempDirectory("graft_ias_b0").toString + "/emb"
+    emb.filter($"vec_id" % 2 === 0).write.parquet(b0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ias_idx").toString + "/ivfpq"
+    VectorIndexStore.writeIvfPq(idx, spark.read.parquet(b0))
+
+    // the stream dir receives two files; each micro-batch append-encodes
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ias_s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ias_ck").toString
+    emb.filter($"vec_id" % 4 === 1).write.mode("append").parquet(streamDir)
+    Streams.indexAppendStream(spark, streamDir, idx, ckpt).awaitTermination(120000)
+    emb.filter($"vec_id" % 4 === 3).write.mode("append").parquet(streamDir)
+    Streams.indexAppendStream(spark, streamDir, idx, ckpt).awaitTermination(120000)
+
+    // index now covers the full corpus and equals a batch build with the
+    // same (frozen) quantizers
+    val cents = VectorIndexStore.readCentroids(spark, s"$idx/centroids")
+    val cb = VectorIndexStore.readCodebooks(spark, s"$idx/codebooks")
+    val streamed = spark.read.parquet(s"$idx/codes")
+      .select($"vec_id", $"cell", $"code").as[(Long, Int, Int)].collect().toSet
+    val batch = graft.operators.PqIndex.buildIvfPqIndex(emb, cents, cb)
+      .select($"vec_id", $"cell", $"code").as[(Long, Int, Int)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      "streamed appends drifted from batch build")
+  }
+
   test("cdc ingest stream: raw files → dedup → staging merge, incremental") {
     val rawDir = java.nio.file.Files.createTempDirectory("graft_cdc_raw").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString

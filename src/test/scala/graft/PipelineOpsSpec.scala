@@ -178,6 +178,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(gotRep._3 >= 2L, s"self-repeated window not flagged: $gotRep")
   }
 
+  test("incremental spans: a new batch retro-flags an old doc's unique span") {
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val old = Seq(
+      (1L, s"$boiler unique one tail tokens here now right"), // span unique in old
+      (3L, "completely different words with no shared window at all x y z"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (5L, s"$boiler arrives again with more trailing words here")) // re-mentions it
+      .toDF("doc_id", "text")
+    val prevPostings = TextDedup.spanPostings(old, n = 8)
+    val prevFreq = prevPostings.groupBy($"g").agg(sum($"k").as("cnt"))
+    val prevStats = TextDedup.duplicatedSpans(old, n = 8)
+    // before: doc 1's boilerplate window is unique
+    assert(prevStats.filter($"doc_id" === 1L).head().getLong(2) == 0L)
+    val got = TextDedup.duplicatedSpansIncremental(
+        prevPostings, prevFreq, prevStats, neu, n = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // after: the old doc gained a dup window WITHOUT its stats being
+    // recomputed from text, and the batch doc sees the merged counts
+    assert(got(1L)._3 == 1L && got(1L)._4 == 125L, s"${got(1L)}")
+    assert(got(5L)._3 == 1L)
+    assert(got(3L)._3 == 0L)
+    // and the composition equals one-shot over the union corpus
+    val oneShot = TextDedup.duplicatedSpans(old.unionByName(neu), n = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got == oneShot)
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
