@@ -130,4 +130,73 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
   }
+
+  // ───── semantic deduplication ─────
+
+  /** SemDeDup-style semantic deduplication (the embedding-space sibling
+    * of the text dedup cascade): partition the corpus into cells, find
+    * near-duplicate pairs only WITHIN a cell, and collapse each
+    * similarity group to one canonical survivor. The corpus-wide n²
+    * never happens — the pair self-join keys on the cell id (expected
+    * n²/k comparisons), and every other stage is linear.
+    *
+    * Cells = nearest per-label centroid, where centroids are exact
+    * decimal means (the emb2 sufficient-statistics discipline), so
+    * assignment is deterministic and SQL-mirrorable and the WHOLE
+    * operator — cells, pairs, cluster labels, keep flags — is
+    * hash-checkable (cluster closure via d7's recursive-CTE trick). The
+    * 100 TB path swaps in `IvfIndex.fit` k-means cells with k ~ √n:
+    * the identical per-row argmax over a broadcast centroid array (no
+    * shuffle), the identical cell-keyed pair join.
+    *
+    * Keep rule: min vec_id per connected component (the dedup family's
+    * canonical convention; SemDeDup proper keeps the member farthest
+    * from its centroid — swap the keep window for that policy).
+    */
+  def semanticDedup(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("emb"))
+    // per-label centroids: exact decimal sums per dim (associative,
+    // partition-order-free), ONE double division at the end — collected
+    // to the driver as k×dim doubles (bounded, the FAISS shape)
+    val cents = e.select(col("label"), posexplode(col("emb")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast(DecimalType(18, 6))).as("s6"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("s6").cast(DoubleType) / col("n")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    // per-row argmax cosine over the centroid literals — zero shuffle;
+    // ties break to the smallest cell id via struct ordering
+    val scored = cents.map { case (cell, c) =>
+      val c2 = c.map(x => x * x).sum // same left-to-right double sum as norm2
+      struct((lit(-1.0) * (dot(col("emb"), typedLit(c.toSeq)) /
+        sqrt(col("n2") * lit(c2)))).as("negcs"), lit(cell).as("cell"))
+    }
+    val assigned = e.withColumn("n2", norm2(col("emb")))
+      .withColumn("cell", array_min(array(scored.toIndexedSeq: _*)).getField("cell"))
+      .select(col("vec_id"), col("cell"), col("emb"), col("n2"))
+    // within-cell near-dup pairs: the self-join keys on the cell, so the
+    // quadratic work is cell-bounded, never corpus-wide
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("emb").as("va"), col("n2").as("na2"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("emb").as("vb"), col("n2").as("nb2"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"))
+    val cc = TextDedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("kept", (col("cluster_id") === col("vec_id")).cast(LongType))
+  }
 }

@@ -206,6 +206,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == oneShot)
   }
 
+  test("semantic dedup: keep rule + clusters match the exact within-cell pair path") {
+    val got = Similarity.semanticDedup(emb, minCos = 0.3)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.length == emb.count(), "every vector must be labeled")
+    // exactly one kept per cluster, and it is the cluster's min id
+    val byCluster = got.groupBy(_._3)
+    assert(byCluster.forall { case (cid, ms) =>
+      ms.count(_._4 == 1L) == 1 && ms.filter(_._4 == 1L).head._1 == cid &&
+        cid == ms.map(_._1).min
+    })
+    // clusters equal CC over the exact all-pairs baseline RESTRICTED to
+    // same-cell pairs (the cells are the only approximation SemDeDup makes)
+    val cellOf = got.map(r => r._1 -> r._2).toMap
+    val cellPairs = Similarity.cosineNearDupPairs(emb, minCos = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+    val expected = TextDedup.connectedComponents(
+        cellPairs.toSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, _, cid, _) => expected.getOrElse(id, id) == cid })
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
