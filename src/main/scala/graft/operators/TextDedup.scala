@@ -325,6 +325,46 @@ object TextDedup {
     updatedOld.unionByName(spanStats(batchPostings, batchFreq))
   }
 
+  /** Exact-substring REMOVAL — the action on d14's signal (the
+    * "dedup the substrings, not the documents" curation step): rewrite
+    * every doc with the tokens of corpus-duplicated n-token windows
+    * stripped, keeping the survivors in their original order. A token
+    * dies if ANY duplicated window covers its position.
+    *
+    * Scale shape: window rows shuffle on the gram (the d14 fabric);
+    * covered positions are n × duplicated-window rows — duplication-
+    * sized, not corpus-sized — deduped per (doc, pos); the rebuild is a
+    * per-doc collect_list bounded by doc length (docs are KB). Output
+    * carries md5(clean_text) so the result row stays narrow while the
+    * full rebuilt text is still pinned byte-exactly.
+    */
+  def scrubDuplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    val w = split(normalizeText(col("text")), " ")
+    val toks = Par.fan(docs).select(col("doc_id"), w.as("w"))
+    val tokRows = toks.select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val wins = toks.where(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("g"))
+    val dupG = wins.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("g"))
+    val covered = wins.join(dupG, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("p"))
+      .distinct()
+    val kept = tokRows.join(covered, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean"))
+    toks.select(col("doc_id"), size(col("w")).cast(LongType).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left") // fully-covered docs have no kept rows
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_hash"))
+  }
+
   // ───── MinHash + LSH ─────
 
   val NumHashes = 64

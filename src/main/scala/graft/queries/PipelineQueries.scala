@@ -328,6 +328,35 @@ object PipelineQueries {
         GROUP BY doc_id ORDER BY doc_id"""),
       "incremental span duplication: crossing grams retro-update old docs"),
 
+    // Exact-substring REMOVAL (the action on d14's signal): strip every
+    // token covered by a corpus-duplicated 8-token window, rebuild the
+    // doc in original order. The rebuilt text is pinned byte-exactly
+    // through its md5 — both engines rebuild independently and must
+    // agree on every surviving byte.
+    "d16_span_scrub" -> Q(
+      (s, d) => TextDedup.scrubDuplicatedSpans(Tables.documents(s, d), n = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        wins AS (SELECT doc_id, i AS start, array_to_string(w[i:i+7], ' ') AS g
+          FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i) WHERE len(w) >= 8),
+        dup AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+        cov AS (SELECT DISTINCT w.doc_id, w.start + j AS p
+          FROM wins w JOIN dup USING (g), UNNEST(range(0, 8)) AS t2(j)),
+        tk AS (SELECT doc_id, i AS p, w[i] AS tok
+          FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+          WHERE NOT EXISTS (SELECT 1 FROM cov
+            WHERE cov.doc_id = tk.doc_id AND cov.p = tk.p)),
+        reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+            string_agg(tok, ' ' ORDER BY p) AS clean
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+          md5(COALESCE(r.clean, '')) AS clean_hash
+        FROM toks t LEFT JOIN reb r USING (doc_id)
+        ORDER BY t.doc_id"""),
+      "exact-substring removal: duplicated windows stripped, rebuilt text md5-pinned"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(

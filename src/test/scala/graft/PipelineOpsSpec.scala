@@ -206,6 +206,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == oneShot)
   }
 
+  test("span scrub: covered tokens die, survivors keep order, d14 agrees") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val boiler = "a1 a2 a3 a4 a5 a6 a7 a8" // the shared 8-token window
+    val in = Seq(
+      (1L, s"head1 head2 $boiler tail1 tail2"),
+      (2L, s"$boiler other words entirely different here"),
+      (3L, "no duplication in this document at all whatsoever truly"),
+      (4L, "short doc")) // < 8 tokens: no windows, never scrubbed
+      .toDF("doc_id", "text")
+    val got = TextDedup.scrubDuplicatedSpans(in, n = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // docs 1/2 share exactly one 8-window; only those 8 positions die
+    assert(got(1L) == ((1L, 12L, 4L, md5hex("head1 head2 tail1 tail2"))))
+    assert(got(2L) == ((2L, 13L, 5L, md5hex("other words entirely different here"))))
+    assert(got(3L)._3 == 9L && got(3L)._4 == md5hex(
+      "no duplication in this document at all whatsoever truly"))
+    assert(got(4L) == ((4L, 2L, 2L, md5hex("short doc"))))
+    // property on the real corpus: a doc loses tokens iff d14 flags it
+    val scrub = TextDedup.scrubDuplicatedSpans(docs, n = 8)
+      .select($"doc_id", ($"n_kept" < $"n_tokens").as("lost")).as[(Long, Boolean)]
+      .collect().toMap
+    val flagged = TextDedup.duplicatedSpans(docs, n = 8)
+      .select($"doc_id", ($"n_dup_windows" > 0).as("dup")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(scrub.forall { case (id, lost) => flagged.getOrElse(id, false) == lost })
+  }
+
   test("semantic dedup: keep rule + clusters match the exact within-cell pair path") {
     val got = Similarity.semanticDedup(emb, minCos = 0.3)
       .as[(Long, Int, Long, Long)].collect()
