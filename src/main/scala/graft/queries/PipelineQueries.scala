@@ -243,22 +243,27 @@ object PipelineQueries {
       "incremental near-dup pairs: new batch vs corpus, old docs never re-join"),
 
     // INCREMENTAL dedup, cluster stage: the even-id docs are the existing
-    // corpus with its labels already computed; the odd-id batch arrives,
-    // d12 yields the pair DELTA, and ccIncremental merges that delta into
-    // the existing labels by contracting old clusters to their canonical
-    // supernode — CC runs on a delta-sized reduced graph, never over the
-    // full historical pair set (the last non-incremental stage of the
-    // 100 TB dedup path, now gone). The composed labels provably equal a
-    // from-scratch CC over the whole corpus, so d13 shares d7's
-    // recursive-CTE transitive-closure oracle; PipelineOpsSpec pins
-    // incremental == batch through the DataFrame API as well.
+    // corpus whose labels are SERVED FROM STORED STATE (ensureClusters —
+    // built once per corpus, read thereafter: the table a deployment
+    // keeps between batches, exactly what `dedup --incremental` and
+    // Streams.dedupStream maintain); the odd-id batch arrives, d12
+    // yields the pair DELTA, and ccIncremental merges it by contracting
+    // old clusters to their canonical supernode — CC runs on a
+    // delta-sized reduced graph, never over the full historical pair set.
+    // The composed labels provably equal a from-scratch CC over the whole
+    // corpus, so d13 shares d7's recursive-CTE transitive-closure oracle;
+    // PipelineOpsSpec pins incremental == batch through the DataFrame API
+    // (and the from-scratch one-query composition) as well.
     "d13_incremental_clusters" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        TextDedup.incrementalClusters(
-            docs.filter(col("doc_id") % 2 === 0),
-            docs.filter(col("doc_id") % 2 === 1),
-            n = 3, minJaccard = 0.8)
+        val existing = docs.filter(col("doc_id") % 2 === 0)
+        val incoming = docs.filter(col("doc_id") % 2 === 1)
+        val prev = TextDedup.ensureClusters(s, d, existing,
+          n = 3, minJaccard = 0.8, tag = "even")
+        TextDedup.ccIncremental(prev,
+            TextDedup.prefixFilterPairsIncremental(existing, incoming,
+              n = 3, minJaccard = 0.8))
           .orderBy(col("doc_id"))
       },
       Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -206,6 +206,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == oneShot)
   }
 
+  test("stored cluster state: served labels equal from-scratch, and the artifact is reused") {
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val prev = TextDedup.ensureClusters(spark, sfTiny, even, 3, 0.8, "spec_even")
+    val stored = TextDedup.ccIncremental(prev,
+        TextDedup.prefixFilterPairsIncremental(even, odd, 3, 0.8))
+      .as[(Long, Long)].collect().toMap
+    val scratch = TextDedup.incrementalClusters(even, odd, 3, 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(stored == scratch)
+    // second call must serve the SAME artifact (no rebuild): the parquet
+    // files' mtimes are untouched by a re-ensure
+    val f = new java.io.File(prev.inputFiles.head.stripPrefix("file:"))
+    val before = f.lastModified
+    TextDedup.ensureClusters(spark, sfTiny, even, 3, 0.8, "spec_even").count()
+    assert(f.lastModified == before, "artifact was rebuilt on second ensure")
+  }
+
   test("span scrub: covered tokens die, survivors keep order, d14 agrees") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
