@@ -153,13 +153,15 @@ object Similarity {
     * canonical convention; SemDeDup proper keeps the member farthest
     * from its centroid — swap the keep window for that policy).
     */
-  def semanticDedup(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"),
-      asDouble(col("embedding")).as("emb"))
-    // per-label centroids: exact decimal sums per dim (associative,
-    // partition-order-free), ONE double division at the end — collected
-    // to the driver as k×dim doubles (bounded, the FAISS shape)
-    val cents = e.select(col("label"), posexplode(col("emb")))
+  /** Per-label centroids as a driver-side array (k × dim doubles —
+    * bounded, the FAISS shape): exact decimal sums per dim (associative,
+    * partition-order-free), ONE double division at the end — the emb2
+    * sufficient-statistics discipline, so centroids are deterministic
+    * and bit-identical to an oracle computing the same decimal means.
+    */
+  def labelCentroids(embeddings: DataFrame): Array[(Int, Array[Double])] =
+    embeddings
+      .select(col("label"), posexplode(asDouble(col("embedding"))))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("col").cast(DecimalType(18, 6))).as("s6"), count(lit(1)).as("n"))
       .select(col("label"), col("pos"),
@@ -170,31 +172,84 @@ object Similarity {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
-    // per-row argmax cosine over the centroid literals — zero shuffle;
-    // ties break to the smallest cell id via struct ordering
+
+  /** Cell assignment: per-row argmax cosine over the centroid literals —
+    * zero shuffle; ties break to the smallest cell id via struct
+    * ordering. Output (vec_id, cell, emb, n2).
+    */
+  def assignCells(embeddings: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
     val scored = cents.map { case (cell, c) =>
       val c2 = c.map(x => x * x).sum // same left-to-right double sum as norm2
       struct((lit(-1.0) * (dot(col("emb"), typedLit(c.toSeq)) /
         sqrt(col("n2") * lit(c2)))).as("negcs"), lit(cell).as("cell"))
     }
-    val assigned = e.withColumn("n2", norm2(col("emb")))
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("n2", norm2(col("emb")))
       .withColumn("cell", array_min(array(scored.toIndexedSeq: _*)).getField("cell"))
       .select(col("vec_id"), col("cell"), col("emb"), col("n2"))
-    // within-cell near-dup pairs: the self-join keys on the cell, so the
-    // quadratic work is cell-bounded, never corpus-wide
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+  }
+
+  /** Near-dup pairs BETWEEN two assigned sides, joined on the cell —
+    * the quadratic work is cell-bounded, never corpus-wide. `lowerOnly`
+    * keeps a.vec_id < b.vec_id (self-join); otherwise any cross pair is
+    * canonicalized to (min, max).
+    */
+  private def cellPairs(a0: DataFrame, b0: DataFrame, minCos: Double,
+      lowerOnly: Boolean): DataFrame = {
+    val a = a0.select(col("cell"), col("vec_id").as("id_a"),
       col("emb").as("va"), col("n2").as("na2"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+    val b = b0.select(col("cell"), col("vec_id").as("id_b"),
       col("emb").as("vb"), col("n2").as("nb2"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    val joined = a.join(b, Seq("cell"))
       .withColumn("cos", dot(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))
       .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"))
+    val base =
+      if (lowerOnly) joined.filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      else joined.filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    base
+  }
+
+  def semanticDedup(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val assigned = assignCells(embeddings, labelCentroids(embeddings))
+    val pairs = cellPairs(assigned, assigned, minCos, lowerOnly = true)
     val cc = TextDedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
     assigned.select(col("vec_id"), col("cell"))
       .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("kept", (col("cluster_id") === col("vec_id")).cast(LongType))
+  }
+
+  /** INCREMENTAL semantic dedup — the frozen-quantizer doctrine applied
+    * to SemDeDup: centroids are trained on the EXISTING corpus and
+    * frozen (the add-after-train shape, like VectorIndexStore's PQ
+    * append), the arriving batch assigns into those frozen cells, and
+    * only new×new + new×existing pairs are scored — the existing corpus
+    * never self-joins again. The batch's pair delta merges into the
+    * existing labels through `TextDedup.ccIncremental` (delta-sized
+    * reduced graph). Because old pairs ∪ delta pairs = ALL within-cell
+    * pairs under the frozen cells, the composition equals a one-shot
+    * closure with existing-corpus centroids — which is what the
+    * registered oracle replays.
+    */
+  def semanticDedupIncremental(existing: DataFrame, incoming: DataFrame,
+      minCos: Double): DataFrame = {
+    val cents = labelCentroids(existing) // FROZEN: trained on existing only
+    val oldA = assignCells(existing, cents)
+    val newA = assignCells(incoming, cents)
+    val prevLabels = TextDedup.connectedComponents(
+        cellPairs(oldA, oldA, minCos, lowerOnly = true))
+    val delta = cellPairs(newA, newA, minCos, lowerOnly = true)
+      .unionByName(cellPairs(newA, oldA, minCos, lowerOnly = false))
+      .dropDuplicates("id_a", "id_b")
+    val merged = TextDedup.ccIncremental(prevLabels, delta)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    oldA.unionByName(newA).select(col("vec_id"), col("cell"))
+      .join(merged, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
       .withColumn("kept", (col("cluster_id") === col("vec_id")).cast(LongType))

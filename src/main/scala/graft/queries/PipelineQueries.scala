@@ -430,6 +430,52 @@ object PipelineQueries {
         ORDER BY a.vec_id"""),
       "SemDeDup: cell-bounded cosine near-dup clusters, min-id canonical keep"),
 
+    // INCREMENTAL semantic dedup: centroids trained on the EXISTING
+    // (even-id) corpus and FROZEN — the add-after-train doctrine of the
+    // ANN index stores applied to SemDeDup. The odd-id batch assigns
+    // into frozen cells; only new×new + new×existing pairs are scored;
+    // ccIncremental merges the delta into the existing labels. Old ∪
+    // delta pairs = all within-cell pairs under frozen cells, so the
+    // composition equals a one-shot closure with existing-corpus
+    // centroids — which this oracle replays (centroid CTE over even ids).
+    "sem2_incremental_semdedup" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.semanticDedupIncremental(
+            emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1), minCos = 0.3)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent AS (SELECT label AS cell, list(c_val ORDER BY dim) AS cent FROM (
+            SELECT label, i AS dim,
+              CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val
+            FROM emb, UNNEST(range(1, 65)) AS t(i)
+            WHERE vec_id % 2 = 0
+            GROUP BY label, i) GROUP BY label),
+        assigned AS (SELECT vec_id, cell, emb FROM (
+            SELECT e.vec_id, c.cell, e.emb,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
+            FROM emb e, cent c) WHERE rn = 1),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        cl AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT a.vec_id, a.cell,
+          COALESCE(cl.cluster_id, a.vec_id) AS cluster_id,
+          CAST(CASE WHEN COALESCE(cl.cluster_id, a.vec_id) = a.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM assigned a LEFT JOIN cl USING (vec_id)
+        ORDER BY a.vec_id"""),
+      "incremental SemDeDup: frozen cells, batch-only pair delta, ccIncremental merge"),
+
     // ───── similarity search ─────
 
     "ann1_bruteforce_topk" -> Q(

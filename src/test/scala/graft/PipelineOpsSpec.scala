@@ -275,6 +275,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.forall { case (id, _, cid, _) => expected.getOrElse(id, id) == cid })
   }
 
+  test("incremental semantic dedup equals one-shot under frozen cells") {
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val got = Similarity.semanticDedupIncremental(even, odd, minCos = 0.3)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == emb.count())
+    // independent reference: assign EVERYTHING with the frozen (even-half)
+    // centroids, then CC over the exact all-pairs baseline restricted to
+    // same-cell pairs — no cellPairs/ccIncremental code shared
+    val cellOf = Similarity.assignCells(emb, Similarity.labelCentroids(even))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val pairs = Similarity.cosineNearDupPairs(emb, minCos = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+    val expected = TextDedup.connectedComponents(pairs.toSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, (_, cell, cid, kept)) =>
+      cellOf(id) == cell && expected.getOrElse(id, id) == cid &&
+        kept == (if (cid == id) 1L else 0L)
+    })
+    // and the batch genuinely changes OLD labels somewhere (a new vector
+    // bridging / entering an existing cluster) — otherwise this test
+    // wouldn't exercise the merge at all
+    val prevOnly = Similarity.semanticDedup(even, minCos = 0.3)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.exists { case (id, (_, _, cid, _)) =>
+      prevOnly.get(id).exists(_ != cid) })
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
