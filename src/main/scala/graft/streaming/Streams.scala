@@ -155,6 +155,65 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of INCREMENTAL SPAN DUPLICATION (d15): documents
+    * arrive as parquet files; each micro-batch runs
+    * `TextDedup.duplicatedSpansIncremental` against the stored
+    * posting-list state — grams crossing cnt 1→≥2 retro-update OLD
+    * docs' served stats through one semi-join, everything else is
+    * batch-sized. State tables: `span_corpus` (doc ids seen),
+    * `span_postings` (doc, g, k — append-only), `span_freq` (g, cnt),
+    * `span_stats` (the served per-doc table).
+    *
+    * Replays are idempotent: the batch anti-joins `span_corpus` first,
+    * so a re-delivered batch shrinks to empty and every state update is
+    * a no-op. The freq merge is an abelian sum — a merge-on-read store
+    * would upsert only the batch's grams; ParquetTableStore materializes
+    * the merged table before its atomic swap, which rewrites the gram
+    * table per batch (the price of a copy-on-write store, not of the
+    * algorithm).
+    */
+  def spanStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      store: graft.etl.TableStore, checkpointDir: String,
+      n: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextDedup
+    val schema = spark.read.parquet(docsDir).schema // footer-only read
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b0 = batch.dropDuplicates("doc_id")
+        val b = if (store.exists("span_corpus"))
+          b0.join(store.read("span_corpus"), Seq("doc_id"), "left_anti")
+        else b0
+        val empty = b.limit(0)
+        val prevPostings =
+          if (store.exists("span_postings")) store.read("span_postings")
+          else TextDedup.spanPostings(empty, n)
+        val prevFreq =
+          if (store.exists("span_freq")) store.read("span_freq")
+          else TextDedup.spanPostings(empty, n)
+            .groupBy(col("g")).agg(sum(col("k")).as("cnt"))
+        val prevStats =
+          if (store.exists("span_stats")) store.read("span_stats")
+          else TextDedup.duplicatedSpans(empty, n)
+        val batchPostings = TextDedup.spanPostings(b, n)
+        val stats = TextDedup.duplicatedSpansIncremental(
+          prevPostings, prevFreq, prevStats, b, n)
+        val mergedFreq = prevFreq.unionByName(
+            batchPostings.groupBy(col("g")).agg(sum(col("k")).as("cnt")))
+          .groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+        // served tables swap first (each overwrite materializes from the
+        // OLD files before its atomic swap); the state feeds append after —
+        // the anti-join above makes a replayed batch a no-op throughout
+        store.overwrite("span_stats", stats)
+        store.overwrite("span_freq", mergedFreq)
+        store.append("span_postings", batchPostings)
+        store.append("span_corpus", b.select(col("doc_id")))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of the ANN index lifecycle's append path: embedding
     * batches arrive as parquet files and are encoded with the stored
     * FROZEN quantizers (pq or ivfpq auto-detected) — training never

@@ -78,6 +78,43 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(store.read("corpus").count() == docs.count())
   }
 
+  test("span stream: posting-list state tracks batch d14 across micro-batches") {
+    import graft.operators.TextDedup
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_ss_docs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_ckpt").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ss_store").toString
+    val store = new graft.etl.ParquetTableStore(spark, storeDir)
+    val docs = Tables.documents(spark, sfTiny)
+
+    docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(docsDir)
+    Streams.spanStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    val afterB1 = store.read("span_stats")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterB1 == TextDedup.duplicatedSpans(docs.filter($"doc_id" % 2 === 0), 8)
+      .as[(Long, Long, Long, Long)].collect().toSet,
+      "batch-1 span state != one-shot over batch 1")
+
+    // batch 2: spans unique in batch 1 that the odd docs repeat must
+    // retro-flag the OLD docs in the served stats
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(docsDir)
+    Streams.spanStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    val afterB2 = store.read("span_stats")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val oneShot = TextDedup.duplicatedSpans(docs, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterB2 == oneShot, "span stream state drifted from one-shot d14")
+    assert(oneShot.exists(_._3 > 0), "no duplicated spans — vacuous test")
+    // the retro-update actually happened: some even doc's dup count grew
+    val b1 = afterB1.map(r => r._1 -> r._3).toMap
+    assert(afterB2.exists { r => b1.get(r._1).exists(_ < r._3) },
+      "no old doc was retro-flagged by batch 2")
+
+    // re-running with no new files must not disturb the state
+    Streams.spanStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    assert(store.read("span_stats")
+      .as[(Long, Long, Long, Long)].collect().toSet == oneShot)
+  }
+
   test("index append stream: arriving batches encode with frozen quantizers") {
     import graft.operators.VectorIndexStore
     val emb = Tables.embeddings(spark, sfTiny)
