@@ -238,11 +238,22 @@ object Similarity {
     */
   def semanticDedupIncremental(existing: DataFrame, incoming: DataFrame,
       minCos: Double): DataFrame = {
+    val oldA = assignCells(existing, labelCentroids(existing))
+    semanticDedupIncrementalFrom(
+      TextDedup.connectedComponents(cellPairs(oldA, oldA, minCos, lowerOnly = true)),
+      existing, incoming, minCos)
+  }
+
+  /** The merge step alone, with the existing corpus's labels supplied —
+    * what a deployment runs per batch against its stored state
+    * (`ensureSemanticClusters`). Centroids still derive from `existing`
+    * only (frozen), so labels + this step compose to the one-shot.
+    */
+  def semanticDedupIncrementalFrom(prevLabels: DataFrame, existing: DataFrame,
+      incoming: DataFrame, minCos: Double): DataFrame = {
     val cents = labelCentroids(existing) // FROZEN: trained on existing only
     val oldA = assignCells(existing, cents)
     val newA = assignCells(incoming, cents)
-    val prevLabels = TextDedup.connectedComponents(
-        cellPairs(oldA, oldA, minCos, lowerOnly = true))
     val delta = cellPairs(newA, newA, minCos, lowerOnly = true)
       .unionByName(cellPairs(newA, oldA, minCos, lowerOnly = false))
       .dropDuplicates("id_a", "id_b")
@@ -253,5 +264,33 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
       .withColumn("kept", (col("cluster_id") === col("vec_id")).cast(LongType))
+  }
+
+  // ───── stored semantic cluster state (the deployment shape for sem2) ─────
+
+  private val stateRoot =
+    sys.env.getOrElse("SPARK_GRAFT_DEDUP_STATE_DIR", "target/graft-dedup-state")
+  private val stateLock = new Object
+
+  /** Semantic cluster labels of an existing corpus as a persisted
+    * artifact (doc_id, cluster_id — clustered members only), built on
+    * first use and keyed by embeddings.parquet mtime: TextDedup.
+    * ensureClusters' pattern for the embedding domain. Labels are
+    * computed under the corpus's OWN (frozen) centroids, exactly what
+    * `semanticDedupIncrementalFrom` expects.
+    */
+  def ensureSemanticClusters(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, existing: DataFrame, minCos: Double, tag: String): DataFrame = {
+    val mtime = new java.io.File(corpusDir, "embeddings.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$stateRoot/sem_${tag}_${(minCos * 1000).toInt}_${key}_$mtime"
+    stateLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists) {
+        val oldA = assignCells(existing, labelCentroids(existing))
+        TextDedup.connectedComponents(cellPairs(oldA, oldA, minCos, lowerOnly = true))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    spark.read.parquet(path)
   }
 }
