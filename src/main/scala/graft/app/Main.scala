@@ -48,7 +48,14 @@ object Main {
         dedup(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
           rest.contains("--exact"))
-      case other => sys.error(s"usage: run|load|check|analyze|dedup ... (got $other)")
+      case "semdedup" :: emb :: out :: rest if rest.contains("--incremental") =>
+        semdedupIncremental(spark, emb, out,
+          opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.3))
+      case "semdedup" :: emb :: out :: rest =>
+        semdedup(spark, emb, out,
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.3))
+      case other => sys.error(s"usage: run|load|check|analyze|dedup|semdedup|index ... (got $other)")
     } finally spark.stop()
   }
 
@@ -363,6 +370,62 @@ object Main {
     val nKept = store.read("kept").count()
     println(s"[graft] dedup --incremental: $nTotal docs -> $nKept kept " +
       s"(threshold $threshold, delta-only pair generation)")
+    nKept
+  }
+
+  /** Semantic dedup as a product command (SemDeDup over an embedding
+    * corpus): cell-bounded cosine clusters → keep each cluster's
+    * canonical. Writes `<out>/clusters` (vec_id, cell, cluster_id,
+    * kept), `<out>/centroids` (the FROZEN cell quantizer later
+    * incremental batches assign with), and `<out>/kept`.
+    */
+  def semdedup(spark: SparkSession, embPath: String, out: String,
+      threshold: Double): Long = {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val store = new ParquetTableStore(spark, out)
+    val emb = spark.read.parquet(embPath)
+    val cents = Similarity.labelCentroids(emb)
+    store.overwrite("centroids",
+      cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cent"))
+    store.overwrite("clusters", Similarity.semanticDedup(emb, threshold))
+    val drop = store.read("clusters").filter(col("kept") === 0L).select(col("vec_id"))
+    store.overwrite("kept", emb.join(drop, Seq("vec_id"), "left_anti"))
+    val nTotal = emb.count(); val nKept = store.read("kept").count()
+    println(s"[graft] semdedup: $nTotal vectors -> $nKept kept " +
+      s"(${nTotal - nKept} semantic dups dropped, threshold $threshold)")
+    nKept
+  }
+
+  /** Incremental semantic dedup: a new embedding batch assigns into the
+    * STORED frozen cells (the quantizer never retrains — the index
+    * stores' add-after-train doctrine), scores only new×new +
+    * new×existing pairs, and merges the delta into the stored labels.
+    * N-batch composition equals the one-shot under the frozen cells
+    * (AppAndSinksSpec proves two batches == the incremental API in one).
+    */
+  def semdedupIncremental(spark: SparkSession, existingPath: String,
+      out: String, newPath: String, threshold: Double): Long = {
+    import graft.operators.Similarity
+    val store = new ParquetTableStore(spark, out)
+    require(store.exists("clusters") && store.exists("centroids"),
+      s"no $out/clusters+centroids — run batch `semdedup` on the existing corpus first")
+    val existing = spark.read.parquet(existingPath)
+    val incoming = spark.read.parquet(newPath)
+    val cents = store.read("centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val prev = store.read("clusters")
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val clusters = Similarity.semanticDedupMerge(
+      cents, prev, existing, incoming, threshold)
+    store.overwrite("clusters", clusters)
+    val drop = store.read("clusters").filter(col("kept") === 0L).select(col("vec_id"))
+    store.overwrite("kept",
+      existing.unionByName(incoming).join(drop, Seq("vec_id"), "left_anti"))
+    val nTotal = existing.count() + incoming.count()
+    val nKept = store.read("kept").count()
+    println(s"[graft] semdedup --incremental: $nTotal vectors -> $nKept kept " +
+      s"(threshold $threshold, frozen cells, delta-only pair scoring)")
     nKept
   }
 }

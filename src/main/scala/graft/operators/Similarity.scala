@@ -250,8 +250,21 @@ object Similarity {
     * only (frozen), so labels + this step compose to the one-shot.
     */
   def semanticDedupIncrementalFrom(prevLabels: DataFrame, existing: DataFrame,
+      incoming: DataFrame, minCos: Double): DataFrame =
+    semanticDedupMerge(labelCentroids(existing), prevLabels, existing,
+      incoming, minCos)
+
+  /** The merge step with the frozen centroids supplied EXPLICITLY — the
+    * multi-batch product surface (app.Main `semdedup --incremental`):
+    * centroids persist from the original batch build, so every later
+    * batch assigns into the SAME cells regardless of how the corpus has
+    * grown, and the accumulated pair set stays exactly "all within-cell
+    * pairs under the frozen cells" — the invariant that makes N-batch
+    * composition equal the one-shot.
+    */
+  def semanticDedupMerge(cents: Array[(Int, Array[Double])],
+      prevLabels: DataFrame, existing: DataFrame,
       incoming: DataFrame, minCos: Double): DataFrame = {
-    val cents = labelCentroids(existing) // FROZEN: trained on existing only
     val oldA = assignCells(existing, cents)
     val newA = assignCells(incoming, cents)
     val delta = cellPairs(newA, newA, minCos, lowerOnly = true)

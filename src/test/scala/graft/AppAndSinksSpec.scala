@@ -59,6 +59,35 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(incKept == fullKept && incKept.nonEmpty)
   }
 
+  test("CLI semdedup --incremental: frozen cells make two batches equal one") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val evenP = Files.createTempDirectory("graft_sd_b0").toString + "/emb"
+    val b1P = Files.createTempDirectory("graft_sd_b1").toString + "/emb"
+    val b2P = Files.createTempDirectory("graft_sd_b2").toString + "/emb"
+    val e01P = Files.createTempDirectory("graft_sd_e01").toString + "/emb"
+    emb.filter($"vec_id" % 2 === 0).write.parquet(evenP)
+    emb.filter($"vec_id" % 4 === 1).write.parquet(b1P)
+    emb.filter($"vec_id" % 4 === 3).write.parquet(b2P)
+    emb.filter($"vec_id" % 2 === 0 || $"vec_id" % 4 === 1).write.parquet(e01P)
+    // day 1: batch build stores clusters + the FROZEN centroids
+    val out = Files.createTempDirectory("graft_sd_out").toString
+    graft.app.Main.semdedup(spark, evenP, out, 0.3)
+    // days 2 and 3: two arriving batches merge against stored state; the
+    // second batch's "existing" corpus has grown, but cells stay frozen
+    graft.app.Main.semdedupIncremental(spark, evenP, out, b1P, 0.3)
+    val nInc = graft.app.Main.semdedupIncremental(spark, e01P, out, b2P, 0.3)
+    // the two-batch CLI path must equal the one-batch incremental API
+    // (same frozen even-corpus centroids, same accumulated pair set)
+    val expected = graft.operators.Similarity.semanticDedupIncremental(
+        emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1), 0.3)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val got = spark.read.parquet(s"$out/clusters")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == expected, "two-batch CLI clusters drifted from one-shot incremental")
+    assert(nInc == expected.count(_._4 == 1L))
+    assert(expected.exists(_._4 == 0L), "no semantic dups — vacuous test")
+  }
+
   test("CLI index build/append/query: stored lifecycle equals one-shot build") {
     val embPath = s"$sfTiny/embeddings.parquet"
     val emb = spark.read.parquet(embPath)
