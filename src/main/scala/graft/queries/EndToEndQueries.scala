@@ -228,6 +228,76 @@ object EndToEndQueries {
         FROM n WHERE copies > 0 GROUP BY lang ORDER BY lang"""),
       "scale-path curation composed: near-dup cascade -> quality gate -> temperature mix"),
 
+    // EMBEDDING-side curation capstone: semantic dedup's keep decision →
+    // survivors scored against their ASSIGNED cell's centroid → per-cell
+    // curation report (total, kept, far-from-centroid survivors, exact
+    // decimal sum of kept cosines). One hash-checked chain over sem1's
+    // cells + clusters + d5's cosine parity + the a18 sufficient-
+    // statistics discipline for the float sum.
+    "e2e7_semantic_curation" -> Q(
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(s, d)
+        val labeled = Similarity.semanticDedup(emb, minCos = 0.3)
+        val e = emb.select(col("vec_id"), col("label"),
+          col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+        val cents = e.select(col("label"), posexplode(col("emb")))
+          .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
+          .agg(sum(col("col").cast(DecimalType(18, 6))).as("s6"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            (col("s6").cast(DoubleType) / col("n")).as("c_val"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c_val")))),
+            x => x.getField("c_val")).as("cent"))
+          .select(col("label").as("cell"), col("cent"))
+        val dotp = graft.operators.Similarity.dot _
+        labeled.join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
+          .join(broadcast(cents), Seq("cell"))
+          .withColumn("cs", dotp(col("emb"), col("cent")) /
+            sqrt(dotp(col("emb"), col("emb")) * dotp(col("cent"), col("cent"))))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("kept")).as("n_kept"),
+            sum(when(col("kept") === 1L && col("cs") < 0, 1L).otherwise(0L)).as("n_far"),
+            sum(when(col("kept") === 1L, col("cs").cast(DecimalType(18, 6)))
+              .otherwise(lit(0).cast(DecimalType(18, 6))))
+              .cast(DoubleType).as("kept_cos_sum"))
+          .orderBy(col("cell"))
+      },
+      Some("""WITH RECURSIVE emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent AS (SELECT label AS cell, list(c_val ORDER BY dim) AS cent FROM (
+            SELECT label, i AS dim,
+              CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val
+            FROM emb, UNNEST(range(1, 65)) AS t(i)
+            GROUP BY label, i) GROUP BY label),
+        assigned AS (SELECT vec_id, cell, emb FROM (
+            SELECT e.vec_id, c.cell, e.emb,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
+            FROM emb e, cent c) WHERE rn = 1),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        cl AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+        scored AS (SELECT a.vec_id, a.cell,
+            CASE WHEN COALESCE(cl.cluster_id, a.vec_id) = a.vec_id
+              THEN 1 ELSE 0 END AS kept,
+            list_cosine_similarity(a.emb, c.cent) AS cs
+          FROM assigned a LEFT JOIN cl USING (vec_id)
+          JOIN cent c ON c.cell = a.cell)
+        SELECT cell, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN kept = 1 AND cs < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_far,
+          CAST(SUM(CASE WHEN kept = 1 THEN CAST(cs AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS kept_cos_sum
+        FROM scored GROUP BY cell ORDER BY cell"""),
+      "semantic curation report: dedup keep + centroid-distance screen per cell"),
+
     // The curation ops COMPOSED the way a pre-training data pipeline ships
     // them: hold out a benchmark slice, drop training docs that leak a
     // benchmark 4-gram, gate on repetition signals, then chunk the
