@@ -55,7 +55,13 @@ object Main {
       case "semdedup" :: emb :: out :: rest =>
         semdedup(spark, emb, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.3))
-      case other => sys.error(s"usage: run|load|check|analyze|dedup|semdedup|index ... (got $other)")
+      case "quality" :: "train" :: docs :: model :: Nil =>
+        qualityTrain(spark, docs, model)
+      case "quality" :: "score" :: docs :: model :: out :: Nil =>
+        qualityScore(spark, docs, model, out)
+      case "quality" :: docs :: out :: Nil =>
+        qualityBatch(spark, docs, out)
+      case other => sys.error(s"usage: run|load|check|analyze|dedup|semdedup|index|quality ... (got $other)")
     } finally spark.stop()
   }
 
@@ -427,5 +433,46 @@ object Main {
     println(s"[graft] semdedup --incremental: $nTotal vectors -> $nKept kept " +
       s"(threshold $threshold, frozen cells, delta-only pair scoring)")
     nKept
+  }
+
+  /** Train the trigram quality LM and persist it as parquet artifacts
+    * (trigrams/contexts/vocab — the VectorIndexStore doctrine: the model
+    * is tables, never driver state).
+    */
+  def qualityTrain(spark: SparkSession, docsPath: String, modelDir: String): Unit = {
+    import graft.operators.TextQuality
+    val m = TextQuality.lmTrain(spark.read.parquet(docsPath))
+    m.trigrams.write.mode("overwrite").parquet(s"$modelDir/trigrams")
+    m.contexts.write.mode("overwrite").parquet(s"$modelDir/contexts")
+    m.vocab.write.mode("overwrite").parquet(s"$modelDir/vocab")
+    val n = spark.read.parquet(s"$modelDir/trigrams").count()
+    println(s"[graft] quality train: $n distinct trigrams -> $modelDir")
+  }
+
+  /** Score a batch under a stored frozen LM — the per-batch gate a
+    * deployment runs on every incoming slice of corpus.
+    */
+  def qualityScore(spark: SparkSession, docsPath: String, modelDir: String,
+      out: String): Long = {
+    import graft.operators.TextQuality
+    val m = TextQuality.LmModel(
+      spark.read.parquet(s"$modelDir/trigrams"),
+      spark.read.parquet(s"$modelDir/contexts"),
+      spark.read.parquet(s"$modelDir/vocab"))
+    val scored = TextQuality.lmScoreWith(m, spark.read.parquet(docsPath))
+    scored.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    println(s"[graft] quality score: $n docs scored under $modelDir -> $out")
+    n
+  }
+
+  /** One-shot: train on the corpus and score it (t15's surface). */
+  def qualityBatch(spark: SparkSession, docsPath: String, out: String): Long = {
+    import graft.operators.TextQuality
+    val scored = TextQuality.lmScore(spark.read.parquet(docsPath))
+    scored.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    println(s"[graft] quality: $n docs scored (corpus-trained LM) -> $out")
+    n
   }
 }

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus quality scoring and retrieval — the CCNet-style half of a
+  * training-data pipeline that the dedup family doesn't cover: score
+  * every document under a corpus-trained n-gram LM (the classic
+  * perplexity quality gate), rank documents for a term query (BM25),
+  * draw a deterministic weighted sample, and watch per-source
+  * distribution drift with an exact KS statistic.
+  *
+  * Reference anchor: the reference's quality monitors count and
+  * threshold (main.py:117-141 check mode); these operators are the
+  * corpus-scale generalization.
+  *
+  * Oracle parity doctrine (see PipelineQueries): every float crosses
+  * the engine boundary through DECIMAL(18,x) with the IDENTICAL double
+  * op sequence on both sides; ranking keys are the rendered decimals
+  * plus an integer tie-break, so order cannot flip between engines.
+  */
+object TextQuality {
+
+  /** Per-document cross-entropy (avg negative log-prob, nats) under an
+    * add-one-smoothed trigram LM trained on the corpus itself:
+    * P(w3|w1 w2) = (c(w1 w2 w3) + 1) / (c(w1 w2 ·) + V).
+    *
+    * Shape at scale: trigram occurrences explode once (narrow, fanned),
+    * the model is two hash aggs keyed by trigram/context (the t13
+    * shuffle), scoring is two shuffle joins back on those keys plus a
+    * 1-row broadcast vocab size. No data-sized window, no driver state;
+    * the LM "model" never materializes on the driver.
+    *
+    * Output: (doc_id, n_tris, avg_nlp_micro) — docs with < 3 words drop
+    * out. The score is integer micro-nats: the decimal sum of per-
+    * trigram logs is exact and associative, ×1e6 is an exact integer,
+    * and the integer division cannot hit a float rounding boundary
+    * (a DECIMAL re-rounding of the double average flipped 1 doc in
+    * 500 by 1e-6 between engines).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val vocab = Par.fan(docs)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val tris = triRows(docs)
+    val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+    val c2 = tris.groupBy(col("ctx")).agg(count(lit(1)).as("c2"))
+    tris.join(c3, Seq("tri")).join(c2, Seq("ctx")).crossJoin(broadcast(vocab))
+      .withColumn("nlp", log((col("c2") + col("v")).cast(DoubleType) /
+        (col("c3") + lit(1L)).cast(DoubleType)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tris"),
+        sum(col("nlp").cast(DecimalType(18, 6))).as("s6"))
+      .select(col("doc_id"), col("n_tris"),
+        expr("CAST(s6 * 1000000 AS BIGINT) DIV n_tris").as("avg_nlp_micro"))
+  }
+
+  /** A trained trigram LM: occurrence counts keyed by trigram/context
+    * plus the 1-row vocab size — three DataFrames, so the model is a
+    * persistable parquet artifact (the VectorIndexStore doctrine), never
+    * driver-side state.
+    */
+  final case class LmModel(trigrams: DataFrame, contexts: DataFrame, vocab: DataFrame)
+
+  /** Occurrence-grained (doc_id, tri, ctx) rows — the LM's event stream. */
+  private def triRows(docs: DataFrame): DataFrame =
+    Par.fan(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> named_struct(" +
+          "'tri', concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)), " +
+          "'ctx', concat(element_at(w, i), ' ', element_at(w, i + 1))))")).as("t"))
+      .select(col("doc_id"), col("t.tri").as("tri"), col("t.ctx").as("ctx"))
+
+  /** Train the trigram LM on a corpus (two hash aggs + a 1-row vocab agg). */
+  def lmTrain(corpus: DataFrame): LmModel = {
+    val tris = triRows(corpus)
+    LmModel(
+      trigrams = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3")),
+      contexts = tris.groupBy(col("ctx")).agg(count(lit(1)).as("c2")),
+      vocab = Par.fan(corpus).select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v")))
+  }
+
+  /** Score a batch under a FROZEN model — the deployment path (train
+    * once on the corpus, gate every incoming batch; the sem2
+    * frozen-quantizer doctrine applied to the LM). Unseen trigrams and
+    * contexts coalesce to 0, which is exactly what add-one smoothing
+    * is for; `lmScoreWith(lmTrain(docs), docs)` equals `lmScore(docs)`
+    * (QualitySpec pins it).
+    */
+  def lmScoreWith(model: LmModel, batch: DataFrame): DataFrame = {
+    triRows(batch)
+      .join(model.trigrams, Seq("tri"), "left")
+      .join(model.contexts, Seq("ctx"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("nlp", log(
+        (coalesce(col("c2"), lit(0L)) + col("v")).cast(DoubleType) /
+          (coalesce(col("c3"), lit(0L)) + lit(1L)).cast(DoubleType)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tris"),
+        sum(col("nlp").cast(DecimalType(18, 6))).as("s6"))
+      .select(col("doc_id"), col("n_tris"),
+        expr("CAST(s6 * 1000000 AS BIGINT) DIV n_tris").as("avg_nlp_micro"))
+  }
+
+  /** Incremental LM scoring: train on the existing corpus, score only
+    * the new batch — the existing corpus is never re-scored.
+    */
+  def lmScoreFrozen(existing: DataFrame, batch: DataFrame): DataFrame =
+    lmScoreWith(lmTrain(existing), batch)
+
+  /** BM25 top-k retrieval (k1 = 1.2, b = 0.75) for a fixed term set.
+    *
+    * Shape at scale: the token explode filters to the query terms
+    * IMMEDIATELY (the scan side never shuffles non-matching tokens),
+    * per-term document frequencies and the corpus length stats are
+    * KB-sized broadcasts, and the final top-k is a TakeOrdered — no
+    * global window, no full sort.
+    *
+    * Output: (doc_id, n_terms, bm25) — top k by (bm25 desc, doc_id).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val dls = Par.fan(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"), col("w"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = dls.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("idf", log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))))
+      .withColumn("sc", col("idf") * ((col("tf").cast(DoubleType) * lit(2.2)) /
+        (col("tf").cast(DoubleType) + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("sc").cast(DecimalType(18, 6))).as("s6"))
+      .select(col("doc_id"), col("n_terms"), col("s6").cast(DoubleType).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis): key_i = -ln(u_i) / w_i with u_i a
+    * content-derived uniform (md5 of the id — the mx1 reproducible-
+    * sampling doctrine); the k smallest keys ARE the weighted sample.
+    *
+    * Shape at scale: one narrow projection + TakeOrdered(k); fully
+    * reproducible across runs, engines and cluster sizes because no
+    * RNG state is involved.
+    *
+    * Output: (doc_id, weight, samp_key) — top k by (samp_key, doc_id).
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    Par.fan(docs)
+      .select(col(idCol), col(weightCol).cast(LongType).as("weight"))
+      .withColumn("h", conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType))
+      .withColumn("u", (col("h") + lit(1L)).cast(DoubleType) / lit(4294967297.0))
+      .withColumn("samp_key", (-log(col("u")) / col("weight").cast(DoubleType))
+        .cast(DecimalType(18, 12)).cast(DoubleType))
+      .select(col(idCol), col("weight"), col("samp_key"))
+      .orderBy(col("samp_key"), col(idCol)).limit(k)
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift per source: for each
+    * source, sup_x |F_source(x) - F_corpus(x)| over the `n_chars`
+    * distribution, in integer micro-units — the distribution-shape
+    * sibling of dq2's category-mix L1.
+    *
+    * All arithmetic is integer (the sup is maximized over the common
+    * denominator n_s·N before one final integer division), so the
+    * statistic is exact on both engines. The cumulative windows run
+    * over the DISTINCT VALUE DOMAIN of the metric (doc lengths — a few
+    * hundred values regardless of corpus size), not over rows, so the
+    * unpartitioned corpus-CDF window is domain-bounded, not data-sized.
+    * NB at >2^31 docs the micro-scaling products approach Long range —
+    * a 100 TB deployment moves `num` to DECIMAL(38,0) (same plan).
+    *
+    * Output: (source, ks_micro).
+    */
+  def ksDrift(docs: DataFrame, valueCol: String = "n_chars"): DataFrame = {
+    val cnt = docs.groupBy(col("source"), col(valueCol).as("x"))
+      .agg(count(lit(1)).as("c"))
+    val nS = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val corpus = cnt.groupBy(col("x")).agg(sum(col("c")).as("c_all"))
+    val wAll = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val corpusCum = corpus
+      .withColumn("cum_all", sum(col("c_all")).over(wAll))
+      .select(col("x"), col("cum_all"))
+    val total = corpus.agg(sum(col("c_all")).as("n_tot"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val srcCum = cnt
+      .withColumn("cum_s", sum(col("c")).over(wSrc))
+      .select(col("source"), col("x"), col("cum_s"))
+    // Evaluate at EVERY corpus value (the sup can sit at a jump the
+    // source doesn't have); forward-fill the source CDF with a running
+    // max — cum_s is monotone, so max == last non-null.
+    val wFill = Window.partitionBy(col("source")).orderBy(col("x"))
+    nS.crossJoin(corpusCum)
+      .join(srcCum, Seq("source", "x"), "left")
+      .withColumn("cum_s_f", coalesce(max(col("cum_s")).over(wFill), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("num", abs(col("cum_s_f") * col("n_tot") - col("cum_all") * col("n_s")))
+      .groupBy(col("source"), col("n_s"), col("n_tot"))
+      .agg(max(col("num")).as("m"))
+      .select(col("source"), expr("m * 1000000L DIV (n_s * n_tot)").as("ks_micro"))
+  }
+}

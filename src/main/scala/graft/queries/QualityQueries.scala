@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.{TextDedup, TextQuality, TextStats}
+
+/** CCNet-style corpus quality + retrieval family (operators/TextQuality):
+  * n-gram LM perplexity scoring, BM25 retrieval, deterministic weighted
+  * sampling, exact KS drift, and the composed lang-id → LM-score →
+  * dedup-keep → perplexity-bucket pipeline. All hash-checked: floats
+  * cross the engine boundary through DECIMAL with identical op
+  * sequences, rankings key on rendered decimals + integer tie-breaks.
+  */
+object QualityQueries {
+
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** Shared oracle CTEs for the trigram LM (t15 + e2e8): occurrence-
+    * grained trigram/context counts and the add-one-smoothed per-doc
+    * cross-entropy, mirroring TextQuality.lmScore op-for-op.
+    */
+  private val lmCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      v AS (SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(w) AS tok FROM toks)),
+      tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri,
+          w[i] || ' ' || w[i+1] AS ctx
+        FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      c3 AS (SELECT tri, COUNT(*) AS c3 FROM tri GROUP BY 1),
+      c2 AS (SELECT ctx, COUNT(*) AS c2 FROM tri GROUP BY 1),
+      lm AS (SELECT tri.doc_id, COUNT(*) AS n_tris,
+          CAST(SUM(CAST(
+              ln(CAST(c2.c2 + v.v AS DOUBLE) / CAST(c3.c3 + 1 AS DOUBLE))
+            AS DECIMAL(18,6))) * 1000000 AS BIGINT) // COUNT(*) AS avg_nlp_micro
+        FROM tri JOIN c3 USING (tri) JOIN c2 USING (ctx) CROSS JOIN v
+        GROUP BY tri.doc_id)"""
+
+  val all: Map[String, Q] = Map(
+
+    // Per-doc LM cross-entropy — the perplexity quality gate (CCNet
+    // doctrine): low avg_nlp = templated/duplicated text, high = noise.
+    "t15_lm_score" -> Q(
+      (s, d) => TextQuality.lmScore(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $lmCtes
+        SELECT doc_id, n_tris, CAST(avg_nlp_micro AS BIGINT) AS avg_nlp_micro
+        FROM lm ORDER BY doc_id"""),
+      "trigram-LM cross-entropy per doc (add-one smoothing, micro-nats)"),
+
+    // Incremental LM scoring — the deployment path: the LM is trained
+    // on the EXISTING corpus and frozen; only the incoming batch is
+    // scored (d12's even/odd split convention). Unseen trigrams hit
+    // the add-one floor via left-join coalesce.
+    "t16_lm_frozen" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextQuality.lmScoreFrozen(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        et AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(w) AS tok FROM et)),
+        etri AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri,
+            w[i] || ' ' || w[i+1] AS ctx
+          FROM et, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        c3 AS (SELECT tri, COUNT(*) AS c3 FROM etri GROUP BY 1),
+        c2 AS (SELECT ctx, COUNT(*) AS c2 FROM etri GROUP BY 1),
+        btri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri,
+            w[i] || ' ' || w[i+1] AS ctx
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+          WHERE doc_id % 2 = 1),
+        sc AS (SELECT btri.doc_id,
+            ln(CAST(COALESCE(c2.c2, 0) + v.v AS DOUBLE)
+               / CAST(COALESCE(c3.c3, 0) + 1 AS DOUBLE)) AS nlp
+          FROM btri LEFT JOIN c3 USING (tri) LEFT JOIN c2 USING (ctx)
+          CROSS JOIN v)
+        SELECT doc_id, COUNT(*) AS n_tris,
+          CAST(SUM(CAST(nlp AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+            // COUNT(*) AS avg_nlp_micro
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+      "frozen-LM batch scoring: train on existing corpus, score new only"),
+
+    // BM25 retrieval for a fixed query — eval-set decontamination and
+    // targeted corpus inspection both reduce to this ranking.
+    "srch1_bm25" -> Q(
+      (s, d) => TextQuality.bm25(Tables.documents(s, d),
+        Seq("vector", "hash", "spark"), k = 20),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        tf AS (SELECT d.doc_id, dl.dl, t.term, COUNT(*) AS tf
+          FROM d JOIN dl USING (doc_id), UNNEST(d.w) AS t(term)
+          WHERE t.term IN ('vector', 'hash', 'spark') GROUP BY 1, 2, 3),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            ln(1.0 + (CAST(st.n_docs - dft.df AS DOUBLE) + 0.5)
+                     / (CAST(dft.df AS DOUBLE) + 0.5))
+            * ((CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                  * (CAST(tf.dl AS DOUBLE)
+                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))) AS sc
+          FROM tf JOIN dft USING (term) CROSS JOIN st)
+        SELECT doc_id, COUNT(*) AS n_terms,
+          CAST(SUM(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""),
+      "BM25 top-20 docs for a 3-term query (k1=1.2, b=0.75)"),
+
+    // Deterministic weighted sampling without replacement
+    // (Efraimidis–Spirakis keys on a content-derived uniform).
+    "s9_weighted_sample" -> Q(
+      (s, d) => TextQuality.weightedSample(Tables.documents(s, d),
+        "doc_id", "n_chars", k = 50),
+      Some("""WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM documents)
+        SELECT doc_id, weight,
+          CAST(CAST(-ln(CAST(h + 1 AS DOUBLE) / 4294967297.0)
+            / CAST(weight AS DOUBLE) AS DECIMAL(18,12)) AS DOUBLE) AS samp_key
+        FROM s ORDER BY samp_key, doc_id LIMIT 50"""),
+      "weighted sample w/o replacement, reproducible (hash-derived keys)"),
+
+    // Per-source KS drift on the doc-length distribution — the
+    // distribution-shape sibling of dq2's category-mix L1 monitor.
+    "dq3_ks_drift" -> Q(
+      (s, d) => TextQuality.ksDrift(Tables.documents(s, d))
+        .orderBy(col("source")),
+      Some("""WITH cnt AS (SELECT source, n_chars AS x, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2),
+          ns AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
+          corpus AS (SELECT x, SUM(c) AS c_all FROM cnt GROUP BY 1),
+          cc AS (SELECT x, SUM(c_all) OVER
+              (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_all FROM corpus),
+          tot AS (SELECT SUM(c_all) AS n_tot FROM corpus),
+          scum AS (SELECT source, x, SUM(c) OVER
+              (PARTITION BY source ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_s
+            FROM cnt),
+          g AS (SELECT ns.source, ns.n_s, cc.x, cc.cum_all, scum.cum_s
+            FROM ns CROSS JOIN cc
+            LEFT JOIN scum ON scum.source = ns.source AND scum.x = cc.x),
+          f AS (SELECT source, n_s, cum_all,
+              COALESCE(MAX(cum_s) OVER (PARTITION BY source ORDER BY x), 0) AS cum_s_f
+            FROM g),
+          q AS (SELECT source, n_s, n_tot,
+              MAX(ABS(cum_s_f * n_tot - cum_all * n_s)) AS m
+            FROM f CROSS JOIN tot GROUP BY 1, 2, 3)
+        SELECT source, CAST(m * 1000000 // (n_s * n_tot) AS BIGINT) AS ks_micro
+        FROM q ORDER BY source"""),
+      "exact two-sample KS statistic per source (integer micro-units)"),
+
+    // The composed CCNet-style curation report: dedup-keep → lang-id →
+    // LM score → per-language perplexity terciles (head/middle/tail).
+    // The tercile window partitions by language; a 100 TB run replaces
+    // ntile with a20's distributed equi-depth ranks (same output
+    // contract) — at report grain the partition skew is acceptable
+    // here and the composition is what's under test.
+    "e2e8_ccnet_report" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = TextDedup.exactDedup(docs)
+          .select(col("canonical_id").as("doc_id"))
+        val lang = TextStats.languageId(docs)
+          .select(col("doc_id"), col("pred_lang"))
+        val lm = TextQuality.lmScore(docs)
+          .select(col("doc_id"), col("avg_nlp_micro"))
+        val wNt = Window.partitionBy(col("pred_lang"))
+          .orderBy(col("avg_nlp_micro"), col("doc_id"))
+        keep.join(lang, Seq("doc_id")).join(lm, Seq("doc_id"))
+          .withColumn("bucket", ntile(3).over(wNt).cast(LongType))
+          .groupBy(col("pred_lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("avg_nlp_micro")).as("sm"))
+          .select(col("pred_lang"), col("bucket"), col("n_docs"),
+            expr("sm DIV n_docs").as("mean_nlp_micro"))
+          .orderBy(col("pred_lang"), col("bucket"))
+      },
+      Some(s"""WITH $lmCtes,
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+        lsc AS (SELECT doc_id, text,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS s_en,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['el','la','de','que','y','en','un','los','se','no'], x))) AS s_es,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['der','die','und','das','ist','nicht','von','mit','den','ein'], x))) AS s_de,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['le','la','et','les','des','est','un','une','du','que'], x))) AS s_fr
+          FROM documents),
+        lg AS (SELECT doc_id,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN gm <= 0 THEN 'und'
+               WHEN s_en = gm THEN 'en' WHEN s_es = gm THEN 'es'
+               WHEN s_de = gm THEN 'de' ELSE 'fr' END AS pred_lang
+          FROM (SELECT *, GREATEST(s_en, s_es, s_de, s_fr) AS gm FROM lsc)),
+        j AS (SELECT keep.doc_id, lg.pred_lang, lm.avg_nlp_micro
+          FROM keep JOIN lg USING (doc_id) JOIN lm USING (doc_id)),
+        nt AS (SELECT pred_lang, avg_nlp_micro,
+            NTILE(3) OVER (PARTITION BY pred_lang
+              ORDER BY avg_nlp_micro, doc_id) AS bucket
+          FROM j)
+        SELECT pred_lang, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+          CAST(SUM(avg_nlp_micro) // COUNT(*) AS BIGINT) AS mean_nlp_micro
+        FROM nt GROUP BY 1, 2 ORDER BY pred_lang, bucket"""),
+      "CCNet-style report: dedup-keep, lang-id, LM perplexity terciles"))
+}

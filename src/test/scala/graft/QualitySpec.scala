@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextQuality
+
+/** Property/exactness gates for the quality + retrieval family
+  * (operators/TextQuality): trigram-LM scoring, BM25, deterministic
+  * weighted sampling, exact KS drift.
+  */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("lm score: exact micro-nats on a minimal corpus") {
+    // Single doc "x y z": one trigram, c3 = 1, ctx c2 = 1, V = 3 →
+    // nlp = ln((1+3)/(1+1)) = ln 2; round(ln2, 6) = 0.693147.
+    val df = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val got = TextQuality.lmScore(df).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 693147L)))
+  }
+
+  test("lm score: repeated trigrams score lower than unique trigrams") {
+    val df = Seq(
+      (1L, "a b c a b c a b c a b c"), // one trigram pattern, high counts
+      (2L, "p q r s t u v w x y z"),   // every trigram unique
+      (3L, "a b")                      // < 3 words → dropped
+    ).toDF("doc_id", "text")
+    val got = TextQuality.lmScore(df)
+      .select($"doc_id", $"n_tris", $"avg_nlp_micro")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 == 10L && got(1)._2 == 9L) // n_words - 2
+    assert(got(0)._3 < got(1)._3)
+  }
+
+  test("lm score: frozen model over its own corpus equals one-shot scoring") {
+    val docs = (1L to 40L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} w${i % 2} end"))
+      .toDF("doc_id", "text")
+    val oneShot = TextQuality.lmScore(docs)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val frozen = TextQuality.lmScoreWith(TextQuality.lmTrain(docs), docs)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(oneShot == frozen)
+  }
+
+  test("lm score: unseen trigrams hit the add-one floor, score higher than seen") {
+    val existing = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val model = TextQuality.lmTrain(existing)
+    // "a b c" is a seen context+trigram; "x y z" is fully OOV.
+    val batch = Seq((10L, "a b c"), (11L, "x y z")).toDF("doc_id", "text")
+    val got = TextQuality.lmScoreWith(model, batch)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, _, v) => (k, v) }.toMap
+    assert(got(10L) < got(11L))
+    // OOV exact: nlp = ln((0 + V) / (0 + 1)) = ln 5 ≈ 1.6094379 →
+    // DECIMAL(18,6) HALF_UP → 1609438 micro-nats.
+    assert(got(11L) == 1609438L)
+  }
+
+  test("bm25: tf monotone at equal length, term-free docs excluded") {
+    val df = Seq(
+      (1L, "spark x x x x x x x"),
+      (2L, "spark spark x x x x x x"),
+      (3L, "spark spark spark x x x x x"),
+      (4L, "y y y y y y y y")).toDF("doc_id", "text")
+    val got = TextQuality.bm25(df, Seq("spark"), k = 10)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L, 2L, 1L)) // more matches rank first; doc 4 absent
+  }
+
+  test("bm25: rarer term outscores common term at equal tf") {
+    // "rare" appears in 1 doc, "common" in all 4 → idf(rare) > idf(common).
+    val df = Seq(
+      (1L, "rare common a a"),
+      (2L, "common b b b"),
+      (3L, "common c c c"),
+      (4L, "common d d d")).toDF("doc_id", "text")
+    val got = TextQuality.bm25(df, Seq("rare", "common"), k = 10)
+      .select($"doc_id", $"n_terms", $"bm25")
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(got.head._1 == 1L && got.head._2 == 2L) // both terms + rare bonus
+  }
+
+  test("weighted sample: deterministic and equal to brute-force keys") {
+    val df = (1L to 200L).map(i => (i, 10L + i % 90)).toDF("doc_id", "n_chars")
+    val a = TextQuality.weightedSample(df, "doc_id", "n_chars", k = 20)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = TextQuality.weightedSample(df, "doc_id", "n_chars", k = 20)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+    // Brute force with java.security MD5 — the same content-derived key.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h + 1).toDouble / 4294967297.0
+      BigDecimal(-math.log(u) / w.toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = (1L to 200L).map(i => (i, 10L + i % 90))
+      .map { case (i, w) => (i, w, key(i, w)) }
+      .sortBy(t => (t._3, t._1)).take(20)
+    assert(a == brute)
+  }
+
+  test("CLI quality train/score: stored frozen LM equals the in-memory API") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_quality").toString
+    val docsPath = s"$sfTiny/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    existing.write.parquet(s"$tmp/existing"); batch.write.parquet(s"$tmp/batch")
+    graft.app.Main.qualityTrain(spark, s"$tmp/existing", s"$tmp/model")
+    val n = graft.app.Main.qualityScore(spark, s"$tmp/batch", s"$tmp/model", s"$tmp/scores")
+    assert(n == batch.count())
+    val cli = spark.read.parquet(s"$tmp/scores")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val api = TextQuality.lmScoreFrozen(existing, batch)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(cli == api)
+    assert(cli.nonEmpty)
+  }
+
+  test("ks drift: identical sources → 0, disjoint supports → 500000") {
+    val same = ((1 to 50).map(i => ("a", 10L + i % 5)) ++
+      (1 to 50).map(i => ("b", 10L + i % 5)))
+      .toDF("source", "n_chars")
+    val ksSame = TextQuality.ksDrift(same)
+      .as[(String, Long)].collect().toMap
+    assert(ksSame("a") == 0L && ksSame("b") == 0L)
+
+    val split = ((1 to 50).map(_ => ("lo", 1L)) ++
+      (1 to 50).map(_ => ("hi", 10L))).toDF("source", "n_chars")
+    val ksSplit = TextQuality.ksDrift(split)
+      .as[(String, Long)].collect().toMap
+    // At x=1: F_lo=1 vs F_corpus=0.5; F_hi=0 vs 0.5 → both sup = 1/2.
+    assert(ksSplit("lo") == 500000L && ksSplit("hi") == 500000L)
+  }
+}
