@@ -61,7 +61,16 @@ object Main {
         qualityScore(spark, docs, model, out)
       case "quality" :: docs :: out :: Nil =>
         qualityBatch(spark, docs, out)
-      case other => sys.error(s"usage: run|load|check|analyze|dedup|semdedup|index|quality ... (got $other)")
+      case "search" :: "build" :: docs :: idx :: Nil =>
+        searchBuild(spark, docs, idx)
+      case "search" :: "append" :: docs :: idx :: Nil =>
+        searchAppend(spark, docs, idx)
+      case "search" :: "query" :: idx :: out :: rest =>
+        searchQuery(spark, idx, out,
+          opt(rest, "--terms").getOrElse(sys.error("--terms a,b,c required"))
+            .split(",").toSeq,
+          opt(rest, "--k").map(_.toInt).getOrElse(10))
+      case other => sys.error(s"usage: run|load|check|analyze|dedup|semdedup|index|quality|search ... (got $other)")
     } finally spark.stop()
   }
 
@@ -473,6 +482,33 @@ object Main {
     scored.write.mode("overwrite").parquet(out)
     val n = spark.read.parquet(out).count()
     println(s"[graft] quality: $n docs scored (corpus-trained LM) -> $out")
+    n
+  }
+
+  /** Build the BM25 inverted index (postings + stats parquet). */
+  def searchBuild(spark: SparkSession, docsPath: String, idx: String): Unit = {
+    import graft.operators.TextIndexStore
+    TextIndexStore.write(idx, spark.read.parquet(docsPath))
+    val n = spark.read.parquet(s"$idx/postings").count()
+    println(s"[graft] search build: $n postings -> $idx")
+  }
+
+  /** Append a doc batch to the index — row-append + exact stats bump. */
+  def searchAppend(spark: SparkSession, docsPath: String, idx: String): Unit = {
+    import graft.operators.TextIndexStore
+    TextIndexStore.append(spark, idx, spark.read.parquet(docsPath))
+    val n = spark.read.parquet(s"$idx/postings").count()
+    println(s"[graft] search append: now $n postings in $idx")
+  }
+
+  /** BM25 top-k from the stored index. */
+  def searchQuery(spark: SparkSession, idx: String, out: String,
+      terms: Seq[String], k: Int): Long = {
+    import graft.operators.TextIndexStore
+    TextIndexStore.search(spark, idx, terms, k)
+      .write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    println(s"[graft] search query: top-$n of k=$k for [${terms.mkString(",")}] -> $out")
     n
   }
 }

@@ -131,6 +131,15 @@ object TextQuality {
     val tf = dls.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, stats, k)
+  }
+
+  /** Shared BM25 scorer over a term-filtered postings shortlist
+    * (term, doc_id, dl, tf) + 1-row corpus stats (n_docs, sum_dl) —
+    * used by both the direct path and TextIndexStore.search, so the
+    * two paths agree by construction.
+    */
+  def bm25Rank(tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfT), Seq("term")).crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))

@@ -111,6 +111,36 @@ object QualityQueries {
         FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""),
       "BM25 top-20 docs for a 3-term query (k1=1.2, b=0.75)"),
 
+    // Same ranking served from the STORED inverted index (postings +
+    // stats artifacts, built once per corpus): shares srch1's oracle
+    // because indexed == direct by construction (one shared scorer,
+    // QualitySpec pins CLI build/append/query against the direct path).
+    "srch2_bm25_indexed" -> Q(
+      (s, d) => {
+        val idx = graft.operators.TextIndexStore.ensure(d, Tables.documents(s, d))
+        graft.operators.TextIndexStore.search(s, idx,
+          Seq("vector", "hash", "spark"), k = 20)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        tf AS (SELECT d.doc_id, dl.dl, t.term, COUNT(*) AS tf
+          FROM d JOIN dl USING (doc_id), UNNEST(d.w) AS t(term)
+          WHERE t.term IN ('vector', 'hash', 'spark') GROUP BY 1, 2, 3),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            ln(1.0 + (CAST(st.n_docs - dft.df AS DOUBLE) + 0.5)
+                     / (CAST(dft.df AS DOUBLE) + 0.5))
+            * ((CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                  * (CAST(tf.dl AS DOUBLE)
+                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))) AS sc
+          FROM tf JOIN dft USING (term) CROSS JOIN st)
+        SELECT doc_id, COUNT(*) AS n_terms,
+          CAST(SUM(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""),
+      "BM25 top-20 served from the stored inverted-index artifact"),
+
     // Deterministic weighted sampling without replacement
     // (Efraimidis–Spirakis keys on a content-derived uniform).
     "s9_weighted_sample" -> Q(

@@ -247,6 +247,35 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of the quality gate: document batches arrive as
+    * parquet files and are scored under the stored FROZEN trigram LM
+    * (Main.qualityTrain's artifact) — training never re-runs, the
+    * indexAppendStream doctrine applied to the LM. A replayed batch is
+    * a no-op via the seen-doc anti-join against the served score table.
+    */
+  def qualityStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      modelDir: String, store: graft.etl.TableStore,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextQuality
+    val schema = spark.read.parquet(docsDir).schema // footer-only read
+    val model = TextQuality.LmModel(
+      spark.read.parquet(s"$modelDir/trigrams"),
+      spark.read.parquet(s"$modelDir/contexts"),
+      spark.read.parquet(s"$modelDir/vocab"))
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b0 = batch.dropDuplicates("doc_id")
+        val b = if (store.exists("quality_scores"))
+          b0.join(store.read("quality_scores"), Seq("doc_id"), "left_anti")
+        else b0
+        store.append("quality_scores", TextQuality.lmScoreWith(model, b))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream interval join: purchases attributed to a click by the
     * same user within `attribution` before the purchase. Watermarks bound
     * BOTH state stores (Spark drops click state older than purchase

@@ -143,6 +143,37 @@ class MediaStreamingSpec extends SparkTestBase {
       "streamed appends drifted from batch build")
   }
 
+  test("quality stream: batches scored under the frozen stored LM, replay-idempotent") {
+    import graft.operators.TextQuality
+    val docs = Tables.documents(spark, sfTiny)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qs").toString
+    existing.write.parquet(s"$tmp/existing")
+    graft.app.Main.qualityTrain(spark, s"$tmp/existing", s"$tmp/model")
+
+    val docsDir = s"$tmp/incoming"
+    val ckpt = s"$tmp/ckpt"
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/store")
+    // two arriving files = two micro-batch slices of the odd docs
+    docs.filter($"doc_id" % 4 === 1).write.mode("append").parquet(docsDir)
+    docs.filter($"doc_id" % 4 === 3).write.mode("append").parquet(docsDir)
+    Streams.qualityStream(spark, docsDir, s"$tmp/model", store, ckpt)
+      .awaitTermination(120000)
+
+    val streamed = store.read("quality_scores")
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = TextQuality.lmScoreFrozen(existing, docs.filter($"doc_id" % 2 === 1))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == oneShot && streamed.nonEmpty,
+      "streamed frozen-LM scores drifted from the batch API")
+
+    // replay with no new files: state undisturbed
+    Streams.qualityStream(spark, docsDir, s"$tmp/model", store, ckpt)
+      .awaitTermination(120000)
+    assert(store.read("quality_scores")
+      .as[(Long, Long, Long)].collect().toSet == oneShot)
+  }
+
   test("cdc ingest stream: raw files → dedup → staging merge, incremental") {
     val rawDir = java.nio.file.Files.createTempDirectory("graft_cdc_raw").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString

@@ -123,6 +123,30 @@ class QualitySpec extends SparkTestBase {
     assert(cli.nonEmpty)
   }
 
+  test("CLI search: stored index equals direct bm25; append equals rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_search").toString
+    val docsPath = s"$sfTiny/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val terms = Seq("vector", "hash", "spark")
+    // build on the full corpus → indexed == direct
+    graft.app.Main.searchBuild(spark, docsPath, s"$tmp/idx")
+    val n = graft.app.Main.searchQuery(spark, s"$tmp/idx", s"$tmp/res", terms, 10)
+    assert(n == 10)
+    val indexed = spark.read.parquet(s"$tmp/res")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val direct = TextQuality.bm25(docs, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(indexed == direct)
+    // build(even) + append(odd) == build(full)
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$tmp/even")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$tmp/odd")
+    graft.app.Main.searchBuild(spark, s"$tmp/even", s"$tmp/idx2")
+    graft.app.Main.searchAppend(spark, s"$tmp/odd", s"$tmp/idx2")
+    val appended = graft.operators.TextIndexStore.search(spark, s"$tmp/idx2", terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(appended == direct)
+  }
+
   test("ks drift: identical sources → 0, disjoint supports → 500000") {
     val same = ((1 to 50).map(i => ("a", 10L + i % 5)) ++
       (1 to 50).map(i => ("b", 10L + i % 5)))
