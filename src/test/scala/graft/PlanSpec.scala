@@ -229,4 +229,43 @@ class PlanSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("srch1/srch2: query terms filter before any shuffle; top-k is TakeOrdered") {
+    val p1 = planOf(q("srch1_bm25"))
+    assert(p1.contains("TakeOrderedAndProject"), p1)
+    assert(!p1.contains("CartesianProduct"), p1)
+    val p2 = planOf(q("srch2_bm25_indexed"))
+    // the stored-index path pushes the term filter into the postings scan
+    assert(p2.contains("PushedFilters: [In(term, [hash,spark,vector])"), p2)
+    assert(p2.contains("TakeOrderedAndProject"), p2)
+  }
+
+  test("s9: weighted sampling is one narrow pass + TakeOrdered, zero joins") {
+    val p = planOf(q("s9_weighted_sample"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t15/t16: LM scoring has no cartesian and no data-sized window") {
+    for (name <- Seq("t15_lm_score", "t16_lm_frozen")) {
+      val p = planOf(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("Window"), s"$name:\n$p")
+      // the 1-row vocab crossJoin must be a broadcast nested loop, and
+      // the only one in the plan
+      assert(p.split("BroadcastNestedLoopJoin").length == 2, s"$name:\n$p")
+    }
+  }
+
+  test("dq3: cumulative windows run over value-domain aggregates, not doc rows") {
+    val df = q("dq3_ks_drift")
+    val p = planOf(df)
+    // every Window sits above a HashAggregate (counts per value), so the
+    // window input is domain-sized; the raw documents scan feeds only aggs
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the final statistic is integer: schema has no double column
+    assert(df.schema.fields.forall(_.dataType != org.apache.spark.sql.types.DoubleType), p)
+  }
 }

@@ -329,4 +329,94 @@ class PropertySpec extends SparkTestBase {
     assert(row.getLong(5) != 0L)
     assert(row.getInt(6) == 2 && row.getInt(7) == 64 && row.getInt(8) == 8)
   }
+
+  // random corpus generator shared by the TextQuality parity properties:
+  // small vocab (forces trigram collisions), lengths 0-14 incl. <3-word
+  // docs that must drop out of LM scoring
+  private def randomCorpus(nDocs: Int): Seq[(Long, String)] = {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to nDocs).map { i =>
+      val len = rnd.nextInt(15)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  test("lm score equals a driver-side reimplementation on random corpora") {
+    import graft.operators.TextQuality
+    for (_ <- 1 to 4) {
+      val corpus = randomCorpus(60)
+      // brute force — independent of the Spark path, same op sequence
+      val words = corpus.map { case (id, t) => id -> t.split(" ", -1) }
+      val tris = words.flatMap { case (id, w) =>
+        if (w.length < 3) Nil
+        else (0 to w.length - 3).map(i =>
+          (id, s"${w(i)} ${w(i + 1)} ${w(i + 2)}", s"${w(i)} ${w(i + 1)}"))
+      }
+      val c3 = tris.groupBy(_._2).view.mapValues(_.size).toMap
+      val c2 = tris.groupBy(_._3).view.mapValues(_.size).toMap
+      val v = words.flatMap(_._2).distinct.size
+      val expect = tris.groupBy(_._1).map { case (id, ts) =>
+        val s6 = ts.map { case (_, tri, ctx) =>
+          BigDecimal(math.log((c2(ctx) + v).toDouble / (c3(tri) + 1).toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        id -> (ts.size.toLong, (s6 * 1000000).toLongExact / ts.size)
+      }
+      val got = TextQuality.lmScore(corpus.toDF("doc_id", "text"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, m) => id -> (n, m) }.toMap
+      assert(got == expect)
+    }
+  }
+
+  test("bm25 equals a driver-side reimplementation on random corpora") {
+    import graft.operators.TextQuality
+    for (_ <- 1 to 4) {
+      val corpus = randomCorpus(50)
+      val terms = Seq("aa", "dd")
+      val words = corpus.map { case (id, t) => id -> t.split(" ", -1) }
+      val n = corpus.size
+      val sumDl = words.map(_._2.length.toLong).sum
+      val avgdl = sumDl.toDouble / n.toDouble
+      val tf = words.flatMap { case (id, w) =>
+        terms.map(t => (id, t, w.count(_ == t), w.length.toLong))
+      }.filter(_._3 > 0)
+      val df = tf.groupBy(_._2).view.mapValues(_.size).toMap
+      val expect = tf.groupBy(_._1).map { case (id, rows) =>
+        val s6 = rows.map { case (_, t, f, dl) =>
+          val idf = math.log(1.0 + ((n - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5))
+          val sc = idf * ((f.toDouble * 2.2) /
+            (f.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+          BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        (id, rows.size.toLong, s6.toDouble)
+      }.toSeq.sortBy(r => (-r._3, r._1)).take(10)
+      val got = TextQuality.bm25(corpus.toDF("doc_id", "text"), terms, k = 10)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got == expect)
+    }
+  }
+
+  test("ks drift equals a driver-side reimplementation on random corpora") {
+    import graft.operators.TextQuality
+    for (_ <- 1 to 4) {
+      val rows = (1 to 120).map { _ =>
+        (s"s${rnd.nextInt(4)}", (5 + rnd.nextInt(8)).toLong)
+      }
+      val all = rows.map(_._2).distinct.sorted
+      val nTot = rows.size.toLong
+      val expect = rows.groupBy(_._1).map { case (src, rs) =>
+        val nS = rs.size.toLong
+        val m = all.map { x =>
+          val cumS = rs.count(_._2 <= x).toLong
+          val cumAll = rows.count(_._2 <= x).toLong
+          math.abs(cumS * nTot - cumAll * nS)
+        }.max
+        src -> m * 1000000L / (nS * nTot)
+      }
+      val got = TextQuality.ksDrift(rows.toDF("source", "n_chars"))
+        .as[(String, Long)].collect().toMap
+      assert(got == expect)
+    }
+  }
 }
