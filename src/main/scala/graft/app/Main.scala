@@ -57,8 +57,9 @@ object Main {
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.3))
       case "quality" :: "train" :: docs :: model :: Nil =>
         qualityTrain(spark, docs, model)
-      case "quality" :: "score" :: docs :: model :: out :: Nil =>
-        qualityScore(spark, docs, model, out)
+      case "quality" :: "score" :: docs :: model :: out :: rest =>
+        qualityScore(spark, docs, model, out,
+          opt(rest, "--gate").map(_.toLong))
       case "quality" :: docs :: out :: Nil =>
         qualityBatch(spark, docs, out)
       case "search" :: "build" :: docs :: idx :: Nil =>
@@ -462,16 +463,28 @@ object Main {
     * deployment runs on every incoming slice of corpus.
     */
   def qualityScore(spark: SparkSession, docsPath: String, modelDir: String,
-      out: String): Long = {
+      out: String, gate: Option[Long] = None): Long = {
     import graft.operators.TextQuality
     val m = TextQuality.LmModel(
       spark.read.parquet(s"$modelDir/trigrams"),
       spark.read.parquet(s"$modelDir/contexts"),
       spark.read.parquet(s"$modelDir/vocab"))
-    val scored = TextQuality.lmScoreWith(m, spark.read.parquet(docsPath))
-    scored.write.mode("overwrite").parquet(out)
-    val n = spark.read.parquet(out).count()
-    println(s"[graft] quality score: $n docs scored under $modelDir -> $out")
+    val docs = spark.read.parquet(docsPath)
+    val scored = TextQuality.lmScoreWith(m, docs)
+    scored.write.mode("overwrite").parquet(s"$out/scores")
+    // --gate <maxMicroNats>: also write the kept corpus — docs whose
+    // cross-entropy clears the perplexity gate (semi-join keeps the
+    // original columns; scores are doc-grain so no duplication)
+    gate.foreach { g =>
+      docs.join(spark.read.parquet(s"$out/scores")
+          .filter(col("avg_nlp_micro") <= g).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$out/kept")
+    }
+    val n = spark.read.parquet(s"$out/scores").count()
+    val kept = gate.map(_ => spark.read.parquet(s"$out/kept").count())
+    println(s"[graft] quality score: $n docs scored under $modelDir -> $out" +
+      kept.map(k => s" ($k kept under gate ${gate.get})").getOrElse(""))
     n
   }
 

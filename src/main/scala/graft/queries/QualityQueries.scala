@@ -183,6 +183,50 @@ object QualityQueries {
         FROM q ORDER BY source"""),
       "exact two-sample KS statistic per source (integer micro-units)"),
 
+    // Quality drift between cohorts: KS statistic over the LM-score
+    // distribution of the incoming half vs the existing half — the
+    // monitor a deployment runs on every batch's scores (qualityStream
+    // feeds exactly this state). Scores are BINNED to centi-nats
+    // (micro DIV 10000) before the CDF so the unpartitioned corpus-CDF
+    // window stays value-DOMAIN-sized (a few hundred bins) instead of
+    // doc-sized — the dq3 scale contract preserved for a continuous
+    // metric.
+    "dq4_quality_drift" -> Q(
+      (s, d) => {
+        val lm = TextQuality.lmScore(Tables.documents(s, d))
+        val labeled = lm.select(
+          when(col("doc_id") % 2 === 0, "existing")
+            .otherwise("incoming").as("source"),
+          expr("avg_nlp_micro DIV 10000").as("score_bin"))
+        TextQuality.ksDrift(labeled, "score_bin").orderBy(col("source"))
+      },
+      Some(s"""WITH $lmCtes,
+        lab AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'existing'
+              ELSE 'incoming' END AS source,
+            avg_nlp_micro // 10000 AS x
+          FROM lm),
+        cnt AS (SELECT source, x, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+        ns AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
+        corpus AS (SELECT x, SUM(c) AS c_all FROM cnt GROUP BY 1),
+        cc AS (SELECT x, SUM(c_all) OVER
+            (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_all FROM corpus),
+        tot AS (SELECT SUM(c_all) AS n_tot FROM corpus),
+        scum AS (SELECT source, x, SUM(c) OVER
+            (PARTITION BY source ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_s
+          FROM cnt),
+        g AS (SELECT ns.source, ns.n_s, cc.x, cc.cum_all, scum.cum_s
+          FROM ns CROSS JOIN cc
+          LEFT JOIN scum ON scum.source = ns.source AND scum.x = cc.x),
+        f AS (SELECT source, n_s, cum_all,
+            COALESCE(MAX(cum_s) OVER (PARTITION BY source ORDER BY x), 0) AS cum_s_f
+          FROM g),
+        q AS (SELECT source, n_s, n_tot,
+            MAX(ABS(cum_s_f * n_tot - cum_all * n_s)) AS m
+          FROM f CROSS JOIN tot GROUP BY 1, 2, 3)
+        SELECT source, CAST(m * 1000000 // (n_s * n_tot) AS BIGINT) AS ks_micro
+        FROM q ORDER BY source"""),
+      "KS drift of LM-score distributions: incoming cohort vs corpus"),
+
     // The composed CCNet-style curation report: dedup-keep → lang-id →
     // LM score → per-language perplexity terciles (head/middle/tail).
     // The tercile window partitions by language; a 100 TB run replaces

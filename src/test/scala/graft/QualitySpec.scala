@@ -113,14 +113,21 @@ class QualitySpec extends SparkTestBase {
     val batch = docs.filter($"doc_id" % 2 === 1)
     existing.write.parquet(s"$tmp/existing"); batch.write.parquet(s"$tmp/batch")
     graft.app.Main.qualityTrain(spark, s"$tmp/existing", s"$tmp/model")
-    val n = graft.app.Main.qualityScore(spark, s"$tmp/batch", s"$tmp/model", s"$tmp/scores")
+    val n = graft.app.Main.qualityScore(spark, s"$tmp/batch", s"$tmp/model", s"$tmp/out")
     assert(n == batch.count())
-    val cli = spark.read.parquet(s"$tmp/scores")
+    val cli = spark.read.parquet(s"$tmp/out/scores")
       .as[(Long, Long, Long)].collect().toSeq.sorted
     val api = TextQuality.lmScoreFrozen(existing, batch)
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(cli == api)
     assert(cli.nonEmpty)
+    // --gate at the median score keeps exactly the docs at-or-below it
+    val gate = cli.map(_._3).sorted.apply(cli.size / 2)
+    graft.app.Main.qualityScore(spark, s"$tmp/batch", s"$tmp/model", s"$tmp/gated", Some(gate))
+    val keptIds = spark.read.parquet(s"$tmp/gated/kept")
+      .select($"doc_id").as[Long].collect().toSet
+    val expectIds = cli.filter(_._3 <= gate).map(_._1).toSet
+    assert(keptIds == expectIds && keptIds.nonEmpty && keptIds.size < cli.size)
   }
 
   test("CLI search: stored index equals direct bm25; append equals rebuild") {
