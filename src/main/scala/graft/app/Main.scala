@@ -62,6 +62,11 @@ object Main {
           opt(rest, "--gate").map(_.toLong))
       case "quality" :: docs :: out :: Nil =>
         qualityBatch(spark, docs, out)
+      case "curate" :: docs :: out :: rest =>
+        curate(spark, docs, out,
+          opt(rest, "--rates").map { r =>
+            val Array(a, b, c) = r.split(",").map(_.toLong); (a, b, c)
+          }.getOrElse((1000L, 700L, 300L)))
       case "search" :: "build" :: docs :: idx :: Nil =>
         searchBuild(spark, docs, idx)
       case "search" :: "append" :: docs :: idx :: Nil =>
@@ -495,6 +500,24 @@ object Main {
     scored.write.mode("overwrite").parquet(out)
     val n = spark.read.parquet(out).count()
     println(s"[graft] quality: $n docs scored (corpus-trained LM) -> $out")
+    n
+  }
+
+  /** The composed CCNet-style curation pipeline: exact-dedup keep →
+    * lang-id → LM perplexity terciles → per-tercile keep-rates. Writes
+    * the kept corpus + the per-(lang, tercile) report.
+    */
+  def curate(spark: SparkSession, docsPath: String, out: String,
+      rates: (Long, Long, Long)): Long = {
+    import graft.operators.TextQuality
+    val kept = TextQuality.ccnetCurate(spark.read.parquet(docsPath), rates)
+    kept.write.mode("overwrite").parquet(s"$out/kept")
+    spark.read.parquet(s"$out/kept")
+      .groupBy(col("pred_lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_kept"))
+      .write.mode("overwrite").parquet(s"$out/report")
+    val n = spark.read.parquet(s"$out/kept").count()
+    println(s"[graft] curate: $n docs kept (rates ${rates._1}/${rates._2}/${rates._3} permille) -> $out")
     n
   }
 

@@ -113,6 +113,32 @@ object TextQuality {
   def lmScoreFrozen(existing: DataFrame, batch: DataFrame): DataFrame =
     lmScoreWith(lmTrain(existing), batch)
 
+  /** The composed CCNet-style curation pipeline as ONE operator:
+    * exact-dedup keep → language ID → LM perplexity terciles per
+    * language → deterministic content-hash sampling with per-tercile
+    * keep-rates (head/middle/tail permille). Returns the kept docs
+    * with (pred_lang, bucket, avg_nlp_micro) attached — mx4's policy
+    * over e2e8's grid, the product surface behind `Main.curate`.
+    */
+  def ccnetCurate(docs: DataFrame,
+      rates: (Long, Long, Long) = (1000L, 700L, 300L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keep = TextDedup.exactDedup(docs)
+      .select(col("canonical_id").as("doc_id"))
+    val lang = TextStats.languageId(docs)
+      .select(col("doc_id"), col("pred_lang"))
+    val lm = lmScore(docs).select(col("doc_id"), col("avg_nlp_micro"))
+    val wNt = Window.partitionBy(col("pred_lang"))
+      .orderBy(col("avg_nlp_micro"), col("doc_id"))
+    val bucketed = docs
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(lang, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(wNt).cast(LongType))
+    val rate = when(col("bucket") === 1L, lit(rates._1))
+      .when(col("bucket") === 2L, lit(rates._2)).otherwise(lit(rates._3))
+    Curation.mixSample(bucketed, rate)
+  }
+
   /** BM25 top-k retrieval (k1 = 1.2, b = 0.75) for a fixed term set.
     *
     * Shape at scale: the token explode filters to the query terms

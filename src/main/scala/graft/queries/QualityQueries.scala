@@ -227,6 +227,60 @@ object QualityQueries {
         FROM q ORDER BY source"""),
       "KS drift of LM-score distributions: incoming cohort vs corpus"),
 
+    // Quality-aware mixing (the CCNet head/middle/tail selection as a
+    // SAMPLING policy): per-language perplexity terciles get descending
+    // keep-rates (head 1000‰ / middle 700‰ / tail 300‰), applied with
+    // mx1's deterministic content-hash sampling — reproducible across
+    // runs, engines and cluster sizes. Composes lmScore + ntile +
+    // Curation.mixSample; report grain like mx1.
+    "mx4_quality_mix" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lang = TextStats.languageId(docs)
+          .select(col("doc_id"), col("pred_lang"))
+        val lm = TextQuality.lmScore(docs)
+          .select(col("doc_id"), col("avg_nlp_micro"))
+        val wNt = Window.partitionBy(col("pred_lang"))
+          .orderBy(col("avg_nlp_micro"), col("doc_id"))
+        val bucketed = docs.select(col("doc_id"), col("text"))
+          .join(lang, Seq("doc_id")).join(lm, Seq("doc_id"))
+          .withColumn("bucket", ntile(3).over(wNt).cast(LongType))
+        val rate = when(col("bucket") === 1L, lit(1000L))
+          .when(col("bucket") === 2L, lit(700L)).otherwise(lit(300L))
+        graft.operators.Curation.mixSample(bucketed, rate)
+          .groupBy(col("pred_lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
+          .orderBy(col("pred_lang"), col("bucket"))
+      },
+      Some(s"""WITH $lmCtes,
+        lsc AS (SELECT doc_id, text,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS s_en,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['el','la','de','que','y','en','un','los','se','no'], x))) AS s_es,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['der','die','und','das','ist','nicht','von','mit','den','ein'], x))) AS s_de,
+          len(list_filter(string_split($normSql, ' '),
+            x -> list_contains(['le','la','et','les','des','est','un','une','du','que'], x))) AS s_fr
+          FROM documents),
+        lg AS (SELECT doc_id,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN gm <= 0 THEN 'und'
+               WHEN s_en = gm THEN 'en' WHEN s_es = gm THEN 'es'
+               WHEN s_de = gm THEN 'de' ELSE 'fr' END AS pred_lang
+          FROM (SELECT *, GREATEST(s_en, s_es, s_de, s_fr) AS gm FROM lsc)),
+        nt AS (SELECT d.doc_id, d.text, lg.pred_lang,
+            NTILE(3) OVER (PARTITION BY lg.pred_lang
+              ORDER BY lm.avg_nlp_micro, d.doc_id) AS bucket
+          FROM documents d JOIN lg USING (doc_id) JOIN lm USING (doc_id)),
+        kept AS (SELECT pred_lang, bucket, doc_id FROM nt
+          WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1000 <
+            CASE WHEN bucket = 1 THEN 1000 WHEN bucket = 2 THEN 700 ELSE 300 END)
+        SELECT pred_lang, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_kept,
+          MIN(doc_id) AS min_doc
+        FROM kept GROUP BY 1, 2 ORDER BY pred_lang, bucket"""),
+      "quality-aware mix: perplexity-tercile keep-rates, content-hash sampled"),
+
     // The composed CCNet-style curation report: dedup-keep → lang-id →
     // LM score → per-language perplexity terciles (head/middle/tail).
     // The tercile window partitions by language; a 100 TB run replaces

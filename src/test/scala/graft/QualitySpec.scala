@@ -154,6 +154,37 @@ class QualitySpec extends SparkTestBase {
     assert(appended == direct)
   }
 
+  test("CLI curate: composed pipeline is deterministic, rate-monotone, dedup-respecting") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val docsPath = s"$sfTiny/documents.parquet"
+    val n1 = graft.app.Main.curate(spark, docsPath, s"$tmp/a", (1000L, 700L, 300L))
+    val n2 = graft.app.Main.curate(spark, docsPath, s"$tmp/b", (1000L, 700L, 300L))
+    assert(n1 == n2 && n1 > 0)
+    val a = spark.read.parquet(s"$tmp/a/kept")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == spark.read.parquet(s"$tmp/b/kept")
+      .select($"doc_id").as[Long].collect().toSet)
+    // kept ⊆ exact-dedup canonicals
+    val canon = graft.operators.TextDedup
+      .exactDedup(spark.read.parquet(docsPath))
+      .select($"canonical_id").as[Long].collect().toSet
+    assert(a.subsetOf(canon))
+    // stricter tail rate keeps strictly fewer; keep-all keeps every canonical
+    val nStrict = graft.app.Main.curate(spark, docsPath, s"$tmp/c", (1000L, 300L, 100L))
+    assert(nStrict < n1)
+    // keep-all rates keep every canonical (all sfTiny docs have >= 3 words,
+    // so none drop out of LM scoring)
+    val nAll = graft.app.Main.curate(spark, docsPath, s"$tmp/d", (1000L, 1000L, 1000L))
+    assert(nAll == canon.size)
+    // report equals a recount of the kept table
+    val rep = spark.read.parquet(s"$tmp/a/report")
+      .as[(String, Long, Long)].collect().toSet
+    val recount = spark.read.parquet(s"$tmp/a/kept")
+      .groupBy($"pred_lang", $"bucket").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(rep == recount)
+  }
+
   test("ks drift: identical sources → 0, disjoint supports → 500000") {
     val same = ((1 to 50).map(i => ("a", 10L + i % 5)) ++
       (1 to 50).map(i => ("b", 10L + i % 5)))
