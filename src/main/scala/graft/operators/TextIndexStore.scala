@@ -57,10 +57,12 @@ object TextIndexStore {
     * The term filter reaches the parquet scan (PushedFilters), so the
     * query cost tracks the shortlist, not the corpus.
     */
-  def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+  def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+      requireAll: Boolean = false): DataFrame = {
     val tf = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(terms: _*))
-    TextQuality.bm25Rank(tf, spark.read.parquet(s"$dir/stats"), k)
+    TextQuality.bm25Rank(tf, spark.read.parquet(s"$dir/stats"), k,
+      if (requireAll) Some(terms.size) else None)
   }
 
   // Build-once-per-corpus scratch artifact for the registered query

@@ -149,7 +149,8 @@ object TextQuality {
     *
     * Output: (doc_id, n_terms, bm25) — top k by (bm25 desc, doc_id).
     */
-  def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+      requireAll: Boolean = false): DataFrame = {
     val dls = Par.fan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"), col("w"))
@@ -157,7 +158,7 @@ object TextQuality {
     val tf = dls.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
-    bm25Rank(tf, stats, k)
+    bm25Rank(tf, stats, k, if (requireAll) Some(terms.size) else None)
   }
 
   /** Shared BM25 scorer over a term-filtered postings shortlist
@@ -165,9 +166,10 @@ object TextQuality {
     * used by both the direct path and TextIndexStore.search, so the
     * two paths agree by construction.
     */
-  def bm25Rank(tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+  def bm25Rank(tf: DataFrame, stats: DataFrame, k: Int,
+      requireAllOf: Option[Int] = None): DataFrame = {
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfT), Seq("term")).crossJoin(broadcast(stats))
+    val perDoc = tf.join(broadcast(dfT), Seq("term")).crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))
       .withColumn("idf", log(lit(1.0) +
         ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
@@ -178,9 +180,102 @@ object TextQuality {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("sc").cast(DecimalType(18, 6))).as("s6"))
+    // AND semantics: a doc qualifies only if EVERY query term occurs
+    // (n_terms counts distinct matched terms — tf is term-grained). The
+    // filter runs before the top-k, so conjunctive queries return k full
+    // matches, not k best partials.
+    requireAllOf.fold(perDoc)(n => perDoc.filter(col("n_terms") === n.toLong))
       .select(col("doc_id"), col("n_terms"), col("s6").cast(DoubleType).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
+
+  // ───── supervised corpus classification (the fastText-style gate) ─────
+
+  /** A trained multinomial Naive Bayes text classifier as DataFrames —
+    * persistable parquet artifacts (the VectorIndexStore doctrine), never
+    * driver-side state:
+    *   classStats   (label, n_docs_c, t_c)  — doc count + token total per class
+    *   tokenCounts  (label, tok, cnt)       — nonzero class-token counts
+    *   vocab        (v)                     — 1-row trained vocab size
+    * Counts are plain abelian sums, so `append` for a growing labeled
+    * corpus is an exact counts merge (the IncrementalMart pattern).
+    */
+  final case class NbModel(classStats: DataFrame, tokenCounts: DataFrame, vocab: DataFrame)
+
+  /** Train multinomial NB with add-one smoothing on a labeled corpus:
+    * P(c) = n_docs_c / N, P(tok|c) = (cnt(tok,c) + 1) / (t_c + V).
+    * Three hash aggs keyed by label/token — no driver-side model.
+    */
+  def nbTrain(corpus: DataFrame, labelCol: String = "lang"): NbModel = {
+    val toks = Par.fan(corpus)
+      .select(col(labelCol).as("label"), explode(split(col("text"), " ")).as("tok"))
+    NbModel(
+      classStats = corpus.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n_docs_c"))
+        .join(toks.groupBy(col("label")).agg(count(lit(1)).as("t_c")), Seq("label")),
+      tokenCounts = toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("cnt")),
+      vocab = toks.agg(countDistinct(col("tok")).as("v")))
+  }
+
+  /** Score a batch under a (frozen) NB model and pick the argmax class —
+    * the quality/domain classifier gate every LLM curation pipeline runs
+    * (fastText-style: linear in token counts, exactly this log-space sum).
+    *
+    * score(d, c) = ln P(c) + Σ_tok∈d ln(cnt(tok,c)+1) − |d|·ln(t_c + V)
+    * — algebraically the add-one-smoothed log-posterior, regrouped so only
+    * NONZERO (label, tok) counts are ever joined (an OOV or zero-count
+    * token's ln(0+1) = 0 vanishes, and its denominator rides the |d| term).
+    *
+    * Oracle-parity shape (the t15 doctrine): every ln is DECIMAL(18,6)-cast
+    * once, per-occurrence sums are exact decimal adds, |d|·lnden is a
+    * DECIMAL(18,0)×DECIMAL(18,6) exact product, and the output is integer
+    * micro-nats — argmax ties (identical exact decimals) break on label.
+    *
+    * Shape at scale: the scoring join is occurrence-grained on the token
+    * (same fabric as lmScore); class constants are a broadcast of
+    * n_classes rows; the argmax window partitions by doc — never global.
+    *
+    * Output: (doc_id, pred_label, score_micro).
+    */
+  def nbScoreWith(model: NbModel, batch: DataFrame): DataFrame = {
+    val occ = Par.fan(batch)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val docLen = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val total = model.classStats.agg(sum(col("n_docs_c")).as("n_docs"))
+    val consts = model.classStats.crossJoin(total).crossJoin(model.vocab)
+      .select(col("label"),
+        log(col("n_docs_c").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .cast(DecimalType(18, 6)).as("prior6"),
+        log((col("t_c") + col("v")).cast(DoubleType))
+          .cast(DecimalType(18, 6)).as("lnden6"))
+    val w = model.tokenCounts.select(col("label"), col("tok"),
+      log((col("cnt") + lit(1L)).cast(DoubleType)).cast(DecimalType(18, 6)).as("lnw6"))
+    val s2 = occ.join(w, Seq("tok"))
+      .groupBy(col("doc_id"), col("label")).agg(sum(col("lnw6")).as("s2"))
+    val wArg = Window.partitionBy(col("doc_id")).orderBy(col("sc6").desc, col("label"))
+    docLen.crossJoin(broadcast(consts))
+      .join(s2, Seq("doc_id", "label"), "left")
+      .withColumn("sc6", col("prior6") +
+        coalesce(col("s2"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))) -
+        col("n_toks").cast(DecimalType(18, 0)) * col("lnden6"))
+      .withColumn("rk", row_number().over(wArg)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        expr("CAST(sc6 * 1000000 AS BIGINT)").as("score_micro"))
+  }
+
+  /** Self-trained classification (train and predict on the same corpus) —
+    * the label-recovery diagnostic run before trusting a labeled corpus.
+    */
+  def nbClassify(docs: DataFrame, labelCol: String = "lang"): DataFrame =
+    nbScoreWith(nbTrain(docs, labelCol), docs)
+
+  /** Incremental classification: the model is trained on the EXISTING
+    * labeled corpus and frozen; only the incoming batch is scored (the
+    * lmScoreFrozen doctrine — OOV tokens fall to the add-one floor).
+    */
+  def nbScoreFrozen(existing: DataFrame, batch: DataFrame,
+      labelCol: String = "lang"): DataFrame =
+    nbScoreWith(nbTrain(existing, labelCol), batch)
 
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis): key_i = -ln(u_i) / w_i with u_i a

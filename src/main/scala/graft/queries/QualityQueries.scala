@@ -141,6 +141,116 @@ object QualityQueries {
         FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""),
       "BM25 top-20 served from the stored inverted-index artifact"),
 
+    // Conjunctive (AND) retrieval: same BM25 scoring, but a doc
+    // qualifies only if EVERY query term occurs — eval-set
+    // decontamination wants exactly this (a doc missing a term can't
+    // contain the benchmark string).
+    "srch3_bm25_all_terms" -> Q(
+      (s, d) => TextQuality.bm25(Tables.documents(s, d),
+        Seq("vector", "hash", "spark"), k = 20, requireAll = true),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        tf AS (SELECT d.doc_id, dl.dl, t.term, COUNT(*) AS tf
+          FROM d JOIN dl USING (doc_id), UNNEST(d.w) AS t(term)
+          WHERE t.term IN ('vector', 'hash', 'spark') GROUP BY 1, 2, 3),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            ln(1.0 + (CAST(st.n_docs - dft.df AS DOUBLE) + 0.5)
+                     / (CAST(dft.df AS DOUBLE) + 0.5))
+            * ((CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                  * (CAST(tf.dl AS DOUBLE)
+                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))) AS sc
+          FROM tf JOIN dft USING (term) CROSS JOIN st)
+        SELECT doc_id, COUNT(*) AS n_terms,
+          CAST(SUM(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id HAVING COUNT(*) = 3
+        ORDER BY bm25 DESC, doc_id LIMIT 20"""),
+      "BM25 with AND semantics: top-20 docs containing ALL query terms"),
+
+    // Supervised corpus classification (the fastText-style gate):
+    // multinomial Naive Bayes over tokens, self-trained on the corpus
+    // labels and predicting each doc's language — the label-recovery
+    // diagnostic. Scores cross the engines as exact decimal sums of
+    // DECIMAL(18,6)-cast logs (the t15 doctrine), argmax ties break on
+    // label, output in integer micro-nats.
+    "t17_nb_classify" -> Q(
+      (s, d) => TextQuality.nbClassify(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            unnest(string_split(text, ' ')) AS tok FROM documents),
+        cls AS (SELECT lang AS label, COUNT(*) AS n_docs_c FROM documents GROUP BY 1),
+        tot AS (SELECT SUM(n_docs_c) AS n_docs FROM cls),
+        tc AS (SELECT lang AS label, COUNT(*) AS t_c FROM toks GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+        w AS (SELECT lang AS label, tok,
+            CAST(ln(CAST(COUNT(*) + 1 AS DOUBLE)) AS DECIMAL(18,6)) AS lnw6
+          FROM toks GROUP BY 1, 2),
+        consts AS (SELECT cls.label,
+            CAST(ln(CAST(cls.n_docs_c AS DOUBLE) / CAST(tot.n_docs AS DOUBLE))
+              AS DECIMAL(18,6)) AS prior6,
+            CAST(ln(CAST(tc.t_c + v.v AS DOUBLE)) AS DECIMAL(18,6)) AS lnden6
+          FROM cls JOIN tc USING (label) CROSS JOIN tot CROSS JOIN v),
+        dlen AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+        s2 AS (SELECT t.doc_id, w.label, SUM(w.lnw6) AS s2
+          FROM toks t JOIN w ON w.tok = t.tok GROUP BY 1, 2),
+        sc AS (SELECT dn.doc_id, c.label,
+            c.prior6 + COALESCE(s2.s2, 0)
+              - CAST(dn.n_toks AS DECIMAL(18,0)) * c.lnden6 AS sc6
+          FROM dlen dn CROSS JOIN consts c
+          LEFT JOIN s2 ON s2.doc_id = dn.doc_id AND s2.label = c.label),
+        rk AS (SELECT doc_id, label, sc6, ROW_NUMBER() OVER
+            (PARTITION BY doc_id ORDER BY sc6 DESC, label) AS rk FROM sc)
+        SELECT doc_id, label AS pred_label,
+          CAST(sc6 * 1000000 AS BIGINT) AS score_micro
+        FROM rk WHERE rk = 1 ORDER BY doc_id"""),
+      "multinomial NB language classifier, self-trained (micro-nat scores)"),
+
+    // Incremental classification — the deployment path: the NB model is
+    // trained on the EXISTING labeled half and frozen; only the incoming
+    // batch is scored (d12's even/odd split convention; OOV tokens fall
+    // to the add-one floor through the |d|·ln(t_c+V) term).
+    "t18_nb_frozen" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextQuality.nbScoreFrozen(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH et AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+        toks AS (SELECT doc_id, lang,
+            unnest(string_split(text, ' ')) AS tok FROM et),
+        cls AS (SELECT lang AS label, COUNT(*) AS n_docs_c FROM et GROUP BY 1),
+        tot AS (SELECT SUM(n_docs_c) AS n_docs FROM cls),
+        tc AS (SELECT lang AS label, COUNT(*) AS t_c FROM toks GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+        w AS (SELECT lang AS label, tok,
+            CAST(ln(CAST(COUNT(*) + 1 AS DOUBLE)) AS DECIMAL(18,6)) AS lnw6
+          FROM toks GROUP BY 1, 2),
+        consts AS (SELECT cls.label,
+            CAST(ln(CAST(cls.n_docs_c AS DOUBLE) / CAST(tot.n_docs AS DOUBLE))
+              AS DECIMAL(18,6)) AS prior6,
+            CAST(ln(CAST(tc.t_c + v.v AS DOUBLE)) AS DECIMAL(18,6)) AS lnden6
+          FROM cls JOIN tc USING (label) CROSS JOIN tot CROSS JOIN v),
+        btoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id % 2 = 1),
+        dlen AS (SELECT doc_id, COUNT(*) AS n_toks FROM btoks GROUP BY 1),
+        s2 AS (SELECT b.doc_id, w.label, SUM(w.lnw6) AS s2
+          FROM btoks b JOIN w ON w.tok = b.tok GROUP BY 1, 2),
+        sc AS (SELECT dn.doc_id, c.label,
+            c.prior6 + COALESCE(s2.s2, 0)
+              - CAST(dn.n_toks AS DECIMAL(18,0)) * c.lnden6 AS sc6
+          FROM dlen dn CROSS JOIN consts c
+          LEFT JOIN s2 ON s2.doc_id = dn.doc_id AND s2.label = c.label),
+        rk AS (SELECT doc_id, label, sc6, ROW_NUMBER() OVER
+            (PARTITION BY doc_id ORDER BY sc6 DESC, label) AS rk FROM sc)
+        SELECT doc_id, label AS pred_label,
+          CAST(sc6 * 1000000 AS BIGINT) AS score_micro
+        FROM rk WHERE rk = 1 ORDER BY doc_id"""),
+      "frozen NB classifier: train on existing labeled corpus, score new batch"),
+
     // Deterministic weighted sampling without replacement
     // (Efraimidis–Spirakis keys on a content-derived uniform).
     "s9_weighted_sample" -> Q(
