@@ -22,11 +22,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events with `ts` normalized to the engine contract: BIGINT UTC
+    * nanoseconds. Driver-generated files have stored `ts` as int64
+    * timestamp[ns] (Spark reads the unsupported-nanos physical int64 as
+    * LongType) and as timestamp[us] (Spark reads TIMESTAMP/TIMESTAMP_NTZ)
+    * across rounds; both normalize here so every query and stream sees
+    * long-ns. NTZ→TZ cast is numerically identity under the project-wide
+    * UTC session timezone (GraftSession).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType => raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every table as a temp view so `spark.sql` works too. */
+  /** Register every table as a temp view so `spark.sql` works too
+    * (events goes through the ts-normalizing accessor).
+    */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
