@@ -31,18 +31,33 @@ object RuntimeFilter {
     * null probe yields null which filter() drops).
     */
   def bloomPruneLong(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      dimKey: String, expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    fact.filter(mightContain(
+      bloomBytes(dim.select(col(dimKey).cast("long").as(dimKey)), dimKey,
+        expectedKeys, fpp),
+      col(factKey).cast("long")))
+
+  /** Serialized Bloom filter over a long-typed key column — built by
+    * Spark's distributed partial-sketch aggregation (`stat.bloomFilter`
+    * merges per-partition filters; keys are never collected).
+    */
+  def bloomBytes(keys: DataFrame, keyCol: String,
+      expectedKeys: Long, fpp: Double): Array[Byte] = {
+    val bf: BloomFilter = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Codegen-native probe: Catalyst's `BloomFilterMightContain` over a
+    * long-typed probe expression, the filter riding as a Literal.
+    * Null-propagating: a null probe yields null.
+    */
+  def mightContain(bloom: Array[Byte], probe: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.graftbridge.Bridge
-    val bf: BloomFilter = dim.select(col(dimKey).cast("long").as(dimKey))
-      .stat.bloomFilter(dimKey, expectedKeys, fpp)
-    val bytes = {
-      val out = new java.io.ByteArrayOutputStream()
-      bf.writeTo(out)
-      out.toByteArray
-    }
-    fact.filter(Bridge.column(BloomFilterMightContain(
-      Bridge.expression(lit(bytes)),
-      Bridge.expression(col(factKey).cast("long")))))
+    Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bloom)),
+      Bridge.expression(probe)))
   }
 }

@@ -437,6 +437,77 @@ object TextDedup {
         floor(col("c").cast(DoubleType) * 1000000d / col("u")).as("jac_micro"))
   }
 
+  /** Asymmetric containment-similarity join: ordered pairs (id_a, id_b)
+    * with C(A→B) = |A∩B| / |A| ≥ minContainment — doc A's shingles are
+    * mostly inside B. This is the quote/subset detector Jaccard misses:
+    * a paragraph embedded verbatim in a much longer page has tiny
+    * Jaccard (union is page-sized) but containment ≈ 1. Training-data
+    * curation uses it to drop excerpt-of-kept-doc redundancy.
+    *
+    * Candidate scheme: the SAME prefix bound as the Jaccard join applies
+    * one-sided — if |A∩B| ≥ ⌈t·|A|⌉ then among A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles (any fixed order; pigeonhole) at least
+    * one is in B — but B must expose its FULL posting list (containment
+    * has no size-ratio pruning: a 10-shingle doc can sit inside a
+    * 10⁶-shingle one). Rarest-first ordering keeps the prefix×postings
+    * join volume tracking true containment density. Exact verification
+    * (narrow array_intersect) makes the output relational.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, minContainment: Double): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = dfPrefixRows(sh, freq, minContainment)
+    val cands = prefix.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("na", size(col("sh_a")).cast(LongType))
+      .filter(col("c").cast(DoubleType) / col("na").cast(DoubleType) >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        floor(col("c").cast(DoubleType) * 1000000d / col("na").cast(DoubleType))
+          .as("cont_micro"))
+  }
+
+  /** Incremental exact dedup with a Bloom prefilter — the batch-arrival
+    * fast path for a corpus too large to re-shuffle per batch. The
+    * existing corpus is summarized ONCE into a KB-scale Bloom filter
+    * over content hashes (`bloom_filter_agg`; in a deployment this is a
+    * stored artifact maintained per append, like the dedup cluster
+    * state; `stat.bloomFilter` merges per-partition sketches, keys are
+    * never collected). An incoming batch dedups within itself (one
+    * batch-sized groupBy), then probes the filter with Catalyst's
+    * codegen-native `BloomFilterMightContain`: Bloom NEGATIVES are
+    * PROVABLY new (no false negatives) and ship without ever touching
+    * the corpus; only the positive sliver — true dups + the controlled
+    * false-positive rate — anti-joins against stored corpus hashes for
+    * exact verification. So per batch the existing corpus contributes
+    * one KB-scale sketch plus an anti-join whose probe side is
+    * positives-only, and the output is EXACTLY the genuinely-new
+    * contents (hash-green vs the plain anti-join oracle).
+    */
+  def incrementalExactDedup(existing: DataFrame, incoming: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val exHash = existing
+      .select(md5(normalizeText(col("text"))).as("content_hash"))
+    val bloom = RuntimeFilter.bloomBytes(
+      exHash.select(xxhash64(col("content_hash")).as("h")), "h",
+      expectedItems, fpp)
+    val inCanon = incoming
+      .groupBy(md5(normalizeText(col("text"))).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+    val probed = inCanon.withColumn("maybe_dup",
+      RuntimeFilter.mightContain(bloom, xxhash64(col("content_hash"))))
+    val provablyNew = probed.filter(!col("maybe_dup")).drop("maybe_dup")
+    val verified = probed.filter(col("maybe_dup")).drop("maybe_dup")
+      .join(exHash.dropDuplicates("content_hash"), Seq("content_hash"), "left_anti")
+    provablyNew.unionByName(verified)
+  }
+
   /** Prefix-filtering set-similarity join (the PPJoin candidate scheme):
     * the GUARANTEED-recall scale path for near-dup pairs, where LSH's
     * recall is only probabilistic. Shingles are globally ordered by

@@ -362,6 +362,54 @@ object PipelineQueries {
         ORDER BY t.doc_id"""),
       "exact-substring removal: duplicated windows stripped, rebuilt text md5-pinned"),
 
+    // ASYMMETRIC containment C(A→B) = |A∩B|/|A|: the quote/excerpt
+    // detector — a short doc embedded in a long one has near-zero
+    // Jaccard (union is long-doc-sized) but containment ≈ 1. Candidates
+    // come from A-side prefix filtering (pigeonhole: recall guaranteed)
+    // against B's full postings; exact verification makes the output
+    // relational, so it shares d2's CTE skeleton with the one-sided
+    // denominator.
+    "d17_containment_pairs" -> Q(
+      (s, d) => TextDedup.containmentPairs(Tables.documents(s, d), n = 3, minContainment = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / ca.n) AS BIGINT) AS cont_micro
+        FROM common JOIN cnt ca ON ca.doc_id = id_a
+        WHERE CAST(c AS DOUBLE) / ca.n >= 0.8
+        ORDER BY id_a, id_b"""),
+      "containment join: docs ≥80% inside another doc — excerpt redundancy"),
+
+    // Bloom-prefiltered INCREMENTAL exact dedup (even ids = stored
+    // corpus, odd ids = arriving batch, the d12 split convention): the
+    // corpus is summarized once into a KB-scale bloom filter; batch
+    // hashes probe it with native might_contain — negatives are
+    // provably new and never touch the corpus, positives (true dups +
+    // bounded false positives) anti-join stored hashes for exact
+    // verification. Output = exactly the genuinely-new contents.
+    "d18_bloom_dedup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextDedup.incrementalExactDedup(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1))
+          .orderBy(col("content_hash"))
+      },
+      Some(s"""WITH ex AS (SELECT DISTINCT md5($normSql) AS content_hash
+          FROM documents WHERE doc_id % 2 = 0),
+        inc AS (SELECT md5($normSql) AS content_hash, COUNT(*) AS n_docs,
+            MIN(doc_id) AS canonical_id
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+        SELECT content_hash, n_docs, canonical_id FROM inc
+        WHERE content_hash NOT IN (SELECT content_hash FROM ex)
+        ORDER BY content_hash"""),
+      "bloom-prefiltered incremental exact dedup: batch probes a KB sketch of the corpus"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(

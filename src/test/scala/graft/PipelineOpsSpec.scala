@@ -66,6 +66,60 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exact.nonEmpty, "no planted pairs — vacuous test")
   }
 
+  test("containment pairs equal the brute-force ordered-pair baseline") {
+    val sh = TextDedup.shingleRows(docs, 3)
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(cnt.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .filter($"c".cast("double") / $"n" >= 0.8)
+      .select($"id_a", $"id_b",
+        floor($"c".cast("double") * 1000000d / $"n".cast("double")).as("cont_micro"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = TextDedup.containmentPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute,
+      s"got-only: ${got.diff(brute)}; brute-only: ${brute.diff(got)}")
+    assert(got.nonEmpty, "no containment pairs — vacuous test")
+  }
+
+  test("containment catches the excerpt case Jaccard misses, and is asymmetric") {
+    val long = (1 to 120).map(i => s"w$i").mkString(" ")
+    val excerpt = (40 to 55).map(i => s"w$i").mkString(" ")
+    val two = Seq((1L, long), (2L, excerpt)).toDF("doc_id", "text")
+    // excerpt ⊂ long: containment(2→1) = 1.0; the reverse direction and
+    // Jaccard (14 shared / 118 union) both stay far below threshold
+    val cont = TextDedup.containmentPairs(two, 3, 0.9)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(cont == Seq((2L, 1L, 1000000L)), s"got $cont")
+    assert(TextDedup.jaccardPairs(two, 3, 0.5).isEmpty)
+  }
+
+  test("bloom-prefiltered incremental dedup equals the plain anti-join, both paths exercised") {
+    val even = docs.filter($"doc_id" % 2 === 0)
+    // clone 10 even texts under fresh odd-side ids so the true-dup branch
+    // is non-empty; undersized filter + loose fpp force false positives
+    // through the verification anti-join as well
+    val clones = even.orderBy($"doc_id").limit(10)
+      .select(($"doc_id" + 100001L).as("doc_id"), $"text")
+    val odd = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text").unionByName(clones)
+    val got = TextDedup.incrementalExactDedup(even, odd,
+        expectedItems = 50L, fpp = 0.3)
+      .as[(String, Long, Long)].collect().toSet
+    val expected = TextDedup.exactDedup(odd)
+      .join(even.select(md5(TextDedup.normalizeText($"text")).as("content_hash"))
+          .distinct(),
+        Seq("content_hash"), "left_anti")
+      .select($"content_hash", $"n_docs", $"canonical_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"got-only: ${got.diff(expected)}; expected-only: ${expected.diff(got)}")
+    assert(got.nonEmpty, "no new contents — vacuous test")
+  }
+
   test("IVF index append: incremental build equals batch build, old index untouched") {
     import graft.operators.IvfIndex
     val old = emb.filter($"vec_id" % 2 === 0)
