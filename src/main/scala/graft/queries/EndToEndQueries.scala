@@ -365,5 +365,89 @@ object EndToEndQueries {
         FROM orders
         GROUP BY 1, 2 ORDER BY year_month DESC, type"""),
       "FULL ELT-to-mart path: payloads → normalize → monthly P&L view"),
+
+    // Retrieval-evaluation harness: per query doc, exact LEXICAL top-10
+    // (3-gram Jaccard, integer micro-units) vs exact SEMANTIC top-10
+    // (embedding cosine) over the COMMON corpus (docs that have an
+    // embedding — at larger SF embeddings are a subset of documents),
+    // and the size of their agreement. This is the recall@k-style
+    // diagnostic a curation pipeline runs before trusting the cheap
+    // lexical path as a proxy for the expensive embedding path. Scale
+    // shape: queries broadcast on both branches; lexical candidates
+    // come from the shingle postings join (never n²  against docs that
+    // share nothing); both rankings finish in partial WindowGroupLimit;
+    // the agreement join is k-bounded.
+    "e2e9_retrieval_eval" -> Q(
+      (s, d) => {
+        import graft.operators.{Similarity, TextDedup}
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val corpus = Tables.documents(s, d)
+          .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+        val sh = TextDedup.shingleRows(corpus, 3)
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val common = sh.as("a").filter(col("a.doc_id") < 5)
+          .join(sh.as("b"), col("a.s") === col("b.s") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("query_id"),
+            col("b.doc_id").as("neighbor_id"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("jac_micro").desc, col("neighbor_id"))
+        val lex = common
+          .join(cnt.withColumnRenamed("doc_id", "query_id")
+            .withColumnRenamed("n", "na"), Seq("query_id"))
+          .join(cnt.withColumnRenamed("doc_id", "neighbor_id")
+            .withColumnRenamed("n", "nb"), Seq("neighbor_id"))
+          .withColumn("jac_micro",
+            floor(col("c").cast(DoubleType) * 1000000d /
+              (col("na") + col("nb") - col("c")).cast(DoubleType)))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_lex"))
+        val corpusEmb = emb.join(
+          Tables.documents(s, d).select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        val sem = Similarity.bruteForceTopK(
+            corpusEmb.filter(col("vec_id") < 5), corpusEmb, k = 10)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("in_sem"))
+        lex.join(sem, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy(col("query_id"))
+          .agg(sum(coalesce(col("in_lex"), lit(0))).as("n_lex"),
+            sum(coalesce(col("in_sem"), lit(0))).as("n_sem"),
+            sum(coalesce(col("in_lex"), lit(0)) * coalesce(col("in_sem"), lit(0)))
+              .as("n_common"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH corpus AS (SELECT d.doc_id, d.text, e.embedding
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        common AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < 5 AND b.doc_id <> a.doc_id
+          GROUP BY 1, 2),
+        lex AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY FLOOR(CAST(c AS DOUBLE) * 1000000 / (ca.n + cb.n - c)) DESC,
+                neighbor_id) AS rn
+          FROM common JOIN cnt ca ON ca.doc_id = query_id
+            JOIN cnt cb ON cb.doc_id = neighbor_id) WHERE rn <= 10),
+        sem AS (SELECT query_id, neighbor_id FROM (
+          SELECT q.doc_id AS query_id, cd.doc_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.doc_id ORDER BY
+              list_cosine_similarity(q.embedding::DOUBLE[], cd.embedding::DOUBLE[]) DESC,
+              cd.doc_id) AS rn
+          FROM corpus q JOIN corpus cd ON q.doc_id < 5 AND cd.doc_id <> q.doc_id)
+          WHERE rn <= 10),
+        j AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+            CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+            CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS in_sem
+          FROM lex l FULL OUTER JOIN sem s
+            ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id)
+        SELECT query_id, CAST(SUM(in_lex) AS BIGINT) AS n_lex,
+          CAST(SUM(in_sem) AS BIGINT) AS n_sem,
+          CAST(SUM(in_lex * in_sem) AS BIGINT) AS n_common
+        FROM j GROUP BY 1 ORDER BY query_id"""),
+      "retrieval eval: lexical Jaccard top-10 vs embedding cosine top-10 agreement"),
   )
 }

@@ -151,6 +151,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), p)
   }
 
+  test("d18: bloom probe is codegen-native; the corpus anti-join sees positives only") {
+    val p = planOf(q("d18_bloom_dedup"))
+    // the probe is Catalyst's BloomFilterMightContain (no UDF boundary)
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), p)
+    // the anti-join's probe side is filtered to bloom-positives BELOW the
+    // join — negatives never pay the corpus verification
+    val antiIdx = p.indexOf("LeftAnti")
+    val probeIdx = p.lastIndexOf("might_contain")
+    assert(antiIdx >= 0 && probeIdx > antiIdx,
+      s"positive-filter not below the anti-join (anti@$antiIdx probe@$probeIdx):\n$p")
+  }
+
+  test("e2e9: both retrieval branches broadcast the query side; rankings partial-limit") {
+    val p = planOf(q("e2e9_retrieval_eval"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q18: the HAVING aggregate runs below the joins, customer broadcasts") {
     val p = planOf(q("q18_large_orders"))
     // lineitem aggregates before any join touches it: the first
