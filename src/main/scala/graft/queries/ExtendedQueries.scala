@@ -472,6 +472,76 @@ object ExtendedQueries {
         FROM walk ORDER BY user_id, ts_us, value"""),
       "EMA-residual anomaly flags (3x smoothed deviation) — the monitoring alarm"),
 
+    // ROBUST anomaly flags: rolling 21-event median + MAD per user, flag
+    // |x − med| > 3·MAD. Unlike the EMA alarm (w7), one wild spike
+    // cannot drag the baseline — median/MAD have a 50% breakdown point.
+    // All math in exact integers: values floor to micro-units, the
+    // median rides as 2× (sum of lower+upper middle), MAD as 4×, and the
+    // flag compares 2·|2x − med2| > 3·mad4 — no float ever crosses the
+    // engine boundary. Spark shape: ONE shuffle by user, then per-row
+    // NARROW array ops (collect_list over the 21-row frame, array_sort,
+    // transform) — the frame never explodes into rows; the oracle
+    // replays it relationally via a frame self-join + rank selection.
+    "w8_robust_anomaly" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts DIV 1000").as("ts_us"), col("value"),
+            floor(col("value") * 1000000d).cast(LongType).as("v"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("value"), col("event_id"))
+          .rowsBetween(-20, Window.currentRow)
+        ev.withColumn("vals", collect_list(col("v")).over(w))
+          .withColumn("srt", array_sort(col("vals")))
+          .withColumn("n", size(col("srt")).cast(LongType))
+          .withColumn("med2", expr(
+            "element_at(srt, CAST((n + 1) DIV 2 AS INT)) + element_at(srt, CAST(n DIV 2 + 1 AS INT))"))
+          .withColumn("devs", expr("array_sort(transform(vals, x -> abs(x * 2 - med2)))"))
+          .withColumn("mad4", expr(
+            "element_at(devs, CAST((n + 1) DIV 2 AS INT)) + element_at(devs, CAST(n DIV 2 + 1 AS INT))"))
+          .withColumn("is_anom",
+            when(col("n") >= 10 &&
+              abs(col("v") * 2 - col("med2")) * 2 > col("mad4") * 3, 1L)
+              .otherwise(0L))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("v").as("v_micro"), col("med2").as("med2_micro"),
+            col("mad4").as("mad4_micro"), col("is_anom"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+            CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), value, event_id) AS rn
+          FROM events),
+        fr AS (SELECT a.user_id, a.rn, b.v AS fv
+          FROM pts a JOIN pts b ON b.user_id = a.user_id
+            AND b.rn BETWEEN a.rn - 20 AND a.rn),
+        rk AS (SELECT user_id, rn, fv,
+            COUNT(*) OVER (PARTITION BY user_id, rn) AS n,
+            ROW_NUMBER() OVER (PARTITION BY user_id, rn ORDER BY fv) AS k
+          FROM fr),
+        m AS (SELECT user_id, rn, MAX(n) AS n,
+            CAST(SUM(fv * (CAST(k = (n+1)//2 AS INT) + CAST(k = n//2+1 AS INT))) AS BIGINT) AS med2
+          FROM rk GROUP BY 1, 2),
+        dv AS (SELECT f.user_id, f.rn, ABS(2 * f.fv - m.med2) AS dev
+          FROM fr f JOIN m ON m.user_id = f.user_id AND m.rn = f.rn),
+        dk AS (SELECT user_id, rn, dev,
+            COUNT(*) OVER (PARTITION BY user_id, rn) AS n,
+            ROW_NUMBER() OVER (PARTITION BY user_id, rn ORDER BY dev) AS k
+          FROM dv),
+        md AS (SELECT user_id, rn,
+            CAST(SUM(dev * (CAST(k = (n+1)//2 AS INT) + CAST(k = n//2+1 AS INT))) AS BIGINT) AS mad4
+          FROM dk GROUP BY 1, 2)
+        SELECT p.user_id, p.ts_us, p.event_id, p.v AS v_micro,
+          m.med2 AS med2_micro, md.mad4 AS mad4_micro,
+          CAST(CASE WHEN m.n >= 10 AND 2 * ABS(2 * p.v - m.med2) > 3 * md.mad4
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+        FROM pts p JOIN m ON m.user_id = p.user_id AND m.rn = p.rn
+          JOIN md ON md.user_id = p.user_id AND md.rn = p.rn
+        ORDER BY p.user_id, p.ts_us, p.event_id"""),
+      "rolling median/MAD anomaly flags — the 50%-breakdown robust alarm"),
+
     // TPC-H Q18 shape (large-volume customers): aggregate the fact FIRST,
     // filter on the aggregate, then join the (now tiny) qualifying set to
     // orders/customer — the aggregate-then-join order is the whole scale
