@@ -138,4 +138,81 @@ object Temporal {
         out.iterator
       })
   }
+
+  // ───── robust (median/MAD) anomaly — the 50%-breakdown alarm ─────
+
+  final case class IdPoint(key: Long, ts: Long, id: Long, value: Double)
+  final case class RobustFlag(key: Long, ts: Long, id: Long, v_micro: Long,
+    med2_micro: Long, mad4_micro: Long, is_anom: Long)
+
+  /** One point's robust stats against the trailing window buffer (the
+    * buffer INCLUDES the point): med2 = lower+upper middle of the sorted
+    * values (2× the median, integer-exact for both parities), mad4 =
+    * the same rank selection over |2v − med2| (4× the MAD), flag =
+    * 2·|2v − med2| > 3·mad4 with ≥ minN history. Identical arithmetic
+    * to the w8 SQL/window formulation — the spec pins all three equal.
+    */
+  private def robustStep(buf: Array[Long], v: Long, minN: Int): (Long, Long, Long) = {
+    val s = buf.sorted
+    val n = s.length
+    val med2 = s((n + 1) / 2 - 1) + s(n / 2)
+    val devs = buf.map(x => math.abs(2 * x - med2)).sorted
+    val mad4 = devs((n + 1) / 2 - 1) + devs(n / 2)
+    val anom = if (n >= minN && 2 * math.abs(2 * v - med2) > 3 * mad4) 1L else 0L
+    (med2, mad4, anom)
+  }
+
+  private def robustWalk(key: Long, history: Array[Long],
+      pts: Array[IdPoint], window: Int, minN: Int): (Array[RobustFlag], Array[Long]) = {
+    val buf = scala.collection.mutable.ArrayBuffer.from(history)
+    val out = pts.map { p =>
+      val v = math.floor(p.value * 1000000d).toLong
+      buf += v
+      if (buf.length > window) buf.remove(0, buf.length - window)
+      val (med2, mad4, anom) = robustStep(buf.toArray, v, minN)
+      RobustFlag(key, p.ts, p.id, v, med2, mad4, anom)
+    }
+    (out, buf.toArray)
+  }
+
+  /** Rolling median/MAD anomaly flags over the trailing `window` points
+    * per key — the robust alarm whose baseline one wild spike cannot
+    * drag (w7's EMA residual has breakdown point 0; median/MAD have
+    * 50%). Grouped local walks, ONE shuffle by key; per point the work
+    * is O(window log window) on a bounded buffer. Equals the w8
+    * window-function formulation value-for-value (TemporalSpec).
+    */
+  def robustAnomaly(points: Dataset[IdPoint], window: Int = 21,
+      minN: Int = 10): Dataset[RobustFlag] = {
+    import points.sparkSession.implicits._
+    require(window > 0 && minN > 0)
+    points.groupByKey(_.key).flatMapGroups { (k, it) =>
+      val sorted = it.toArray.sortBy(p => (p.ts, p.value, p.id))
+      robustWalk(k, Array.empty, sorted, window, minN)._1.iterator
+    }
+  }
+
+  final case class RobustState(recent: Array[Long], lastTs: Long)
+
+  /** Streaming twin of `robustAnomaly`: the state per key is the last
+    * ≤ window values (a bounded ring — KBs per key at window 21), so on
+    * in-order-per-key delivery the emitted flags are identical to the
+    * batch walk over the concatenated input (TemporalSpec proves it
+    * across micro-batch splits).
+    */
+  def robustAnomalyStream(points: Dataset[IdPoint], window: Int = 21,
+      minN: Int = 10): Dataset[RobustFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    require(window > 0 && minN > 0)
+    points.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (k: Long, it: Iterator[IdPoint], state: GroupState[RobustState]) => {
+        val sorted = it.toArray.sortBy(p => (p.ts, p.value, p.id))
+        val history = state.getOption.map(_.recent).getOrElse(Array.empty[Long])
+        val (out, recent) = robustWalk(k, history, sorted, window, minN)
+        if (out.nonEmpty) state.update(RobustState(recent, sorted.last.ts))
+        out.iterator
+      })
+  }
 }

@@ -56,6 +56,51 @@ class TemporalSpec extends SparkTestBase {
     assert(ident.forall(p => p.ema == p.value))
   }
 
+  test("robustAnomaly equals the w8 window formulation on real events") {
+    val ev = Tables.events(spark, sfTiny)
+      .selectExpr("user_id as key", "ts DIV 1000 as ts", "event_id as id", "value")
+      .as[Temporal.IdPoint]
+    val got = Temporal.robustAnomaly(ev).collect()
+      .map(f => (f.key, f.ts, f.id, f.v_micro, f.med2_micro, f.mad4_micro, f.is_anom))
+      .toSet
+    val w8 = SparkEntry.registry("w8_robust_anomaly").fn(spark, sfTiny)
+      .selectExpr("user_id", "ts_us", "event_id", "v_micro", "med2_micro",
+        "mad4_micro", "is_anom")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == w8,
+      s"walk-only: ${got.diff(w8).take(3)}; window-only: ${w8.diff(got).take(3)}")
+    assert(got.exists(_._7 == 1L), "no anomaly flagged — vacuous test")
+  }
+
+  test("streaming robust anomaly across micro-batch splits equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // real per-user event series split by TIME into three micro-batches:
+    // late windows straddle the splits, so the flags depend on the
+    // ring-buffer state carried across batches
+    val pts = Tables.events(spark, sfTiny).filter($"user_id" < 20)
+      .selectExpr("user_id as key", "ts DIV 1000 as ts", "event_id as id", "value")
+      .as[Temporal.IdPoint].collect().sortBy(p => (p.ts, p.value, p.id))
+    val (b1, rest) = pts.splitAt(pts.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 3)
+
+    val src = MemoryStream[Temporal.IdPoint]
+    val q = Temporal.robustAnomalyStream(src.toDS())
+      .writeStream.format("memory").queryName("robust_stream")
+      .outputMode("append").start()
+    src.addData(b1.toSeq: _*); q.processAllAvailable()
+    src.addData(b2.toSeq: _*); q.processAllAvailable()
+    src.addData(b3.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("robust_stream")
+      .as[Temporal.RobustFlag].collect().toSet
+    val batch = Temporal.robustAnomaly(pts.toSeq.toDS()).collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(3)}; batch-only: ${batch.diff(streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming ema continues per-key state across micro-batches, equals batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
