@@ -98,4 +98,44 @@ object TextStats {
     */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     Par.fan(docs).withColumn("fingerprint", md5(TextDedup.normalizeText(col(textCol))))
+
+  /** Per-doc NOVELTY: the permille of a doc's shingles that appear
+    * nowhere else in the corpus (df == 1) — "how much unique content
+    * does this doc contribute". Low novelty + not-a-near-dup flags
+    * boilerplate-heavy sources; curation keep-rates can key on it.
+    * Shape: one shingle-frequency groupBy + one join keyed on the
+    * shingle (batch side narrow) + one per-doc agg — no n², no window.
+    */
+  def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = TextDedup.shingleRows(docs, n)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(freq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_permille",
+        floor(lit(1000d) * col("n_unique").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType)).cast(LongType))
+  }
+
+  /** Incremental novelty — the deployment form: the CORPUS's shingle
+    * frequencies are the stored state (plain abelian counts, maintained
+    * per append like the d12 df table); an arriving batch scores the
+    * permille of its shingles UNSEEN in the corpus via one left join.
+    * The corpus is never re-shuffled per batch beyond its stored
+    * frequency table.
+    */
+  def noveltyScoresFrozen(existing: DataFrame, incoming: DataFrame,
+      n: Int = 3): DataFrame = {
+    val exFreq = TextDedup.shingleRows(existing, n)
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    TextDedup.shingleRows(incoming, n)
+      .join(exFreq, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty_permille",
+        floor(lit(1000d) * col("n_unseen").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType)).cast(LongType))
+  }
 }

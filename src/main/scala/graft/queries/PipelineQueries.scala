@@ -945,6 +945,50 @@ object PipelineQueries {
         FROM r CROSS JOIN n WHERE rk <= 5 ORDER BY doc_id, rk"""),
       "TF-IDF top-5 terms per doc — integer-keyed ranking, rendered score"),
 
+    // Per-doc novelty: permille of shingles unique to the doc (df == 1
+    // corpus-wide). Low novelty + not-a-near-dup = boilerplate-heavy
+    // source; curation keep-rates can key on it.
+    "t19_novelty" -> Q(
+      (s, d) => TextStats.noveltyScores(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        f AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+          CAST(FLOOR(CAST(1000 AS DOUBLE)
+            * CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS novelty_permille
+        FROM sh JOIN f USING (s) GROUP BY doc_id ORDER BY doc_id"""),
+      "novelty scoring: permille of corpus-unique shingles per doc"),
+
+    // Incremental novelty — the deployment form (even ids = corpus whose
+    // shingle frequencies are the stored state, odd ids = arriving
+    // batch): the batch scores its UNSEEN-in-corpus shingle permille via
+    // one left join against the stored counts; the corpus never
+    // re-shuffles per batch.
+    "t20_novelty_frozen" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextStats.noveltyScoresFrozen(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        exs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0)
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN exs.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+          CAST(FLOOR(CAST(1000 AS DOUBLE)
+            * CAST(SUM(CASE WHEN exs.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS novelty_permille
+        FROM sh LEFT JOIN exs ON exs.s = sh.s
+        WHERE sh.doc_id % 2 = 1 GROUP BY sh.doc_id ORDER BY sh.doc_id"""),
+      "incremental novelty: batch scored against stored corpus shingle counts"),
+
     // cl1: corpus clustering — k-means cell assignment (IvfIndex quantizer
     // reused as a clustering operator). Deterministic training; sizes +
     // per-cell mean norm. Not SQL-expressible → rows-only.
