@@ -30,10 +30,16 @@ object Tables {
     * long-ns. NTZ→TZ cast is numerically identity under the project-wide
     * UTC session timezone (GraftSession).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** Normalize a `ts` column to BIGINT UTC nanoseconds whatever its
+    * stored physical type (shared by the Tables accessor and the
+    * path-based CLI commands).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw
       case TimestampType => raw.withColumn("ts", unix_micros(col("ts")) * 1000L)

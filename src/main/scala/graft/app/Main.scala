@@ -20,6 +20,9 @@ import graft.marts.Views
   *   index build <emb> <out> [--ivfpq]       train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
   *   index query <queries> <idx> <res> [--k K]  top-k from the stored index
+  *   monitor <events> <out> [--window N] [--min-n M]
+  *                                           robust median/MAD anomaly flags
+  *                                           per user over an event series
   *
   * Layers are Parquet tables under layerRoot (raw / staging / audit /
   * marts_*), managed by ParquetTableStore's atomic-swap rewrites.
@@ -40,6 +43,10 @@ object Main {
       case "index" :: "query" :: q :: idx :: resOut :: rest =>
         indexQuery(spark, q, idx, resOut,
           opt(rest, "--k").map(_.toInt).getOrElse(10))
+      case "monitor" :: events :: out :: rest =>
+        monitor(spark, events, out,
+          opt(rest, "--window").map(_.toInt).getOrElse(21),
+          opt(rest, "--min-n").map(_.toInt).getOrElse(10))
       case "dedup" :: docs :: out :: rest if rest.contains("--incremental") =>
         dedupIncremental(spark, docs, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
@@ -314,6 +321,32 @@ object Main {
       s"(${nTotal - nKept} near-dups dropped, threshold $threshold, " +
       s"${if (exact) "exact" else "prefix-filter"} pair path)")
     nKept
+  }
+
+  /** Robust anomaly monitoring as a product command: per-user rolling
+    * median/MAD flags over an event-series parquet (the w8 semantics —
+    * Temporal.robustAnomaly grouped walks, integer micro-unit math).
+    * Accepts any of the `ts` physical types the testdata has carried
+    * (int64-nanos / timestamp[us]) via Tables.normalizeEventTs. Writes
+    * `<out>/flags`; returns the anomaly count. The streaming twin
+    * (Temporal.robustAnomalyStream) serves the same semantics
+    * continuously.
+    */
+  def monitor(spark: SparkSession, eventsPath: String, out: String,
+      window: Int, minN: Int): Long = {
+    import graft.operators.Temporal
+    import spark.implicits._
+    val ev = graft.Tables.normalizeEventTs(spark.read.parquet(eventsPath))
+    val pts = ev.selectExpr("user_id as key", "ts DIV 1000 as ts",
+      "event_id as id", "value").as[Temporal.IdPoint]
+    val flags = Temporal.robustAnomaly(pts, window, minN)
+    flags.write.mode("overwrite").parquet(s"$out/flags")
+    val persisted = spark.read.parquet(s"$out/flags")
+    val nAnom = persisted.filter(col("is_anom") === 1).count()
+    val n = persisted.count()
+    println(s"[graft] monitor: $n points scored, $nAnom anomalies " +
+      s"(window $window, min history $minN)")
+    nAnom
   }
 
   /** Vector-index lifecycle as a product surface (the FAISS

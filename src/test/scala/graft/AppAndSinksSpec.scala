@@ -31,6 +31,24 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(graft.app.Main.dedup(spark, docsPath, outEx, 0.8, exact = true) == nKept)
   }
 
+  test("CLI monitor: persisted flags equal the direct robust-anomaly operator") {
+    import graft.operators.Temporal
+    val out = Files.createTempDirectory("graft_monitor").toString
+    val evPath = s"$sfTiny/events.parquet"
+    val nAnom = graft.app.Main.monitor(spark, evPath, out, window = 21, minN = 10)
+    val persisted = spark.read.parquet(s"$out/flags")
+      .as[Temporal.RobustFlag].collect().toSet
+    val direct = Temporal.robustAnomaly(
+        Tables.events(spark, sfTiny)
+          .selectExpr("user_id as key", "ts DIV 1000 as ts",
+            "event_id as id", "value")
+          .as[Temporal.IdPoint])
+      .collect().toSet
+    assert(persisted == direct)
+    assert(nAnom == direct.count(_.is_anom == 1L) && nAnom > 0,
+      s"anomaly count $nAnom — vacuous if zero")
+  }
+
   test("CLI dedup --incremental: two-batch path equals one-shot batch path") {
     val docsPath = s"$sfTiny/documents.parquet"
     val docs = spark.read.parquet(docsPath)
