@@ -969,6 +969,47 @@ object ExtendedQueries {
         GROUP BY c.user_id ORDER BY c.user_id"""),
       "30-min purchase-to-click attribution: batch twin of the streaming interval join"),
 
+    // MULTI-TOUCH attribution: st5 counts click→purchase pairs; here
+    // each purchase distributes LINEAR credit across every click in its
+    // 30-min lookback — credit_permille = floor(1000/n_touches), an
+    // integer so the split crosses the engine boundary exactly. Also
+    // reports the touch span (first→last click, µs). Same interval-join
+    // fabric as the streaming operator; the per-purchase rollup is one
+    // purchase-keyed agg.
+    "st7_multitouch" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            timestamp_micros(expr("ts DIV 1000")).as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            timestamp_micros(expr("ts DIV 1000")).as("purchase_ts"))
+        graft.streaming.Streams.attributionJoin(clicks, purchases)
+          .groupBy(col("user_id"), col("purchase_id"))
+          .agg(count(lit(1)).as("n_touches"),
+            min(unix_micros(col("click_ts"))).as("first_cts"),
+            max(unix_micros(col("click_ts"))).as("last_cts"))
+          .select(col("user_id"), col("purchase_id"), col("n_touches"),
+            floor(lit(1000d) / col("n_touches").cast(DoubleType))
+              .cast(LongType).as("credit_permille"),
+            (col("last_cts") - col("first_cts")).as("span_us"))
+          .orderBy(col("user_id"), col("purchase_id"))
+      },
+      Some("""SELECT c.user_id, p.event_id AS purchase_id,
+          COUNT(*) AS n_touches,
+          CAST(FLOOR(CAST(1000 AS DOUBLE) / COUNT(*)) AS BIGINT) AS credit_permille,
+          CAST(MAX(c.cts) - MIN(c.cts) AS BIGINT) AS span_us
+        FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS cts
+            FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS pts
+            FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+          AND p.pts >= c.cts AND p.pts <= c.cts + 1800000000
+        GROUP BY c.user_id, p.event_id
+        ORDER BY c.user_id, purchase_id"""),
+      "linear multi-touch attribution: per-purchase credit split + touch span"),
+
     // LEFT-OUTER flavor of st5 (Streams.attributionJoinOuter — the same
     // code path the streaming tests drive with MemoryStream, where
     // unmatched clicks emit their null row once the watermark proves no
