@@ -410,6 +410,54 @@ object PipelineQueries {
         ORDER BY content_hash"""),
       "bloom-prefiltered incremental exact dedup: batch probes a KB sketch of the corpus"),
 
+    // Duplication REPORT: the cluster-size histogram (how much of the
+    // corpus is duplication mass, and in what shapes — many pairs vs a
+    // few giant boilerplate clusters drive different curation choices).
+    // Singleton docs (in no near-dup pair) are counted as size-1
+    // clusters so the histogram sums to the corpus size.
+    "d19_cluster_histogram" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = TextDedup.connectedComponents(
+          TextDedup.prefixFilterPairs(docs, n = 3, minJaccard = 0.8))
+        val sizes = clusters.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+        val nClustered = clusters.agg(count(lit(1)).as("n")).
+          select(col("n"))
+        val singles = docs.agg(count(lit(1)).as("total"))
+          .crossJoin(broadcast(nClustered))
+          .select(lit(1L).as("cluster_size"),
+            (col("total") - col("n")).as("n_clusters"))
+        sizes.unionByName(singles)
+          .groupBy(col("cluster_size"))
+          .agg(sum(col("n_clusters")).as("n_clusters"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+        sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
+        hist AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM sz GROUP BY 1
+          UNION ALL
+          SELECT 1 AS cluster_size,
+            (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lab) AS n_clusters)
+        SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+        FROM hist GROUP BY 1 ORDER BY cluster_size"""),
+      "dedup report: cluster-size histogram incl. singletons — duplication mass by shape"),
+
     // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
     // rows-only here, exactness asserted against d2 in DedupSpec.
     "d3_minhash_lsh" -> Q(
@@ -944,6 +992,54 @@ object PipelineQueries {
           CAST(CAST(tf * ln(CAST(n.n AS DOUBLE) / df) AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
         FROM r CROSS JOIN n WHERE rk <= 5 ORDER BY doc_id, rk"""),
       "TF-IDF top-5 terms per doc — integer-keyed ranking, rendered score"),
+
+    // Vocabulary Zipf slope: least-squares fit of ln(freq) ~ ln(rank)
+    // over the top-1000 terms — the corpus-health diagnostic (natural
+    // text sits near −1; templated/synthetic corpora drift). Ranking is
+    // INTEGER-keyed (freq desc, term) so it cannot flip across engines;
+    // each per-term log term is cast to DECIMAL(18,6) BEFORE summing
+    // (decimal sums are exact and order-free — the t15 pattern), and
+    // only the final slope crosses as floor-micro. The global sort is
+    // top-1000-bounded (TakeOrdered), never vocabulary-sized.
+    "t21_zipf_slope" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val top = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("term")).limit(1000)
+        val ranked = top.withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+        val dec = DecimalType(18, 6)
+        val stats = ranked.select(
+            log(col("rank").cast(DoubleType)).as("x"),
+            log(col("freq").cast(DoubleType)).as("y"))
+          .agg(count(lit(1)).cast(DoubleType).as("n"),
+            sum(col("x").cast(dec)).cast(DoubleType).as("sx"),
+            sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
+            sum((col("x") * col("y")).cast(dec)).cast(DoubleType).as("sxy"),
+            sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("sxx"))
+        stats.select(col("n").cast(LongType).as("n_terms"),
+          floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * 1000000d)
+            .cast(LongType).as("slope_micro"))
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        f AS (SELECT term, COUNT(*) AS freq FROM toks WHERE term != '' GROUP BY 1),
+        top AS (SELECT term, freq FROM f ORDER BY freq DESC, term LIMIT 1000),
+        r AS (SELECT freq,
+            ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank FROM top),
+        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+          FROM r)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+          CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000) AS BIGINT) AS slope_micro
+        FROM t"""),
+      "Zipf slope of the top-1000 vocabulary — corpus-health power-law fit"),
 
     // Per-doc novelty: permille of shingles unique to the doc (df == 1
     // corpus-wide). Low novelty + not-a-near-dup = boilerplate-heavy
