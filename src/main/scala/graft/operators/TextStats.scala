@@ -126,16 +126,23 @@ object TextStats {
     * frequency table.
     */
   def noveltyScoresFrozen(existing: DataFrame, incoming: DataFrame,
-      n: Int = 3): DataFrame = {
-    val exFreq = TextDedup.shingleRows(existing, n)
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      n: Int = 3): DataFrame =
+    noveltyAgainstFreq(incoming,
+      TextDedup.shingleRows(existing, n)
+        .groupBy(col("s")).agg(count(lit(1)).as("df")),
+      n)
+
+  /** Novelty of `incoming` against an explicit (s, df) frequency table —
+    * the stored-state form `Streams.noveltyStream` maintains per batch.
+    */
+  def noveltyAgainstFreq(incoming: DataFrame, freq: DataFrame,
+      n: Int = 3): DataFrame =
     TextDedup.shingleRows(incoming, n)
-      .join(exFreq, Seq("s"), "left")
+      .join(freq, Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df").isNull, 1L).otherwise(0L)).as("n_unseen"))
       .withColumn("novelty_permille",
         floor(lit(1000d) * col("n_unseen").cast(DoubleType) /
           col("n_shingles").cast(DoubleType)).cast(LongType))
-  }
 }

@@ -276,6 +276,44 @@ object Streams {
       .start()
   }
 
+  /** Streaming novelty scoring: arriving doc batches are scored against
+    * the STORED corpus shingle frequencies (`shingle_freq` — plain
+    * abelian counts), then the counts absorb the batch — so each batch's
+    * novelty is measured against everything that arrived before it,
+    * exactly the sequential `noveltyScoresFrozen` semantics
+    * (MediaStreamingSpec proves two streamed batches == two sequential
+    * frozen-batch calls over a growing corpus). Replayed batches are
+    * no-ops: the seen-doc anti-join guards both the score append AND the
+    * frequency bump (both derive from the surviving rows).
+    */
+  def noveltyStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      store: graft.etl.TableStore, checkpointDir: String,
+      n: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{TextDedup, TextStats}
+    val schema = spark.read.parquet(docsDir).schema // footer-only read
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        import ss.implicits._
+        val b0 = batch.dropDuplicates("doc_id")
+        val b = if (store.exists("novelty_scores"))
+          b0.join(store.read("novelty_scores"), Seq("doc_id"), "left_anti")
+        else b0
+        val freq = if (store.exists("shingle_freq")) store.read("shingle_freq")
+          else Seq.empty[(String, Long)].toDF("s", "df")
+        store.append("novelty_scores", TextStats.noveltyAgainstFreq(b, freq, n))
+        val bFreq = TextDedup.shingleRows(b, n)
+          .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        store.overwrite("shingle_freq",
+          freq.unionByName(bFreq).groupBy(col("s"))
+            .agg(sum(col("df")).as("df")))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream interval join: purchases attributed to a click by the
     * same user within `attribution` before the purchase. Watermarks bound
     * BOTH state stores (Spark drops click state older than purchase

@@ -174,6 +174,47 @@ class MediaStreamingSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet == oneShot)
   }
 
+  test("novelty stream: each batch scored against everything before it, replay-idempotent") {
+    import graft.operators.{TextDedup, TextStats}
+    val docs = Tables.documents(spark, sfTiny)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nv").toString
+    val docsDir = s"$tmp/incoming"
+    val ckpt = s"$tmp/ckpt"
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/store")
+
+    // batch 1: the first corpus slice — everything is novel
+    even.write.mode("append").parquet(docsDir)
+    Streams.noveltyStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    // batch 2: scored against the counts batch 1 left behind
+    odd.write.mode("append").parquet(docsDir)
+    Streams.noveltyStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+
+    val streamed = store.read("novelty_scores")
+      .select($"doc_id", $"n_shingles", $"n_unseen", $"novelty_permille")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b1Exp = TextStats.noveltyAgainstFreq(even,
+        Seq.empty[(String, Long)].toDF("s", "df"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b2Exp = TextStats.noveltyScoresFrozen(even, odd)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == (b1Exp ++ b2Exp),
+      "streamed novelty drifted from the sequential frozen-batch semantics")
+    assert(b1Exp.forall(_._4 == 1000L), "first slice must be fully novel")
+    assert(b2Exp.exists(_._4 < 1000L), "no cross-batch overlap — vacuous test")
+
+    // replay with no new files: scores AND counts undisturbed
+    Streams.noveltyStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    assert(store.read("novelty_scores")
+      .as[(Long, Long, Long, Long)].collect().toSet == (b1Exp ++ b2Exp))
+    val freqExp = TextDedup.shingleRows(docs, 3)
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toSet
+    assert(store.read("shingle_freq").as[(String, Long)].collect().toSet == freqExp,
+      "stored shingle counts drifted from the full-corpus frequencies")
+  }
+
   test("cdc ingest stream: raw files → dedup → staging merge, incremental") {
     val rawDir = java.nio.file.Files.createTempDirectory("graft_cdc_raw").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
