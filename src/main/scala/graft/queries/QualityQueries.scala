@@ -169,6 +169,32 @@ object QualityQueries {
         ORDER BY bm25 DESC, doc_id LIMIT 20"""),
       "BM25 with AND semantics: top-20 docs containing ALL query terms"),
 
+    // Exact-PHRASE search via positional postings: each query term's
+    // (doc, position) rows are selective filters pushed before any
+    // shuffle; consecutive-position equi-joins assemble the phrase (the
+    // inverted-index-with-positions shape a real search engine runs —
+    // and exactly what eval-set decontamination needs to find verbatim
+    // benchmark strings, where srch3's AND-of-terms still over-matches).
+    "srch4_phrase" -> Q(
+      (s, d) => {
+        val toks = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "term")
+        def at(term: String, offset: Int) = toks.filter(col("term") === term)
+          .select(col("doc_id"), (col("pos") - offset).as("pos"))
+        at("slow", 0).join(at("hash", 1), Seq("doc_id", "pos"))
+          .join(at("batch", 2), Seq("doc_id", "pos"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+          .orderBy(col("n_matches").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wins AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i))
+        SELECT doc_id, COUNT(*) AS n_matches FROM wins
+        WHERE g = 'slow hash batch' GROUP BY 1
+        ORDER BY n_matches DESC, doc_id LIMIT 20"""),
+      "exact-phrase search: positional postings + consecutive-position joins"),
+
     // Supervised corpus classification (the fastText-style gate):
     // multinomial Naive Bayes over tokens, self-trained on the corpus
     // labels and predicting each doc's language — the label-recovery
