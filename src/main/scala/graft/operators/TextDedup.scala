@@ -473,6 +473,31 @@ object TextDedup {
           .as("cont_micro"))
   }
 
+  /** Containment KEEP decision: drop any doc ≥ `minContainment` contained
+    * in a LARGER doc (ties break to the smaller doc id, so mutually
+    * contained near-identical docs keep exactly one canonical). Unlike
+    * the Jaccard cluster family this needs no connected components — the
+    * drop rule is a per-doc existential over its containers — so the
+    * decision is one aggregation over the containment pairs.
+    */
+  def containmentKeep(docs: DataFrame, n: Int, minContainment: Double): DataFrame = {
+    val sizes = shingleRows(docs, n).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val pairs = containmentPairs(docs, n, minContainment)
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"),
+        Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"),
+        Seq("id_b"))
+      .filter(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("id_b") < col("id_a")))
+    val containers = pairs.groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_containers"))
+    docs.select(col("doc_id")).join(containers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+        when(col("n_containers").isNull, 1L).otherwise(0L).as("is_kept"))
+  }
+
   /** Incremental exact dedup with a Bloom prefilter — the batch-arrival
     * fast path for a corpus too large to re-shuffle per batch. The
     * existing corpus is summarized ONCE into a KB-scale Bloom filter

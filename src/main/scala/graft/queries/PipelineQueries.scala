@@ -410,6 +410,31 @@ object PipelineQueries {
         ORDER BY content_hash"""),
       "bloom-prefiltered incremental exact dedup: batch probes a KB sketch of the corpus"),
 
+    // d17's pairs turned into a curation DECISION (the d8/d9 pattern
+    // applied to containment): drop docs ≥80% contained in a LARGER doc,
+    // ties to the smaller id — no connected components needed, the drop
+    // rule is a per-doc existential over its containers.
+    "d20_containment_keep" -> Q(
+      (s, d) => TextDedup.containmentKeep(Tables.documents(s, d), n = 3,
+          minContainment = 0.8)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+        drops AS (SELECT id_a AS doc_id, COUNT(*) AS n_containers
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / ca.n >= 0.8
+            AND (cb.n > ca.n OR (cb.n = ca.n AND id_b < id_a))
+          GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(dr.n_containers, 0) AS BIGINT) AS n_containers,
+          CAST(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      "containment keep decision: drop excerpts of larger docs, ties to min id"),
+
     // Duplication REPORT: the cluster-size histogram (how much of the
     // corpus is duplication mass, and in what shapes — many pairs vs a
     // few giant boilerplate clusters drive different curation choices).

@@ -97,6 +97,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(TextDedup.jaccardPairs(two, 3, 0.5).isEmpty)
   }
 
+  test("containment keep: excerpt dropped, identical twins keep min id, isolated kept") {
+    val long = (1 to 120).map(i => s"w$i").mkString(" ")
+    val excerpt = (40 to 55).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, long), (2L, excerpt), (3L, long),
+      (10L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val got = TextDedup.containmentKeep(corpus, 3, 0.8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // 1 and 3 are identical (mutual containment, equal size): min id 1
+    // survives, 3 is contained-with-tie-to-1. The excerpt has two
+    // larger containers. The isolated doc has none.
+    assert(got == Map(1L -> (0L, 1L), 2L -> (2L, 0L),
+      3L -> (1L, 0L), 10L -> (0L, 1L)), s"got $got")
+  }
+
   test("bloom-prefiltered incremental dedup equals the plain anti-join, both paths exercised") {
     val even = docs.filter($"doc_id" % 2 === 0)
     // clone 10 even texts under fresh odd-side ids so the true-dup branch
