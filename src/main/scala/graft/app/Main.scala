@@ -14,6 +14,8 @@ import graft.marts.Views
   *   check <layerRoot>                       layer/mart health counts
   *   analyze <layerRoot>                     column profile + expectations
   *   dedup <docs> <out> [--threshold T] [--exact]  corpus near-dup removal
+  *   dedup <docs> <out> --containment [--threshold T]
+  *                                           drop excerpts of larger docs
   *   dedup <docs> <out> --incremental <new> [--threshold T]
   *                                           merge a new batch's near-dups
   *                                           into an existing dedup state
@@ -50,6 +52,9 @@ object Main {
       case "dedup" :: docs :: out :: rest if rest.contains("--incremental") =>
         dedupIncremental(spark, docs, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+      case "dedup" :: docs :: out :: rest if rest.contains("--containment") =>
+        dedupContainment(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
       case "dedup" :: docs :: out :: rest =>
         dedup(spark, docs, out,
@@ -389,6 +394,30 @@ object Main {
 
   private def isIvfPq(idx: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "centroids"))
+
+  /** Containment dedup as a product command: drop docs ≥ threshold
+    * contained in a LARGER doc (excerpt redundancy the Jaccard cascade
+    * misses — tiny union similarity, near-total one-sided overlap).
+    * Writes `<out>/containment` (doc_id, n_containers, is_kept) and
+    * `<out>/kept`; returns the kept count.
+    */
+  def dedupContainment(spark: SparkSession, docsPath: String, out: String,
+      threshold: Double): Long = {
+    import graft.operators.TextDedup
+    val docs = spark.read.parquet(docsPath)
+    val decision = TextDedup.containmentKeep(docs, n = 3, minContainment = threshold)
+    decision.write.mode("overwrite").parquet(s"$out/containment")
+    val kept = docs.join(
+      spark.read.parquet(s"$out/containment")
+        .filter(col("is_kept") === 1L).select(col("doc_id")),
+      Seq("doc_id"))
+    kept.write.mode("overwrite").parquet(s"$out/kept")
+    val nTotal = docs.count()
+    val nKept = spark.read.parquet(s"$out/kept").count()
+    println(s"[graft] dedup --containment: $nTotal docs -> $nKept kept " +
+      s"(${nTotal - nKept} excerpts dropped, threshold $threshold)")
+    nKept
+  }
 
   /** Incremental dedup for a growing corpus — the product surface over
     * `prefixFilterPairsIncremental` + `ccIncremental`: `<docs>` is the

@@ -31,6 +31,21 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(graft.app.Main.dedup(spark, docsPath, outEx, 0.8, exact = true) == nKept)
   }
 
+  test("CLI dedup --containment: kept corpus equals the direct keep decision") {
+    import graft.operators.TextDedup
+    val out = Files.createTempDirectory("graft_cont").toString
+    val docsPath = s"$sfTiny/documents.parquet"
+    val nKept = graft.app.Main.dedupContainment(spark, docsPath, out, 0.8)
+    val docs = spark.read.parquet(docsPath)
+    val direct = TextDedup.containmentKeep(docs, 3, 0.8)
+      .filter($"is_kept" === 1L).select($"doc_id")
+      .as[Long].collect().toSet
+    val kept = spark.read.parquet(s"$out/kept").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(kept == direct && nKept == direct.size)
+    assert(kept.size < docs.count(), "no excerpts dropped — vacuous test")
+  }
+
   test("CLI monitor: persisted flags equal the direct robust-anomaly operator") {
     import graft.operators.Temporal
     val out = Files.createTempDirectory("graft_monitor").toString
