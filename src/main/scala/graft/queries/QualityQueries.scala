@@ -182,8 +182,8 @@ object QualityQueries {
           .toDF("doc_id", "pos", "term")
         def at(term: String, offset: Int) = toks.filter(col("term") === term)
           .select(col("doc_id"), (col("pos") - offset).as("pos"))
-        at("slow", 0).join(at("hash", 1), Seq("doc_id", "pos"))
-          .join(at("batch", 2), Seq("doc_id", "pos"))
+        at("window", 0).join(at("merge", 1), Seq("doc_id", "pos"))
+          .join(at("hash", 2), Seq("doc_id", "pos"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
           .orderBy(col("n_matches").desc, col("doc_id")).limit(20)
       },
@@ -191,7 +191,7 @@ object QualityQueries {
         wins AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
           FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i))
         SELECT doc_id, COUNT(*) AS n_matches FROM wins
-        WHERE g = 'slow hash batch' GROUP BY 1
+        WHERE g = 'window merge hash' GROUP BY 1
         ORDER BY n_matches DESC, doc_id LIMIT 20"""),
       "exact-phrase search: positional postings + consecutive-position joins"),
 
