@@ -461,6 +461,16 @@ object TextDedup {
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    verifyContainment(docs, cands, n, minContainment)
+  }
+
+  /** Exact containment verification of ordered candidate pairs — narrow
+    * array_intersect against the two docs' shingle sets, one-sided
+    * denominator. Output schema and cont_micro arithmetic shared by the
+    * one-shot and incremental containment joins.
+    */
+  private def verifyContainment(docs: DataFrame, cands: DataFrame, n: Int,
+      minContainment: Double): DataFrame = {
     val sets = Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh"))
     val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -471,6 +481,36 @@ object TextDedup {
       .select(col("id_a"), col("id_b"),
         floor(col("c").cast(DoubleType) * 1000000d / col("na").cast(DoubleType))
           .as("cont_micro"))
+  }
+
+  /** Incremental containment for a GROWING corpus — the batch delta of
+    * `containmentPairs`: every ordered qualifying pair with ≥ 1 new
+    * member. Candidates are (new-doc prefixes × union postings) plus
+    * (old-doc prefixes × new postings) — the existing corpus's postings
+    * never join against themselves again. Recall needs NO cross-batch
+    * order agreement at all here: the containment prefix bound is a
+    * per-A-doc pigeonhole (ANY |A| − ⌈t·|A|⌉ + 1 of A's shingles must
+    * hit a qualifying container), so the union-df rarest-first order is
+    * purely a cost choice. Both-old pairs were emitted when the later
+    * endpoint was itself new. Exact verification over candidates only.
+    */
+  def containmentPairsIncremental(existing: DataFrame, incoming: DataFrame,
+      n: Int, minContainment: Double): DataFrame = {
+    val shNew = shingleRows(incoming, n)
+    val shOld = shingleRows(existing, n)
+    val freq = shNew.unionByName(shOld)
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val pNew = dfPrefixRows(shNew, freq, minContainment)
+    val pOld = dfPrefixRows(shOld, freq, minContainment)
+    val shAll = shNew.unionByName(shOld)
+    val newInAny = pNew.as("a").join(shAll.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val oldInNew = pOld.as("a").join(shNew.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cands = newInAny.unionByName(oldInNew).dropDuplicates("id_a", "id_b")
+    verifyContainment(existing.unionByName(incoming), cands, n, minContainment)
   }
 
   /** Containment KEEP decision: drop any doc ≥ `minContainment` contained

@@ -435,6 +435,34 @@ object PipelineQueries {
         ORDER BY d.doc_id"""),
       "containment keep decision: drop excerpts of larger docs, ties to min id"),
 
+    // INCREMENTAL containment (even = corpus, odd = arriving batch): the
+    // batch delta — every ordered qualifying pair with ≥1 new member.
+    // The corpus's postings never join against themselves again; recall
+    // needs no cross-batch order agreement (the containment prefix
+    // bound is a per-doc pigeonhole, order is purely a cost choice).
+    "d21_incremental_containment" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextDedup.containmentPairsIncremental(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            n = 3, minContainment = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / ca.n) AS BIGINT) AS cont_micro
+        FROM common JOIN cnt ca ON ca.doc_id = id_a
+        WHERE CAST(c AS DOUBLE) / ca.n >= 0.8
+          AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        ORDER BY id_a, id_b"""),
+      "incremental containment: batch delta pairs, corpus postings never self-join"),
+
     // Duplication REPORT: the cluster-size histogram (how much of the
     // corpus is duplication mass, and in what shapes — many pairs vs a
     // few giant boilerplate clusters drive different curation choices).

@@ -97,6 +97,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(TextDedup.jaccardPairs(two, 3, 0.5).isEmpty)
   }
 
+  test("incremental containment pairs compose to the full ordered-pair set") {
+    val old = docs.filter($"doc_id" % 2 === 0)
+    val neu = docs.filter($"doc_id" % 2 === 1)
+    val oldPairs = TextDedup.containmentPairs(old, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val incr = TextDedup.containmentPairsIncremental(old, neu, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = TextDedup.containmentPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert((oldPairs ++ incr) == full,
+      s"missing: ${full.diff(oldPairs ++ incr)}; extra: ${(oldPairs ++ incr).diff(full)}")
+    assert(incr.nonEmpty, "no cross-batch containment — vacuous test")
+  }
+
   test("containment keep: excerpt dropped, identical twins keep min id, isolated kept") {
     val long = (1 to 120).map(i => s"w$i").mkString(" ")
     val excerpt = (40 to 55).map(i => s"w$i").mkString(" ")
