@@ -538,6 +538,41 @@ object TextDedup {
         when(col("n_containers").isNull, 1L).otherwise(0L).as("is_kept"))
   }
 
+  /** Incremental containment KEEP — the decision table maintained per
+    * batch: container counts are plain ABELIAN sums over the pair set,
+    * and the incremental pair delta partitions the full pair set exactly
+    * (≥1-new-member vs both-old), so merged counts equal a from-scratch
+    * decision — including the RETRO-FLIP of an old doc that loses its
+    * kept flag when a new, larger container arrives (the d15 retro-flag
+    * story applied to keep decisions). In deployment `prevDecisions` is
+    * the stored table; here it is recomputed for clarity.
+    */
+  def containmentKeepIncremental(existing: DataFrame, incoming: DataFrame,
+      n: Int, minContainment: Double): DataFrame = {
+    val union = existing.unionByName(incoming)
+    val sizes = shingleRows(union, n).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val prev = containmentKeep(existing, n, minContainment)
+    val delta = containmentPairsIncremental(existing, incoming, n, minContainment)
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"),
+        Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"),
+        Seq("id_b"))
+      .filter(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("id_b") < col("id_a")))
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("d_containers"))
+    val base = prev.select(col("doc_id"), col("n_containers"))
+      .unionByName(incoming.select(col("doc_id"))
+        .withColumn("n_containers", lit(0L)))
+    base.join(delta, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_containers") + coalesce(col("d_containers"), lit(0L)))
+          .as("n_containers"))
+      .withColumn("is_kept",
+        when(col("n_containers") === 0, 1L).otherwise(0L))
+  }
+
   /** Incremental exact dedup with a Bloom prefilter — the batch-arrival
     * fast path for a corpus too large to re-shuffle per batch. The
     * existing corpus is summarized ONCE into a KB-scale Bloom filter

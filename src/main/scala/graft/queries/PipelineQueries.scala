@@ -463,6 +463,37 @@ object PipelineQueries {
         ORDER BY id_a, id_b"""),
       "incremental containment: batch delta pairs, corpus postings never self-join"),
 
+    // INCREMENTAL keep decisions (even = corpus with stored decisions,
+    // odd = batch): container counts are abelian sums and the pair delta
+    // partitions the pair set exactly, so merged decisions equal the
+    // from-scratch d20 — including old docs RETRO-FLIPPED to dropped
+    // when a new, larger container arrives. Shares d20's oracle.
+    "d22_incremental_keep" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextDedup.containmentKeepIncremental(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            n = 3, minContainment = 0.8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+        drops AS (SELECT id_a AS doc_id, COUNT(*) AS n_containers
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / ca.n >= 0.8
+            AND (cb.n > ca.n OR (cb.n = ca.n AND id_b < id_a))
+          GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(dr.n_containers, 0) AS BIGINT) AS n_containers,
+          CAST(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      "incremental keep decisions: abelian container counts, retro-flips exact"),
+
     // Duplication REPORT: the cluster-size histogram (how much of the
     // corpus is duplication mass, and in what shapes — many pairs vs a
     // few giant boilerplate clusters drive different curation choices).

@@ -111,6 +111,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(incr.nonEmpty, "no cross-batch containment — vacuous test")
   }
 
+  test("incremental keep equals batch keep and retro-flips an old doc") {
+    val a = (1 to 60).map(i => s"w$i").mkString(" ")
+    val c = (1 to 100).map(i => s"w$i").mkString(" ")
+    val old = Seq((1L, a), (4L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val neu = Seq((7L, c)).toDF("doc_id", "text")
+    // before the batch, doc 1 is kept
+    val before = TextDedup.containmentKeep(old, 3, 0.8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(before(1L) == 1L)
+    // after: the new doc 7 contains doc 1 entirely and is larger —
+    // merged decisions must equal from-scratch, doc 1 retro-flipped
+    val incr = TextDedup.containmentKeepIncremental(old, neu, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = TextDedup.containmentKeep(old.unionByName(neu), 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incr == batch, s"incr-only: ${incr.diff(batch)}; batch-only: ${batch.diff(incr)}")
+    assert(incr.exists(r => r._1 == 1L && r._3 == 0L), "doc 1 not retro-flipped")
+    // and on the real corpus: incremental == batch across the even/odd split
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val realIncr = TextDedup.containmentKeepIncremental(even, odd, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val realBatch = TextDedup.containmentKeep(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(realIncr == realBatch)
+  }
+
   test("containment keep: excerpt dropped, identical twins keep min id, isolated kept") {
     val long = (1 to 120).map(i => s"w$i").mkString(" ")
     val excerpt = (40 to 55).map(i => s"w$i").mkString(" ")
