@@ -16,6 +16,9 @@ import graft.marts.Views
   *   dedup <docs> <out> [--threshold T] [--exact]  corpus near-dup removal
   *   dedup <docs> <out> --containment [--threshold T]
   *                                           drop excerpts of larger docs
+  *   dedup <docs> <out> --containment --incremental <new> [--threshold T]
+  *                                           merge a batch's containment
+  *                                           decisions into stored state
   *   dedup <docs> <out> --incremental <new> [--threshold T]
   *                                           merge a new batch's near-dups
   *                                           into an existing dedup state
@@ -51,6 +54,11 @@ object Main {
           opt(rest, "--min-n").map(_.toInt).getOrElse(10))
       case "dedup" :: docs :: out :: rest if rest.contains("--incremental") =>
         dedupIncremental(spark, docs, out,
+          opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+      case "dedup" :: docs :: out :: rest
+          if rest.contains("--containment") && rest.contains("--incremental") =>
+        dedupContainmentIncremental(spark, docs, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
       case "dedup" :: docs :: out :: rest if rest.contains("--containment") =>
@@ -416,6 +424,38 @@ object Main {
     val nKept = spark.read.parquet(s"$out/kept").count()
     println(s"[graft] dedup --containment: $nTotal docs -> $nKept kept " +
       s"(${nTotal - nKept} excerpts dropped, threshold $threshold)")
+    nKept
+  }
+
+  /** Incremental containment dedup: `<docs>` is the EXISTING corpus whose
+    * `<out>/containment` decisions a prior `dedup --containment` run
+    * wrote; `--incremental <path>` is the arriving batch. Only the pair
+    * DELTA is generated (corpus postings never self-join) and container
+    * counts merge as abelian sums — old docs retro-flip to dropped
+    * exactly when a new larger container arrives. Output layout matches
+    * the batch command over the union corpus and equals it exactly
+    * (AppAndSinksSpec proves two-batch == one-shot).
+    */
+  def dedupContainmentIncremental(spark: SparkSession, existingPath: String,
+      out: String, newPath: String, threshold: Double): Long = {
+    import graft.operators.TextDedup
+    val store = new ParquetTableStore(spark, out)
+    require(store.exists("containment"),
+      s"no $out/containment — run batch `dedup --containment` first")
+    val existing = spark.read.parquet(existingPath)
+    val incoming = spark.read.parquet(newPath)
+    val merged = TextDedup.containmentKeepIncremental(
+      store.read("containment"), existing, incoming,
+      n = 3, minContainment = threshold)
+    store.overwrite("containment", merged)
+    val kept = existing.unionByName(incoming).join(
+      store.read("containment").filter(col("is_kept") === 1L).select(col("doc_id")),
+      Seq("doc_id"))
+    store.overwrite("kept", kept)
+    val nTotal = existing.count() + incoming.count()
+    val nKept = store.read("kept").count()
+    println(s"[graft] dedup --containment --incremental: $nTotal docs -> " +
+      s"$nKept kept (threshold $threshold, delta-only pair generation)")
     nKept
   }
 

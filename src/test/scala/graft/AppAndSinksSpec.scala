@@ -46,6 +46,28 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(kept.size < docs.count(), "no excerpts dropped — vacuous test")
   }
 
+  test("CLI dedup --containment --incremental: two-batch path equals one-shot") {
+    val docsPath = s"$sfTiny/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val b0Path = Files.createTempDirectory("graft_cinc_b0").toString + "/docs"
+    val b1Path = Files.createTempDirectory("graft_cinc_b1").toString + "/docs"
+    docs.filter($"doc_id" % 2 === 0).write.parquet(b0Path)
+    docs.filter($"doc_id" % 2 === 1).write.parquet(b1Path)
+    val out = Files.createTempDirectory("graft_cinc_out").toString
+    graft.app.Main.dedupContainment(spark, b0Path, out, 0.8)
+    val nInc = graft.app.Main.dedupContainmentIncremental(spark, b0Path, out, b1Path, 0.8)
+    val outFull = Files.createTempDirectory("graft_cinc_full").toString
+    val nFull = graft.app.Main.dedupContainment(spark, docsPath, outFull, 0.8)
+    assert(nInc == nFull)
+    val inc = spark.read.parquet(s"$out/containment")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = spark.read.parquet(s"$outFull/containment")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == full,
+      s"inc-only: ${inc.diff(full).take(3)}; full-only: ${full.diff(inc).take(3)}")
+    assert(inc.exists(_._3 == 0L), "no doc dropped — vacuous test")
+  }
+
   test("CLI monitor: persisted flags equal the direct robust-anomaly operator") {
     import graft.operators.Temporal
     val out = Files.createTempDirectory("graft_monitor").toString
