@@ -155,6 +155,41 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of INCREMENTAL CONTAINMENT KEEP (d22): each arriving
+    * batch generates only its containment-pair delta against the
+    * accumulated corpus (`containmentPairsIncremental` — corpus postings
+    * never self-join) and merges container counts into the standing
+    * decision table as abelian sums — old docs retro-flip to dropped
+    * exactly when a new larger container arrives. State tables:
+    * `corpus` (docs seen, append-only) and `containment` (decisions,
+    * atomic-swap overwrite). The seen-doc anti-join makes a replayed
+    * batch a no-op throughout (counts are NOT idempotent under
+    * re-merge, so the guard is load-bearing — the spanStream pattern).
+    */
+  def containmentStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      store: graft.etl.TableStore, checkpointDir: String,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextDedup
+    val schema = spark.read.parquet(docsDir).schema // footer-only read
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b0 = batch.dropDuplicates("doc_id")
+        val existing =
+          if (store.exists("corpus")) store.read("corpus") else b0.limit(0)
+        val b = b0.join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        val prev =
+          if (store.exists("containment")) store.read("containment")
+          else TextDedup.containmentKeep(b.limit(0), n = 3, minContainment = threshold)
+        store.overwrite("containment", TextDedup.containmentKeepIncremental(
+          prev, existing, b, n = 3, minContainment = threshold))
+        store.append("corpus", b)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of INCREMENTAL SPAN DUPLICATION (d15): documents
     * arrive as parquet files; each micro-batch runs
     * `TextDedup.duplicatedSpansIncremental` against the stored

@@ -174,6 +174,39 @@ class MediaStreamingSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet == oneShot)
   }
 
+  test("containment stream: decision state tracks batch d20 across micro-batches") {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(spark, sfTiny)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cs").toString
+    val docsDir = s"$tmp/incoming"
+    val ckpt = s"$tmp/ckpt"
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/store")
+
+    even.write.mode("append").parquet(docsDir)
+    Streams.containmentStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    val afterB1 = store.read("containment")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(afterB1 == TextDedup.containmentKeep(even, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet)
+
+    odd.write.mode("append").parquet(docsDir)
+    Streams.containmentStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    val afterB2 = store.read("containment")
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = TextDedup.containmentKeep(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(afterB2 == oneShot,
+      s"stream-only: ${afterB2.diff(oneShot).take(3)}; batch-only: ${oneShot.diff(afterB2).take(3)}")
+
+    // replay with no new files: counts are not idempotent under
+    // re-merge, so this exercises the load-bearing seen-doc guard
+    Streams.containmentStream(spark, docsDir, store, ckpt).awaitTermination(120000)
+    assert(store.read("containment")
+      .as[(Long, Long, Long)].collect().toSet == oneShot)
+  }
+
   test("novelty stream: each batch scored against everything before it, replay-idempotent") {
     import graft.operators.{TextDedup, TextStats}
     val docs = Tables.documents(spark, sfTiny)
