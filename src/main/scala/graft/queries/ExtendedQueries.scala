@@ -65,6 +65,44 @@ object ExtendedQueries {
         ORDER BY c.user_id, c.event_id"""),
       "as-of join via union + running last_value — point-in-time lookup, one shuffle"),
 
+    // As-of with a STALENESS BOUND: the j5 lookup, but a match older
+    // than one hour is no match (the trades-and-quotes rule — a stale
+    // point-in-time row is worse than none). Same union + running
+    // last_value plan, one shuffle, one added guard; the oracle bounds
+    // DuckDB's ASOF the same way.
+    "j10_asof_tolerance" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val tolUs = 3600000000L
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), tsUs.as("tus"), lit(0).as("side"),
+            lit(null).cast(LongType).as("event_id"), tsUs.as("rts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), tsUs.as("tus"), lit(1).as("side"),
+            col("event_id"), lit(null).cast(LongType).as("rts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("side"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("lp", last(col("rts"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("user_id"), col("event_id"), col("tus").as("click_us"),
+            when(col("tus") - col("lp") <= tolUs, col("lp"))
+              .as("matched_purchase_us"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS click_us
+          FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_us(ts) AS purchase_us
+          FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id AS user_id, c.event_id AS event_id, c.click_us,
+          CASE WHEN c.click_us - p.purchase_us <= 3600000000
+            THEN p.purchase_us END AS matched_purchase_us
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.click_us >= p.purchase_us
+        ORDER BY c.user_id, c.event_id"""),
+      "as-of join with a one-hour staleness bound — stale matches become null"),
+
     // ───── range join via bucketing (point-in-interval) ─────
     // Every 1000th order opens a 30-day interval; count all orders whose
     // date falls inside each. A naive theta join is a nested loop (no
@@ -182,6 +220,31 @@ object ExtendedQueries {
     // order — pure integer rank selection, so the output is an actual
     // data element and hash-safe. The window partitions BY GROUP
     // (group-sized sorts, never a global single task).
+    // Exact MODE per group (most frequent value, ties to the smallest
+    // value): two integer-keyed aggregations + a WindowGroupLimit rank —
+    // deterministic on both engines, no approximation.
+    "a22_mode" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("c").desc, col("o_orderpriority"))
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+            col("c").as("n_rows"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, c AS n_rows
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+            ORDER BY c DESC, o_orderpriority) AS rk FROM c)
+        WHERE rk = 1 ORDER BY o_orderstatus"""),
+      "exact per-group mode with deterministic tie-break — no approximation"),
+
     "a21_exact_quartiles" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
