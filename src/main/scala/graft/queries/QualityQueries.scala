@@ -327,6 +327,69 @@ object QualityQueries {
     // window stays value-DOMAIN-sized (a few hundred bins) instead of
     // doc-sized — the dq3 scale contract preserved for a continuous
     // metric.
+    // Ingest-volume anomalies: daily event counts per type, flagged by
+    // the rolling 21-day median/MAD rule (w8's integer machinery over
+    // the pipeline's own A6-style count monitors — counts are already
+    // integers, so no micro scaling is even needed). One narrow count
+    // aggregation, one shuffle by type, per-row array ops; the oracle
+    // replays the frame relationally like w8's.
+    "dq5_volume_anomaly" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("ts DIV 86400000000000").as("day_idx"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+          .rowsBetween(-20, Window.currentRow)
+        daily.withColumn("vals", collect_list(col("n")).over(w))
+          .withColumn("srt", array_sort(col("vals")))
+          .withColumn("m", size(col("srt")).cast(LongType))
+          .withColumn("med2", expr(
+            "element_at(srt, CAST((m + 1) DIV 2 AS INT)) + element_at(srt, CAST(m DIV 2 + 1 AS INT))"))
+          .withColumn("devs", expr("array_sort(transform(vals, x -> abs(x * 2 - med2)))"))
+          .withColumn("mad4", expr(
+            "element_at(devs, CAST((m + 1) DIV 2 AS INT)) + element_at(devs, CAST(m DIV 2 + 1 AS INT))"))
+          .withColumn("is_anom",
+            when(col("m") >= 10 &&
+              abs(col("n") * 2 - col("med2")) * 2 > col("mad4") * 3, 1L)
+              .otherwise(0L))
+          .select(col("event_type"), col("day_idx"), col("n"),
+            col("med2").as("med2"), col("mad4").as("mad4"), col("is_anom"))
+          .orderBy(col("event_type"), col("day_idx"))
+      },
+      Some("""WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        pts AS (SELECT event_type, day_idx, n,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+          FROM daily),
+        fr AS (SELECT a.event_type, a.rn, b.n AS fv
+          FROM pts a JOIN pts b ON b.event_type = a.event_type
+            AND b.rn BETWEEN a.rn - 20 AND a.rn),
+        rk AS (SELECT event_type, rn, fv,
+            COUNT(*) OVER (PARTITION BY event_type, rn) AS m,
+            ROW_NUMBER() OVER (PARTITION BY event_type, rn ORDER BY fv) AS k
+          FROM fr),
+        md AS (SELECT event_type, rn, MAX(m) AS m,
+            CAST(SUM(fv * (CAST(k = (m+1)//2 AS INT) + CAST(k = m//2+1 AS INT))) AS BIGINT) AS med2
+          FROM rk GROUP BY 1, 2),
+        dv AS (SELECT f.event_type, f.rn, ABS(2 * f.fv - md.med2) AS dev
+          FROM fr f JOIN md ON md.event_type = f.event_type AND md.rn = f.rn),
+        dk AS (SELECT event_type, rn, dev,
+            COUNT(*) OVER (PARTITION BY event_type, rn) AS m,
+            ROW_NUMBER() OVER (PARTITION BY event_type, rn ORDER BY dev) AS k
+          FROM dv),
+        mm AS (SELECT event_type, rn,
+            CAST(SUM(dev * (CAST(k = (m+1)//2 AS INT) + CAST(k = m//2+1 AS INT))) AS BIGINT) AS mad4
+          FROM dk GROUP BY 1, 2)
+        SELECT p.event_type, p.day_idx, p.n, md.med2, mm.mad4,
+          CAST(CASE WHEN md.m >= 10 AND 2 * ABS(2 * p.n - md.med2) > 3 * mm.mad4
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+        FROM pts p JOIN md ON md.event_type = p.event_type AND md.rn = p.rn
+          JOIN mm ON mm.event_type = p.event_type AND mm.rn = p.rn
+        ORDER BY p.event_type, p.day_idx"""),
+      "daily ingest-volume anomalies per event type — robust median/MAD flags"),
+
     "dq4_quality_drift" -> Q(
       (s, d) => {
         val lm = TextQuality.lmScore(Tables.documents(s, d))
