@@ -113,10 +113,11 @@ object Bench {
         System.err.println(s"[bench] could not write $out: ${e.getMessage}")
       }
     } else System.err.println(s"[bench] partial run (${only.size} queries): not writing $out")
-    // LAST stdout line: a compact summary WITHOUT the shuffle/spill maps,
-    // so the driver's bounded tail capture always ends with a parseable
-    // JSON line even as the full artifact grows.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact":"$out"}""")
+    // LAST stdout line: a genuinely compact summary — no per-query map
+    // (the full map lives in the artifact and in the first stdout line),
+    // so the driver's bounded tail capture always ends with a short
+    // parseable JSON line no matter how many queries the registry grows.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","artifact":"$out"}""")
     spark.stop()
   }
 }

@@ -22,6 +22,9 @@ import graft.marts.Views
   *   dedup <docs> <out> --incremental <new> [--threshold T]
   *                                           merge a new batch's near-dups
   *                                           into an existing dedup state
+  *   dedup <docs> <out> --spans [--scrub] [--n N]
+  *                                           duplicated-span report (and
+  *                                           scrubbed corpus rebuild)
   *   index build <emb> <out> [--ivfpq]       train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
   *   index query <queries> <idx> <res> [--k K]  top-k from the stored index
@@ -36,7 +39,15 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
-    try args.toList match {
+    try route(spark, args.toList) finally spark.stop()
+  }
+
+  /** Argument dispatch, separated from session lifecycle so the routing
+    * itself is testable (AppAndSinksSpec drives the real CLI surface
+    * without tearing down the shared session).
+    */
+  def route(spark: SparkSession, args: List[String]): Unit =
+    args match {
       case "run" :: root :: rest => runElt(spark, root, opt(rest, "--source"), rest.contains("--test"))
       case "load" :: root :: csv :: rest => load(spark, root, csv, opt(rest, "--source").getOrElse("csv"))
       case "check" :: root :: Nil => check(spark, root)
@@ -52,18 +63,25 @@ object Main {
         monitor(spark, events, out,
           opt(rest, "--window").map(_.toInt).getOrElse(21),
           opt(rest, "--min-n").map(_.toInt).getOrElse(10))
-      case "dedup" :: docs :: out :: rest if rest.contains("--incremental") =>
-        dedupIncremental(spark, docs, out,
-          opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
-          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+      // ordered matching: the combined --containment --incremental case
+      // MUST precede the plain --incremental case or it is unreachable
+      // (Scala dispatches to the first matching case).
       case "dedup" :: docs :: out :: rest
           if rest.contains("--containment") && rest.contains("--incremental") =>
         dedupContainmentIncremental(spark, docs, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+      case "dedup" :: docs :: out :: rest if rest.contains("--incremental") =>
+        dedupIncremental(spark, docs, out,
+          opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
       case "dedup" :: docs :: out :: rest if rest.contains("--containment") =>
         dedupContainment(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+      case "dedup" :: docs :: out :: rest if rest.contains("--spans") =>
+        dedupSpans(spark, docs, out,
+          opt(rest, "--n").map(_.toInt).getOrElse(8),
+          rest.contains("--scrub"))
       case "dedup" :: docs :: out :: rest =>
         dedup(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
@@ -97,8 +115,7 @@ object Main {
             .split(",").toSeq,
           opt(rest, "--k").map(_.toInt).getOrElse(10))
       case other => sys.error(s"usage: run|load|check|analyze|dedup|semdedup|index|quality|search ... (got $other)")
-    } finally spark.stop()
-  }
+    }
 
   private def opt(rest: List[String], flag: String): Option[String] =
     rest.dropWhile(_ != flag).drop(1).headOption
@@ -318,22 +335,48 @@ object Main {
   def dedup(spark: SparkSession, docsPath: String, out: String,
       threshold: Double, exact: Boolean): Long = {
     import graft.operators.TextDedup
+    val store = new ParquetTableStore(spark, out)
     val docs = spark.read.parquet(docsPath)
     val pairs =
       if (exact) TextDedup.jaccardPairs(docs, n = 3, minJaccard = threshold)
       else TextDedup.prefixFilterPairs(docs, n = 3, minJaccard = threshold)
-    val clusters = TextDedup.connectedComponents(pairs)
-    clusters.write.mode("overwrite").parquet(s"$out/clusters")
+    // clusters + kept publish as ONE journaled group commit: a crash
+    // can't leave fresh clusters beside a stale kept corpus
+    val clusters = store.stage("clusters", TextDedup.connectedComponents(pairs))
     val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    val kept = docs.join(drop, Seq("doc_id"), "left_anti")
-    kept.write.mode("overwrite").parquet(s"$out/kept")
+    store.stage("kept", docs.join(drop, Seq("doc_id"), "left_anti"))
+    store.commitStaged(Seq("clusters", "kept"))
     val nTotal = docs.count()
-    val nKept = spark.read.parquet(s"$out/kept").count()
+    val nKept = store.read("kept").count()
     println(s"[graft] dedup: $nTotal docs -> $nKept kept " +
       s"(${nTotal - nKept} near-dups dropped, threshold $threshold, " +
       s"${if (exact) "exact" else "prefix-filter"} pair path)")
     nKept
+  }
+
+  /** Span-level dedup as a product surface (d14/d16's CLI): write the
+    * per-doc duplicated-span report (`<out>/spans` — dup_permille over
+    * position-level n-token windows) and, with `--scrub`, the rebuilt
+    * corpus with every corpus-duplicated window's tokens stripped
+    * (`<out>/scrubbed` — n_kept + md5 of the clean text). Both tables
+    * publish in one journaled group commit. Returns the report row count.
+    */
+  def dedupSpans(spark: SparkSession, docsPath: String, out: String,
+      n: Int, scrub: Boolean): Long = {
+    import graft.operators.TextDedup
+    val store = new ParquetTableStore(spark, out)
+    val docs = spark.read.parquet(docsPath)
+    store.stage("spans", TextDedup.duplicatedSpans(docs, n))
+    if (scrub) {
+      store.stage("scrubbed", TextDedup.scrubDuplicatedSpans(docs, n))
+      store.commitStaged(Seq("spans", "scrubbed"))
+    } else store.commitStaged(Seq("spans"))
+    val nDocs = store.read("spans").count()
+    val nDup = store.read("spans").filter(col("dup_permille") > 0).count()
+    println(s"[graft] dedup --spans: $nDocs docs reported, $nDup carry " +
+      s"duplicated $n-token windows${if (scrub) ", scrubbed corpus written" else ""}")
+    nDocs
   }
 
   /** Robust anomaly monitoring as a product command: per-user rolling
@@ -413,15 +456,15 @@ object Main {
       threshold: Double): Long = {
     import graft.operators.TextDedup
     val docs = spark.read.parquet(docsPath)
-    val decision = TextDedup.containmentKeep(docs, n = 3, minContainment = threshold)
-    decision.write.mode("overwrite").parquet(s"$out/containment")
-    val kept = docs.join(
-      spark.read.parquet(s"$out/containment")
-        .filter(col("is_kept") === 1L).select(col("doc_id")),
-      Seq("doc_id"))
-    kept.write.mode("overwrite").parquet(s"$out/kept")
+    val store = new ParquetTableStore(spark, out)
+    val decision = store.stage("containment",
+      TextDedup.containmentKeep(docs, n = 3, minContainment = threshold))
+    store.stage("kept", docs.join(
+      decision.filter(col("is_kept") === 1L).select(col("doc_id")),
+      Seq("doc_id")))
+    store.commitStaged(Seq("containment", "kept"))
     val nTotal = docs.count()
-    val nKept = spark.read.parquet(s"$out/kept").count()
+    val nKept = store.read("kept").count()
     println(s"[graft] dedup --containment: $nTotal docs -> $nKept kept " +
       s"(${nTotal - nKept} excerpts dropped, threshold $threshold)")
     nKept
@@ -444,14 +487,16 @@ object Main {
       s"no $out/containment — run batch `dedup --containment` first")
     val existing = spark.read.parquet(existingPath)
     val incoming = spark.read.parquet(newPath)
-    val merged = TextDedup.containmentKeepIncremental(
+    // stage both tables, publish as ONE journaled group commit — a crash
+    // between the two writes can no longer leave a torn containment/kept
+    // pair (ParquetTableStore.recover rolls the group forward on reopen)
+    val merged = store.stage("containment", TextDedup.containmentKeepIncremental(
       store.read("containment"), existing, incoming,
-      n = 3, minContainment = threshold)
-    store.overwrite("containment", merged)
-    val kept = existing.unionByName(incoming).join(
-      store.read("containment").filter(col("is_kept") === 1L).select(col("doc_id")),
-      Seq("doc_id"))
-    store.overwrite("kept", kept)
+      n = 3, minContainment = threshold))
+    store.stage("kept", existing.unionByName(incoming).join(
+      merged.filter(col("is_kept") === 1L).select(col("doc_id")),
+      Seq("doc_id")))
+    store.commitStaged(Seq("containment", "kept"))
     val nTotal = existing.count() + incoming.count()
     val nKept = store.read("kept").count()
     println(s"[graft] dedup --containment --incremental: $nTotal docs -> " +
@@ -482,13 +527,14 @@ object Main {
     val prev = store.read("clusters")
     val delta = TextDedup.prefixFilterPairsIncremental(
       existing, incoming, n = 3, minJaccard = threshold)
-    val clusters = TextDedup.ccIncremental(prev, delta)
-    store.overwrite("clusters", clusters)
-    val merged = store.read("clusters")
+    // clusters + kept publish as ONE journaled group commit (see
+    // dedupContainmentIncremental) — no torn pair across a crash
+    val merged = store.stage("clusters", TextDedup.ccIncremental(prev, delta))
     val drop = merged.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    val kept = existing.unionByName(incoming).join(drop, Seq("doc_id"), "left_anti")
-    store.overwrite("kept", kept)
+    store.stage("kept",
+      existing.unionByName(incoming).join(drop, Seq("doc_id"), "left_anti"))
+    store.commitStaged(Seq("clusters", "kept"))
     val nTotal = existing.count() + incoming.count()
     val nKept = store.read("kept").count()
     println(s"[graft] dedup --incremental: $nTotal docs -> $nKept kept " +
@@ -509,11 +555,14 @@ object Main {
     val store = new ParquetTableStore(spark, out)
     val emb = spark.read.parquet(embPath)
     val cents = Similarity.labelCentroids(emb)
-    store.overwrite("centroids",
+    // centroids + clusters + kept publish as ONE journaled group commit:
+    // the frozen quantizer and the labels it produced can never tear
+    store.stage("centroids",
       cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cent"))
-    store.overwrite("clusters", Similarity.semanticDedup(emb, threshold))
-    val drop = store.read("clusters").filter(col("kept") === 0L).select(col("vec_id"))
-    store.overwrite("kept", emb.join(drop, Seq("vec_id"), "left_anti"))
+    val clusters = store.stage("clusters", Similarity.semanticDedup(emb, threshold))
+    val drop = clusters.filter(col("kept") === 0L).select(col("vec_id"))
+    store.stage("kept", emb.join(drop, Seq("vec_id"), "left_anti"))
+    store.commitStaged(Seq("centroids", "clusters", "kept"))
     val nTotal = emb.count(); val nKept = store.read("kept").count()
     println(s"[graft] semdedup: $nTotal vectors -> $nKept kept " +
       s"(${nTotal - nKept} semantic dups dropped, threshold $threshold)")
@@ -539,12 +588,13 @@ object Main {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
     val prev = store.read("clusters")
       .select(col("vec_id").as("doc_id"), col("cluster_id"))
-    val clusters = Similarity.semanticDedupMerge(
-      cents, prev, existing, incoming, threshold)
-    store.overwrite("clusters", clusters)
-    val drop = store.read("clusters").filter(col("kept") === 0L).select(col("vec_id"))
-    store.overwrite("kept",
+    val clusters = store.stage("clusters", Similarity.semanticDedupMerge(
+      cents, prev, existing, incoming, threshold))
+    val drop = clusters.filter(col("kept") === 0L).select(col("vec_id"))
+    store.stage("kept",
       existing.unionByName(incoming).join(drop, Seq("vec_id"), "left_anti"))
+    // one journaled group commit — no torn clusters/kept pair
+    store.commitStaged(Seq("clusters", "kept"))
     val nTotal = existing.count() + incoming.count()
     val nKept = store.read("kept").count()
     println(s"[graft] semdedup --incremental: $nTotal vectors -> $nKept kept " +

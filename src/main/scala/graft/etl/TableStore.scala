@@ -13,10 +13,26 @@ trait TableStore {
   def read(name: String): DataFrame
   def overwrite(name: String, df: DataFrame): Unit
   def append(name: String, df: DataFrame): Unit
+
+  /** Stage a table for a group commit (`commitStaged`), returning a
+    * DataFrame over the staged data so later staged tables can derive
+    * from it without recomputation. Default buffers in memory and
+    * commits as per-table overwrites (each atomic, the GROUP not);
+    * ParquetTableStore overrides with a journaled roll-forward that
+    * makes the whole group crash-atomic.
+    */
+  private val stagedBuf = scala.collection.mutable.Map.empty[String, DataFrame]
+  def stage(name: String, df: DataFrame): DataFrame = { stagedBuf(name) = df; df }
+  def commitStaged(names: Seq[String]): Unit = names.foreach { n =>
+    overwrite(n, stagedBuf.remove(n).getOrElse(sys.error(s"$n was not staged")))
+  }
 }
 
 final class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
   private def path(name: String) = s"$root/$name"
+
+  // finish any group commit a crash interrupted before this store opened
+  recover()
 
   override def exists(name: String): Boolean =
     Files.exists(Paths.get(path(name)))
@@ -29,15 +45,69 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
     * would use an ACID table format instead).
     */
   override def overwrite(name: String, df: DataFrame): Unit = {
-    val tmp = path(name + "__tmp")
+    df.write.mode(SaveMode.Overwrite).parquet(path(name + "__tmp"))
+    completeSwap(name)
+  }
+
+  /** Stage a table for a group commit: write the data into the table's
+    * tmp dir WITHOUT publishing it, and return a DataFrame over the
+    * staged files — later staged tables can derive from this one (the
+    * clusters → kept dependency) while the published table is untouched.
+    */
+  override def stage(name: String, df: DataFrame): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).parquet(path(name + "__tmp"))
+    spark.read.parquet(path(name + "__tmp"))
+  }
+
+  /** Publish a set of staged tables as ONE crash-safe group commit.
+    * Each individual swap is atomic; the journal written BEFORE the first
+    * swap makes the GROUP atomic under crash-recovery: a reopened store
+    * (`recover`, run at construction) rolls every listed swap forward, so
+    * readers never observe a torn subset — e.g. new `clusters` beside old
+    * `kept` (the pair the incremental dedup CLIs commit together).
+    */
+  override def commitStaged(names: Seq[String]): Unit = {
+    recover() // a stale journal would fail the CREATE_NEW claim below
+    names.foreach { n =>
+      require(Files.exists(Paths.get(path(n + "__tmp"))), s"$n was not staged")
+    }
+    Files.write(journal, names.mkString("\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    names.foreach(completeSwap)
+    Files.delete(journal)
+  }
+
+  private def journal = Paths.get(root, "_graft_commit_journal")
+
+  /** Roll forward a group commit interrupted mid-swap: the journal lists
+    * the tables whose staged data must finish swapping in. Idempotent —
+    * `completeSwap` resumes a partially swapped table from any of its
+    * crash states. Runs at construction so a reopened store always sees
+    * either the complete old group or the complete new group.
+    */
+  def recover(): Unit =
+    if (Files.exists(journal)) {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(journal).asScala.filter(_.nonEmpty).foreach(completeSwap)
+      Files.delete(journal)
+    }
+
+  /** Finish (or resume) one table's tmp → live swap; safe from any crash
+    * point: tmp present + live present → full swap; tmp present + live
+    * missing (crashed between moves) → promote tmp; tmp absent → only
+    * clear the leftover old dir.
+    */
+  private def completeSwap(name: String): Unit = {
+    val tmp = Paths.get(path(name + "__tmp"))
     val dst = Paths.get(path(name))
     val old = Paths.get(path(name + "__old"))
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    if (Files.exists(dst)) {
-      deleteRecursive(old)
-      Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(tmp)) {
+      if (Files.exists(dst)) {
+        deleteRecursive(old)
+        Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     }
-    Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursive(old)
     // drop the session's cached file listing for this path — it still
     // points at the pre-swap part files (metadataCacheTTL is infinite)

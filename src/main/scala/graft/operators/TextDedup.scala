@@ -76,11 +76,21 @@ object TextDedup {
     *
     * Scale: each round is one join + one agg, both shuffling on the node
     * id — never materializes paths or the transitive closure. Convergence
-    * is a LIMIT-1 probe on the changed set, not a full count. The
-    * large-star/small-star variant (fewer rounds on adversarially deep
-    * graphs) slots into the same loop if diameters ever grow.
+    * rides the round's own job via observe().
+    *
+    * Deep-graph fallback: min-label needs O(diameter) rounds, so a graph
+    * that hasn't converged after `starAfter` rounds (adversarial chains —
+    * boilerplate docs each near-dup to the next) switches strategy: the
+    * current labels form a valid contraction (every label is the min of a
+    * connected subset containing it — the ccIncremental argument), so the
+    * remaining work runs `connectedComponentsStar` (O(log² n) rounds on
+    * ANY graph) over the label-contracted edge set and composes the
+    * result back. Exact on every graph, and the common shallow case never
+    * pays the star machinery (CcSpec pins parity on chains + random
+    * graphs; d7/d10/d13 stay hash-green because they converge early).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      starAfter: Int = 8): DataFrame = {
     // localCheckpoint each round: labels_i feeds BOTH the neighborhood min
     // and the merge, so without lineage truncation the plan doubles per
     // iteration (exponential — OOMs the driver around round 10). Eager
@@ -96,7 +106,7 @@ object TextDedup {
       .localCheckpoint(true)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < math.min(starAfter, maxIter)) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("nl")), Seq("v"))
         .groupBy(col("u").as("id"))
@@ -117,7 +127,21 @@ object TextDedup {
       labels = updated
       i += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged) {
+      // diameter exceeded the round budget: contract by the current
+      // labels (connectivity-preserving; supernode ids are candidate
+      // minima and the true component min m always survives — label(m)
+      // can never drop below m) and finish with the star variant
+      val lu = labels.select(col("id").as("u"), col("label").as("lu"))
+      val lv = labels.select(col("id").as("v"), col("label").as("lv"))
+      val contracted = edges.join(lu, Seq("u")).join(lv, Seq("v"))
+        .select(col("lu").as("id_a"), col("lv").as("id_b"))
+        .filter(col("id_a") =!= col("id_b")).distinct()
+      val star = connectedComponentsStar(contracted)
+      labels.join(star.withColumnRenamed("doc_id", "label"), Seq("label"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("cluster_id"), col("label")).as("cluster_id"))
+    } else labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Incremental connected components for a GROWING corpus — the cluster

@@ -316,11 +316,25 @@ object TextQuality {
     *
     * Output: (source, ks_micro).
     */
-  def ksDrift(docs: DataFrame, valueCol: String = "n_chars"): DataFrame = {
+  def ksDrift(docs: DataFrame, valueCol: String = "n_chars",
+      domainCap: Int = 100000): DataFrame = {
     val cnt = docs.groupBy(col("source"), col(valueCol).as("x"))
       .agg(count(lit(1)).as("c"))
     val nS = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val corpus = cnt.groupBy(col("x")).agg(sum(col("c")).as("c_all"))
+    // `wAll` below is an UNPARTITIONED window — safe by design because it
+    // runs over the distinct VALUE DOMAIN of the metric (corpus rows =
+    // distinct x values, a few hundred for doc lengths), never over data
+    // rows. Enforce that contract: fail fast if the domain outgrows the
+    // cap instead of silently funneling it through one window partition
+    // (at which point the caller should bin the metric first, as
+    // qualityDrift does with centi-nat binning). The probe scans at most
+    // cap+1 rows of the aggregated domain table.
+    val domainN = corpus.limit(domainCap + 1).count()
+    require(domainN <= domainCap,
+      s"ksDrift: $valueCol has >$domainCap distinct values — bin the metric " +
+        "before the CDF (the unpartitioned cumulative window is only " +
+        "domain-bounded, not data-bounded)")
     val wAll = Window.orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val corpusCum = corpus

@@ -53,6 +53,34 @@ object VectorIndexStore {
     PqIndex.pqTopKIndexed(queries, spark.read.parquet(p(path, "codes")),
       readCodebooks(spark, p(path, "codebooks")), k, refine)
 
+  // ───── IVF (coarse cells over stored full vectors) ─────
+
+  /** Train the coarse quantizer, assign cells, persist centroids + the
+    * (neighbor_id, nv, cell) index rows. Same add-after-train shape as
+    * PQ/IVFPQ: training happens once per corpus, not per query.
+    */
+  def writeIvf(path: String, corpus: DataFrame, kClusters: Int = 16): Unit = {
+    val centroids = IvfIndex.fit(corpus, kClusters)
+    writeCentroids(corpus.sparkSession, p(path, "centroids"), centroids)
+    IvfIndex.buildIndex(corpus, centroids)
+      .write.mode("overwrite").parquet(p(path, "codes"))
+    touch(path)
+  }
+
+  /** Assign a new batch with the STORED (frozen) centroids and append —
+    * incremental build == batch build because `buildIndex` is a pure
+    * per-row projection given fixed centroids.
+    */
+  def appendIvf(spark: SparkSession, path: String, batch: DataFrame): Unit =
+    IvfIndex.buildIndex(batch, readCentroids(spark, p(path, "centroids")))
+      .write.mode("append").parquet(p(path, "codes"))
+
+  /** Top-k from the stored IVF index — no training on the query path. */
+  def ivfTopK(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4): DataFrame =
+    IvfIndex.ivfTopKIndexed(queries, spark.read.parquet(p(path, "codes")),
+      readCentroids(spark, p(path, "centroids")), k, nprobe)
+
   // ───── IVFPQ (coarse cells × residual codes) ─────
 
   /** Train coarse quantizer + residual codebooks, encode, persist all
@@ -139,6 +167,13 @@ object VectorIndexStore {
   def ensurePq(corpusDir: String, corpus: DataFrame): String = {
     val path = s"$cacheRoot/pq_${cacheKey(corpusDir)}"
     ensureLock.synchronized { if (!exists(path)) writePq(path, corpus) }
+    path
+  }
+
+  /** Stored-IVF path for a corpus dir, building it on first use. */
+  def ensureIvf(corpusDir: String, corpus: DataFrame): String = {
+    val path = s"$cacheRoot/ivf_${cacheKey(corpusDir)}"
+    ensureLock.synchronized { if (!exists(path)) writeIvf(path, corpus) }
     path
   }
 

@@ -146,9 +146,12 @@ object Streams {
           existing, b, n = 3, minJaccard = threshold)
         // overwrite materializes the merged labels (reading prev's files)
         // BEFORE the swap; the corpus append comes after, so a replayed
-        // batch sees merged labels + pre-append corpus — idempotent
+        // batch sees merged labels + pre-append corpus — idempotent.
+        // The append itself skips docs already in corpus, so a replay
+        // that crashed after the append can't duplicate corpus rows.
         store.overwrite("clusters", TextDedup.ccIncremental(prev, delta))
-        store.append("corpus", b)
+        store.append("corpus",
+          b.join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -162,9 +165,18 @@ object Streams {
     * decision table as abelian sums — old docs retro-flip to dropped
     * exactly when a new larger container arrives. State tables:
     * `corpus` (docs seen, append-only) and `containment` (decisions,
-    * atomic-swap overwrite). The seen-doc anti-join makes a replayed
-    * batch a no-op throughout (counts are NOT idempotent under
-    * re-merge, so the guard is load-bearing — the spanStream pattern).
+    * atomic-swap overwrite).
+    *
+    * Crash-safe EXACTLY-ONCE merge (counts are NOT idempotent under
+    * re-merge, so the guards are load-bearing): a doc is "committed"
+    * iff it has a row in the `containment` decision table, and the
+    * commit order guarantees corpus ⊇ committed docs. So the merge
+    * view of the existing corpus is corpus ∩ decisions (a crashed
+    * attempt's premature corpus rows drop out), the batch delta is
+    * batch ∖ decisions (a fully-committed replay shrinks to empty),
+    * the corpus append skips rows already there (idempotent), and the
+    * decision swap commits LAST — whatever the crash point, the replay
+    * re-merges exactly the uncommitted delta, never twice, never zero.
     */
   def containmentStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
       store: graft.etl.TableStore, checkpointDir: String,
@@ -175,15 +187,25 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b0 = batch.dropDuplicates("doc_id")
-        val existing =
+        val corpusAll =
           if (store.exists("corpus")) store.read("corpus") else b0.limit(0)
-        val b = b0.join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
         val prev =
           if (store.exists("containment")) store.read("containment")
-          else TextDedup.containmentKeep(b.limit(0), n = 3, minContainment = threshold)
-        store.overwrite("containment", TextDedup.containmentKeepIncremental(
+          else TextDedup.containmentKeep(b0.limit(0), n = 3, minContainment = threshold)
+        // committed view of the corpus: rows with a decision. A crash
+        // after the corpus append but before the decision swap leaves
+        // undecided corpus rows — they are re-merged as delta, not seen
+        // as existing.
+        val existing = corpusAll.join(prev.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val b = b0.join(prev.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        // stage (materializes from pre-append corpus files), then append
+        // the delta idempotently, then publish the decisions — commit
+        // point is the decision swap, always last
+        store.stage("containment", TextDedup.containmentKeepIncremental(
           prev, existing, b, n = 3, minContainment = threshold))
-        store.append("corpus", b)
+        store.append("corpus",
+          b.join(corpusAll.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+        store.commitStaged(Seq("containment"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -199,13 +221,15 @@ object Streams {
     * `span_postings` (doc, g, k — append-only), `span_freq` (g, cnt),
     * `span_stats` (the served per-doc table).
     *
-    * Replays are idempotent: the batch anti-joins `span_corpus` first,
-    * so a re-delivered batch shrinks to empty and every state update is
-    * a no-op. The freq merge is an abelian sum — a merge-on-read store
-    * would upsert only the batch's grams; ParquetTableStore materializes
-    * the merged table before its atomic swap, which rewrites the gram
-    * table per batch (the price of a copy-on-write store, not of the
-    * algorithm).
+    * Crash-safe: all four state tables publish as ONE journaled group
+    * commit (`commitStaged`), so the seen-doc anti-join against
+    * `span_corpus` is an exact replay guard — a crash can never leave
+    * stats swapped but frequencies unabsorbed (or postings without
+    * their corpus marker); a re-delivered batch shrinks to empty and
+    * the rewrite is byte-identical. Postings/corpus become per-batch
+    * copy-on-write rewrites — the price of group atomicity on a
+    * swap-based store, not of the algorithm (a merge-on-read store
+    * would append under the same manifest commit).
     */
   def spanStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
       store: graft.etl.TableStore, checkpointDir: String,
@@ -216,9 +240,9 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b0 = batch.dropDuplicates("doc_id")
-        val b = if (store.exists("span_corpus"))
-          b0.join(store.read("span_corpus"), Seq("doc_id"), "left_anti")
-        else b0
+        val seen = if (store.exists("span_corpus")) store.read("span_corpus")
+          else b0.select(col("doc_id")).limit(0)
+        val b = b0.join(seen, Seq("doc_id"), "left_anti")
         val empty = b.limit(0)
         val prevPostings =
           if (store.exists("span_postings")) store.read("span_postings")
@@ -236,13 +260,14 @@ object Streams {
         val mergedFreq = prevFreq.unionByName(
             batchPostings.groupBy(col("g")).agg(sum(col("k")).as("cnt")))
           .groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
-        // served tables swap first (each overwrite materializes from the
-        // OLD files before its atomic swap); the state feeds append after —
-        // the anti-join above makes a replayed batch a no-op throughout
-        store.overwrite("span_stats", stats)
-        store.overwrite("span_freq", mergedFreq)
-        store.append("span_postings", batchPostings)
-        store.append("span_corpus", b.select(col("doc_id")))
+        // every table stages from the OLD files, then the whole group
+        // publishes in one journaled commit — no crash point can tear
+        // stats/freq/postings/corpus apart
+        store.stage("span_stats", stats)
+        store.stage("span_freq", mergedFreq)
+        store.stage("span_postings", prevPostings.unionByName(batchPostings))
+        store.stage("span_corpus", seen.unionByName(b.select(col("doc_id"))))
+        store.commitStaged(Seq("span_stats", "span_freq", "span_postings", "span_corpus"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -317,9 +342,18 @@ object Streams {
     * novelty is measured against everything that arrived before it,
     * exactly the sequential `noveltyScoresFrozen` semantics
     * (MediaStreamingSpec proves two streamed batches == two sequential
-    * frozen-batch calls over a growing corpus). Replayed batches are
-    * no-ops: the seen-doc anti-join guards both the score append AND the
-    * frequency bump (both derive from the surviving rows).
+    * frozen-batch calls over a growing corpus).
+    *
+    * Crash-safe: scores and frequencies publish as ONE journaled group
+    * commit (`commitStaged`), so "scored" ⟺ "absorbed into
+    * shingle_freq" at every observable point — a crash can no longer
+    * leave a batch scored but never absorbed (which would permanently
+    * undercount the stored frequencies and inflate every later batch's
+    * novelty). The seen-doc anti-join is then an exact replay guard.
+    * The score table becomes a per-batch copy-on-write rewrite — the
+    * price of group atomicity on a swap-based store, not of the
+    * algorithm (a merge-on-read store would append under the same
+    * manifest commit).
     */
   def noveltyStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
       store: graft.etl.TableStore, checkpointDir: String,
@@ -332,17 +366,21 @@ object Streams {
         val ss = batch.sparkSession
         import ss.implicits._
         val b0 = batch.dropDuplicates("doc_id")
-        val b = if (store.exists("novelty_scores"))
-          b0.join(store.read("novelty_scores"), Seq("doc_id"), "left_anti")
-        else b0
+        val emptyFreq = Seq.empty[(String, Long)].toDF("s", "df")
+        val prevScores = if (store.exists("novelty_scores"))
+          store.read("novelty_scores")
+        else TextStats.noveltyAgainstFreq(b0.limit(0), emptyFreq, n)
+        val b = b0.join(prevScores.select(col("doc_id")), Seq("doc_id"), "left_anti")
         val freq = if (store.exists("shingle_freq")) store.read("shingle_freq")
-          else Seq.empty[(String, Long)].toDF("s", "df")
-        store.append("novelty_scores", TextStats.noveltyAgainstFreq(b, freq, n))
+          else emptyFreq
         val bFreq = TextDedup.shingleRows(b, n)
           .groupBy(col("s")).agg(count(lit(1)).as("df"))
-        store.overwrite("shingle_freq",
+        store.stage("novelty_scores",
+          prevScores.unionByName(TextStats.noveltyAgainstFreq(b, freq, n)))
+        store.stage("shingle_freq",
           freq.unionByName(bFreq).groupBy(col("s"))
             .agg(sum(col("df")).as("df")))
+        store.commitStaged(Seq("novelty_scores", "shingle_freq"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

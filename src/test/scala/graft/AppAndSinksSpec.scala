@@ -554,6 +554,119 @@ class AppAndSinksSpec extends SparkTestBase {
       s"approx $approx vs exact $exactOrders")
   }
 
+  test("group commit: a crash between the pair's swaps rolls forward on reopen") {
+    import graft.etl.ParquetTableStore
+    import java.nio.file.{Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("graft_groupcommit").toString
+    val store = new ParquetTableStore(spark, root)
+    store.overwrite("clusters", Seq((1L, 1L)).toDF("doc_id", "cluster_id"))
+    store.overwrite("kept", Seq((1L, "old")).toDF("doc_id", "text"))
+    // stage the new pair, then simulate a crash that journaled the group
+    // and completed only the FIRST swap — the torn state the round-6
+    // verdict flagged (fresh clusters beside stale kept)
+    store.stage("clusters", Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id"))
+    store.stage("kept", Seq((1L, "new")).toDF("doc_id", "text"))
+    Files.write(Paths.get(root, "_graft_commit_journal"),
+      "clusters\nkept".getBytes("UTF-8"))
+    Files.move(Paths.get(root, "clusters"), Paths.get(root, "clusters__old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(root, "clusters__tmp"), Paths.get(root, "clusters"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // reopening the store recovers: BOTH tables land on the new version
+    val reopened = new ParquetTableStore(spark, root)
+    assert(reopened.read("clusters").count() == 2)
+    assert(reopened.read("kept").as[(Long, String)].collect().toSeq == Seq((1L, "new")),
+      "kept did not roll forward with its clusters")
+    assert(!Files.exists(Paths.get(root, "_graft_commit_journal")))
+    // a clean commitStaged publishes the whole group too
+    store.stage("clusters", Seq((3L, 3L)).toDF("doc_id", "cluster_id"))
+    store.stage("kept", Seq((3L, "v3")).toDF("doc_id", "text"))
+    store.commitStaged(Seq("clusters", "kept"))
+    assert(reopened.read("clusters").as[(Long, Long)].collect().toSeq == Seq((3L, 3L)))
+    assert(reopened.read("kept").as[(Long, String)].collect().toSeq == Seq((3L, "v3")))
+  }
+
+  test("CLI route: --containment --incremental dispatches to the containment merge") {
+    import graft.operators.TextDedup
+    // regression for the ordered-matching bug: the plain --incremental
+    // case used to shadow the combined case, silently running the WRONG
+    // algorithm (Jaccard dedupIncremental) for this advertised flag pair.
+    // Driving Main.route end-to-end pins the dispatch itself.
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val tmp = Files.createTempDirectory("graft_route").toString
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$tmp/b0")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$tmp/b1")
+    val out = s"$tmp/out"
+    graft.app.Main.route(spark, List("dedup", s"$tmp/b0", out, "--containment"))
+    graft.app.Main.route(spark,
+      List("dedup", s"$tmp/b0", out, "--containment", "--incremental", s"$tmp/b1"))
+    val got = spark.read.parquet(s"$out/containment")
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = TextDedup.containmentKeep(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == oneShot, "combined flags did not run the containment merge")
+    // the Jaccard path would have required (and written) $out/clusters
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/clusters")))
+  }
+
+  test("CLI dedup --spans --scrub: report and scrub equal the direct operators") {
+    import graft.operators.TextDedup
+    val docsPath = s"$sfTiny/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val out = Files.createTempDirectory("graft_spans").toString
+    graft.app.Main.route(spark,
+      List("dedup", docsPath, out, "--spans", "--scrub", "--n", "8"))
+    val report = spark.read.parquet(s"$out/spans")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val directReport = TextDedup.duplicatedSpans(docs, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(report == directReport, "CLI span report drifted from d14")
+    assert(report.exists(_._4 > 0), "no duplicated spans on the planted corpus — vacuous")
+    // scrub output byte-exact: md5 of every rebuilt text matches
+    val scrub = spark.read.parquet(s"$out/scrubbed")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val directScrub = TextDedup.scrubDuplicatedSpans(docs, 8)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(scrub == directScrub, "CLI scrub drifted from d16")
+  }
+
+  test("sketch error gates at sf0.01: HLL distinct and quantile sketch vs exact") {
+    // the a7/a13 twin of the ANN recall gates: a silent sketch-parameter
+    // regression (rsd, accuracy) must trip a pinned numeric bound, not
+    // pass as rows-only. Inputs and sketches are deterministic per
+    // corpus, so these are regression gates, not statistical hopes.
+    val d = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, d)
+    val a7 = SparkEntry.registry("a7_approx_distinct").fn(spark, d).head()
+    val exactOrders = li.select($"l_orderkey").distinct().count()
+    val exactParts = li.select($"l_partkey").distinct().count()
+    def relErr(approx: Long, exact: Long) =
+      math.abs(approx - exact).toDouble / exact
+    // rsd 2% → 3σ gate at 6%
+    assert(relErr(a7.getAs[Long]("approx_orders"), exactOrders) <= 0.06,
+      s"a7 orders sketch drifted: ${a7.getAs[Long]("approx_orders")} vs $exactOrders")
+    assert(relErr(a7.getAs[Long]("approx_parts"), exactParts) <= 0.06,
+      s"a7 parts sketch drifted: ${a7.getAs[Long]("approx_parts")} vs $exactParts")
+    // a13's approx_percentile(accuracy=1000) vs a21's exact rank walk:
+    // rank error ≤ n/1000 translates to a tight value band on l_quantity
+    // (integer 1..50 domain) — gate at 5% relative
+    def num(r: org.apache.spark.sql.Row, i: Int): Double =
+      r.get(i) match { case n: java.lang.Number => n.doubleValue }
+    val approxQ = SparkEntry.registry("a13_approx_percentile").fn(spark, d)
+      .collect().map(r => r.getString(0) -> (num(r, 1), num(r, 2), num(r, 3))).toMap
+    val exactQ = SparkEntry.registry("a21_exact_quartiles").fn(spark, d)
+      .collect().map(r => r.getString(0) -> (num(r, 2), num(r, 3), num(r, 4))).toMap
+    assert(approxQ.keySet == exactQ.keySet && approxQ.nonEmpty)
+    approxQ.foreach { case (flag, (q25, q50, q75)) =>
+      val (e25, e50, e75) = exactQ(flag)
+      Seq((q25, e25, "q25"), (q50, e50, "q50"), (q75, e75, "q75")).foreach {
+        case (a, e, nm) =>
+          assert(math.abs(a - e) / e <= 0.05,
+            f"a13 $flag $nm sketch drifted: approx $a%.2f vs exact $e%.2f")
+      }
+    }
+  }
+
   test("readStream AvailableNow over a raw dir: windowed agg + hash dedup") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val events = Tables.events(spark, sfTiny).limit(200)

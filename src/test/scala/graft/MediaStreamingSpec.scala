@@ -207,6 +207,37 @@ class MediaStreamingSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet == oneShot)
   }
 
+  test("containment stream: torn corpus append heals to the one-shot state") {
+    import graft.operators.TextDedup
+    // the round-6 advice crash window: a batch lands in `corpus` but the
+    // decision swap never commits. The merge view is corpus ∩ decisions,
+    // so redelivery (fresh checkpoint = worst-case at-least-once) must
+    // re-merge the orphaned docs exactly once — no double-counted
+    // n_containers, no duplicated corpus rows.
+    val docs = Tables.documents(spark, sfTiny)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csheal").toString
+    val docsDir = s"$tmp/incoming"
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/store")
+
+    even.write.mode("append").parquet(docsDir)
+    Streams.containmentStream(spark, docsDir, store, s"$tmp/ckpt1").awaitTermination(120000)
+    // simulate the crash: odd docs appended to corpus, decisions untouched
+    store.append("corpus", odd)
+    odd.write.mode("append").parquet(docsDir)
+    // fresh checkpoint: EVERY file redelivers
+    Streams.containmentStream(spark, docsDir, store, s"$tmp/ckpt2").awaitTermination(120000)
+
+    val got = store.read("containment").as[(Long, Long, Long)].collect().toSet
+    val oneShot = TextDedup.containmentKeep(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == oneShot, "torn corpus append did not heal to the one-shot state")
+    assert(store.read("corpus").groupBy($"doc_id").count()
+      .filter($"count" > 1).count() == 0, "replay duplicated corpus rows")
+    assert(store.read("corpus").count() == docs.count())
+  }
+
   test("novelty stream: each batch scored against everything before it, replay-idempotent") {
     import graft.operators.{TextDedup, TextStats}
     val docs = Tables.documents(spark, sfTiny)

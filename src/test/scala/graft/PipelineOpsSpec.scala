@@ -550,6 +550,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(viaStore == inline && viaStore.nonEmpty)
   }
 
+  test("IVF index store: append-after-train equals batch build, queries match inline") {
+    import graft.operators.{IvfIndex, VectorIndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val neu = emb.filter($"vec_id" % 2 === 1)
+    // train + persist on the OLD corpus only, then append the new batch
+    // with frozen centroids (the ann3 serving path as of round 7)
+    VectorIndexStore.writeIvf(s"$dir/ivf", old)
+    VectorIndexStore.appendIvf(spark, s"$dir/ivf", neu)
+    val cents = VectorIndexStore.readCentroids(spark, s"$dir/ivf/centroids")
+    assert(cents.map(_.toSeq).toSeq == IvfIndex.fit(old, 16).map(_.toSeq).toSeq,
+      "centroid parquet roundtrip drifted")
+    val appended = spark.read.parquet(s"$dir/ivf/codes")
+      .select($"neighbor_id", $"cell").as[(Long, Int)].collect().toSet
+    val batch = IvfIndex.buildIndex(emb, cents)
+      .select($"neighbor_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(appended == batch, "append-assign drifted from batch assign")
+    // stored-index query == inline query with the same centroids
+    val q = emb.filter($"vec_id" < 5)
+    val viaStore = VectorIndexStore.ivfTopK(spark, s"$dir/ivf", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = IvfIndex.ivfTopKIndexed(q, IvfIndex.buildIndex(emb, cents), cents, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStore == inline && viaStore.nonEmpty)
+  }
+
   test("IVFPQ index store: append-after-train equals batch build, queries match inline") {
     import graft.operators.{IvfIndex, PqIndex, VectorIndexStore}
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString

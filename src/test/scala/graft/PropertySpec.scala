@@ -301,6 +301,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("star fallback: non-converged min-label hands off to star exactly") {
+    import graft.operators.TextDedup
+    // deep chain (diameter 999): min-label alone needs 999 rounds and the
+    // old maxIter=20 cap silently returned UNCONVERGED labels; the
+    // starAfter fallback must finish it exactly in O(log² n) star rounds
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = TextDedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(got.length == 1000 && got.forall(_._2 == 1L),
+      "chain components not labeled by the global min after star fallback")
+    // random graphs: forcing the fallback on round 1 (mid-propagation
+    // contraction, the hardest handoff state) == fully converged labels
+    (1 to 3).foreach { trial =>
+      val nodes = 60 + rnd.nextInt(60)
+      val pairs = (1 to nodes).map { _ =>
+        val a = rnd.nextInt(nodes).toLong; val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val forced = TextDedup.connectedComponents(
+          pairs.toDF("id_a", "id_b"), starAfter = 1)
+        .as[(Long, Long)].collect().toMap
+      val full = TextDedup.connectedComponents(
+          pairs.toDF("id_a", "id_b"), starAfter = 1000)
+        .as[(Long, Long)].collect().toMap
+      assert(forced == full, s"trial $trial: star fallback diverges")
+    }
+  }
+
   test("graft_dot is registered in SQL via session extensions") {
     val r = spark.sql("SELECT graft_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d")
       .head().getDouble(0)
