@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextDedup
+
+/** Empirical check of the delta-sized-cost claim the incremental dedup
+  * chain (d12/d13/d21/d22) rests on: with the BATCH SIZE held constant,
+  * per-batch time must track the batch, not the corpus — the property
+  * that lets a 100 TB corpus absorb a daily slice without ever paying
+  * corpus-shaped work again. Runs the per-batch stage of each
+  * incremental operator against a fixed 100-doc batch over the sf0.01
+  * corpus (400 existing docs) and the sf0.1 corpus (4 900 existing docs,
+  * 12×), prints seconds per stage per scale. Results are recorded in
+  * NOTES.md (round 7).
+  *
+  * Setup work (batch CC / batch containment over the existing corpus to
+  * create the stored state an incremental deployment would already have)
+  * is cached and NOT timed.
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    def probe(sfDir: String): Map[String, Double] = {
+      val docs = Tables.documents(spark, sfDir).cache()
+      val n = docs.count()
+      // constant batch: the 100 lowest doc_ids; corpus = the rest
+      val batch = docs.orderBy(col("doc_id")).limit(100).cache()
+      batch.count()
+      val corpus = docs.join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti").cache()
+      val nCorpus = corpus.count()
+      println(s"[probe] $sfDir: $n docs, corpus $nCorpus, batch 100")
+      // stored state a deployment would already hold (not timed)
+      val prevLabels = TextDedup.connectedComponents(
+        TextDedup.prefixFilterPairs(corpus, 3, 0.8)).cache()
+      prevLabels.count()
+      val prevCont = TextDedup.containmentKeep(corpus, 3, 0.8).cache()
+      prevCont.count()
+      // warm (JIT + codegen) then time the per-batch stages
+      val stages = Seq[(String, () => Unit)](
+        "d12_pairs" -> (() => noop(
+          TextDedup.prefixFilterPairsIncremental(corpus, batch, 3, 0.8))),
+        "d13_clusters" -> (() => noop(TextDedup.ccIncremental(prevLabels,
+          TextDedup.prefixFilterPairsIncremental(corpus, batch, 3, 0.8)))),
+        "d21_d22_containment" -> (() => noop(
+          TextDedup.containmentKeepIncremental(prevCont, corpus, batch, 3, 0.8))))
+      val out = stages.map { case (name, f) =>
+        f() // warmup
+        name -> (1 to 2).map(_ => time(f())).min
+      }.toMap
+      docs.unpersist(); batch.unpersist(); corpus.unpersist()
+      prevLabels.unpersist(); prevCont.unpersist()
+      out
+    }
+
+    val small = probe("/root/testdata/sf0.01")
+    val big = probe("/root/testdata/sf0.1")
+    println(f"${"stage"}%-22s ${"sf0.01(s)"}%10s ${"sf0.1(s)"}%10s ${"ratio"}%7s  (corpus 12x)")
+    small.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-22s ${small(k)}%10.2f ${big(k)}%10.2f ${big(k) / small(k)}%7.2f")
+    }
+    spark.stop()
+  }
+}

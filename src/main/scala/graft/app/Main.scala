@@ -25,7 +25,7 @@ import graft.marts.Views
   *   dedup <docs> <out> --spans [--scrub] [--n N]
   *                                           duplicated-span report (and
   *                                           scrubbed corpus rebuild)
-  *   index build <emb> <out> [--ivfpq]       train + persist an ANN index
+  *   index build <emb> <out> [--ivf|--ivfpq] train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
   *   index query <queries> <idx> <res> [--k K]  top-k from the stored index
   *   monitor <events> <out> [--window N] [--min-n M]
@@ -53,7 +53,9 @@ object Main {
       case "check" :: root :: Nil => check(spark, root)
       case "analyze" :: root :: Nil => analyze(spark, root)
       case "index" :: "build" :: emb :: out :: rest =>
-        indexBuild(spark, emb, out, rest.contains("--ivfpq"))
+        indexBuild(spark, emb, out,
+          if (rest.contains("--ivfpq")) "ivfpq"
+          else if (rest.contains("--ivf")) "ivf" else "pq")
       case "index" :: "append" :: emb :: out :: Nil =>
         indexAppend(spark, emb, out)
       case "index" :: "query" :: q :: idx :: resOut :: rest =>
@@ -412,20 +414,27 @@ object Main {
     * existing rows), `query` serves top-k from the stored artifacts.
     */
   def indexBuild(spark: SparkSession, embPath: String, out: String,
-      ivfpq: Boolean): Unit = {
+      kind: String): Unit = {
     import graft.operators.VectorIndexStore
     val emb = spark.read.parquet(embPath)
-    if (ivfpq) VectorIndexStore.writeIvfPq(out, emb)
-    else VectorIndexStore.writePq(out, emb)
+    kind match {
+      case "ivfpq" => VectorIndexStore.writeIvfPq(out, emb)
+      case "ivf"   => VectorIndexStore.writeIvf(out, emb)
+      case "pq"    => VectorIndexStore.writePq(out, emb)
+      case other   => sys.error(s"unknown index kind $other (pq|ivf|ivfpq)")
+    }
     val n = spark.read.parquet(s"$out/codes").count()
-    println(s"[graft] index build: $n vectors -> $out (${if (ivfpq) "ivfpq" else "pq"})")
+    println(s"[graft] index build: $n vectors -> $out ($kind)")
   }
 
   def indexAppend(spark: SparkSession, embPath: String, out: String): Unit = {
     import graft.operators.VectorIndexStore
     val emb = spark.read.parquet(embPath)
-    if (isIvfPq(out)) VectorIndexStore.appendIvfPq(spark, out, emb)
-    else VectorIndexStore.appendPq(spark, out, emb)
+    indexKind(out) match {
+      case "ivfpq" => VectorIndexStore.appendIvfPq(spark, out, emb)
+      case "ivf"   => VectorIndexStore.appendIvf(spark, out, emb)
+      case _       => VectorIndexStore.appendPq(spark, out, emb)
+    }
     val n = spark.read.parquet(s"$out/codes").count()
     println(s"[graft] index append: now $n vectors in $out")
   }
@@ -434,17 +443,27 @@ object Main {
       resOut: String, k: Int): Long = {
     import graft.operators.VectorIndexStore
     val q = spark.read.parquet(queriesPath)
-    val res =
-      if (isIvfPq(idx)) VectorIndexStore.ivfPqTopK(spark, idx, q, k)
-      else VectorIndexStore.pqTopK(spark, idx, q, k)
+    val res = indexKind(idx) match {
+      case "ivfpq" => VectorIndexStore.ivfPqTopK(spark, idx, q, k)
+      case "ivf"   => VectorIndexStore.ivfTopK(spark, idx, q, k)
+      case _       => VectorIndexStore.pqTopK(spark, idx, q, k)
+    }
     res.write.mode("overwrite").parquet(resOut)
     val n = spark.read.parquet(resOut).count()
     println(s"[graft] index query: ${n} result rows -> $resOut (k=$k)")
     n
   }
 
-  private def isIvfPq(idx: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "centroids"))
+  /** Stored-index flavor from its on-disk artifacts: IVFPQ carries both
+    * centroids and codebooks, plain IVF only centroids, PQ only
+    * codebooks. (The old two-way check misrouted a plain-IVF index to
+    * the IVFPQ reader.)
+    */
+  private def indexKind(idx: String): String = {
+    val cents = java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "centroids"))
+    val cbs = java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "codebooks"))
+    if (cents && cbs) "ivfpq" else if (cents) "ivf" else "pq"
+  }
 
   /** Containment dedup as a product command: drop docs ≥ threshold
     * contained in a LARGER doc (excerpt redundancy the Jaccard cascade

@@ -294,12 +294,15 @@ object Streams {
       indexPath: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.VectorIndexStore
     val schema = spark.read.parquet(embDir).schema
-    val ivfpq = java.nio.file.Files.exists(
+    val cents = java.nio.file.Files.exists(
       java.nio.file.Paths.get(indexPath, "centroids"))
+    val cbs = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(indexPath, "codebooks"))
     spark.readStream.schema(schema).parquet(embDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (ivfpq) VectorIndexStore.appendIvfPq(spark, indexPath, batch)
+        if (cents && cbs) VectorIndexStore.appendIvfPq(spark, indexPath, batch)
+        else if (cents) VectorIndexStore.appendIvf(spark, indexPath, batch)
         else VectorIndexStore.appendPq(spark, indexPath, batch)
       }
       .option("checkpointLocation", checkpointDir)

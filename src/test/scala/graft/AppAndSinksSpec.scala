@@ -155,7 +155,7 @@ class AppAndSinksSpec extends SparkTestBase {
 
     // lifecycle: build on batch 0, append batch 1, query
     val idx = Files.createTempDirectory("graft_idx").toString + "/ivfpq"
-    graft.app.Main.indexBuild(spark, b0, idx, ivfpq = true)
+    graft.app.Main.indexBuild(spark, b0, idx, "ivfpq")
     graft.app.Main.indexAppend(spark, b1, idx)
     val res = Files.createTempDirectory("graft_idx_res").toString + "/r"
     val n = graft.app.Main.indexQuery(spark, qPath, idx, res, k = 3)
@@ -170,10 +170,22 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(viaCli == direct && viaCli.nonEmpty)
     // pq flavor detection: a pq index (no centroids dir) routes to pqTopK
     val idxPq = Files.createTempDirectory("graft_idx_pq").toString + "/pq"
-    graft.app.Main.indexBuild(spark, b0, idxPq, ivfpq = false)
+    graft.app.Main.indexBuild(spark, b0, idxPq, "pq")
     graft.app.Main.indexAppend(spark, b1, idxPq)
     val resPq = Files.createTempDirectory("graft_idx_res2").toString + "/r"
     assert(graft.app.Main.indexQuery(spark, qPath, idxPq, resPq, k = 3) == 15)
+    // ivf flavor detection: centroids but NO codebooks routes to ivfTopK
+    // (the old two-way check misread this as ivfpq and died on codebooks)
+    val idxIvf = Files.createTempDirectory("graft_idx_ivf").toString + "/ivf"
+    graft.app.Main.indexBuild(spark, b0, idxIvf, "ivf")
+    graft.app.Main.indexAppend(spark, b1, idxIvf)
+    val resIvf = Files.createTempDirectory("graft_idx_res3").toString + "/r"
+    assert(graft.app.Main.indexQuery(spark, qPath, idxIvf, resIvf, k = 3) == 15)
+    val directIvf = graft.operators.VectorIndexStore.ivfTopK(
+        spark, idxIvf, emb.filter($"vec_id" < 5), k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(spark.read.parquet(resIvf).as[(Long, Long, Double)].collect().toSet
+      == directIvf)
   }
 
   test("CLI load + run + check round-trip on a CSV fixture") {
