@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.ParquetTableStore
+
+/** Persisted prefix/postings index for INCREMENTAL near-dup and
+  * containment joins — the piece that removes the last corpus-sized term
+  * from the per-batch dedup cost.
+  *
+  * `prefixFilterPairsIncremental` / `containmentPairsIncremental` already
+  * avoid the corpus self-join, but they still RE-SHINGLE the whole
+  * existing corpus every batch (explode + window to rebuild its prefix
+  * rows, plus a corpus-wide re-shingle for verification). At 100 TB that
+  * scan dominates everything else. This store persists, once:
+  *
+  *   - `freq`        (s, df)      — document frequencies, FROZEN at build
+  *   - `prefix_jac`  (s, doc_id)  — Jaccard-threshold prefix postings
+  *   - `prefix_cont` (s, doc_id)  — containment-threshold prefix postings
+  *   - `postings`    (s, doc_id)  — full shingle postings (the containment
+  *                                  join's right side has no prefix bound)
+  *   - `sets`        (doc_id, sh) — per-doc shingle arrays for exact
+  *                                  verification
+  *
+  * and serves each arriving batch with BATCH-SIZED work only: shingle the
+  * batch, rank its prefixes under the frozen order, join against the
+  * stored posting tables, verify candidates against the stored sets. New
+  * docs then APPEND under the same frozen order — no table is ever
+  * rebuilt (the VectorIndexStore add-after-train doctrine applied to the
+  * dedup join fabric).
+  *
+  * Correctness of the frozen order: the prefix-filter recall theorem
+  * needs only that BOTH docs of a compared pair rank their shingles under
+  * one COMMON total order. Here that order is (df₀ asc, shingle asc) with
+  * df₀ the build-time frequency (0 for shingles unseen at build — they
+  * sort first, and a zero-df shingle is by definition in no stored
+  * posting, so its early exposure costs nothing). Every doc ever indexed
+  * — at build or in any later append — uses the identical order, so every
+  * qualifying pair collides on ≥ 1 prefix shingle and exact verification
+  * makes the final pairs EQUAL the full-recompute ones (DedupIndexSpec
+  * pins both families). Staleness of a frozen df is a cost concern only
+  * (prefixes drift away from rarest-first as the corpus grows → more
+  * candidates, never fewer final pairs); a deployment re-freezes by
+  * rebuilding at major compactions. Containment recall does not involve
+  * the order at all (per-doc pigeonhole over the FULL posting side).
+  *
+  * Crash safety: `build` publishes all five tables as one journaled group
+  * commit (ParquetTableStore.commitStaged). `append` is idempotent up to
+  * harmless duplicates: `sets` — the only table where a duplicate row
+  * would corrupt output (verification joins it) — doubles as the replay
+  * guard (docs already in `sets` are filtered from the batch) and is
+  * appended LAST; the candidate-side tables tolerate duplicate rows
+  * because candidates are always `dropDuplicates`'d before verification.
+  * A crash between appends therefore degrades to extra candidate rows,
+  * never to wrong pairs (DedupIndexSpec injects exactly this crash).
+  *
+  * Reference anchor: the reference dedups on exact content hash at load
+  * time (`main.py:142-163`); this family generalizes that identity
+  * doctrine to near-duplicate text at corpus scale.
+  */
+object DedupIndexStore {
+
+  val tables: Seq[String] = Seq("freq", "prefix_jac", "prefix_cont", "postings", "sets")
+
+  /** Batch prefix rows under the FROZEN (df₀ asc, shingle asc) order:
+    * per doc keep the first |s| − ⌈t·|s|⌉ + 1 shingles. Shingles unseen
+    * at build time get df₀ = 0 (see object doc for why that is sound).
+    */
+  private def prefixFrozen(sh: DataFrame, frozenFreq: DataFrame, t: Double): DataFrame = {
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df0"), col("s"))
+    val wSize = Window.partitionBy(col("doc_id"))
+    sh.join(frozenFreq, Seq("s"), "left")
+      .withColumn("df0", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wSize))
+      .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("s"), col("sz"))
+  }
+
+  private def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    Par.fan(docs).select(col("doc_id"),
+      TextDedup.shingles(col("text"), n).as("sh"))
+
+  /** Build the index over a corpus and publish atomically. One shingle
+    * pass feeds frequencies, postings, and both prefix projections; the
+    * five tables land as a single journaled group commit so a reopened
+    * store sees all-or-nothing.
+    */
+  def build(store: ParquetTableStore, docs: DataFrame, n: Int,
+      tJac: Double, tCont: Double): Unit = {
+    // stage() returns a DataFrame over the staged files, so the derived
+    // tables read the materialized shingle rows instead of re-exploding
+    val sh = store.stage("postings", TextDedup.shingleRows(docs, n))
+    val freq = store.stage("freq",
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df")))
+    store.stage("prefix_jac", prefixFrozen(sh, freq, tJac))
+    store.stage("prefix_cont", prefixFrozen(sh, freq, tCont))
+    store.stage("sets", shingleSets(docs, n))
+    store.commitStaged(tables)
+  }
+
+  /** Append a batch under the frozen order. Docs already indexed are
+    * skipped (replay guard on `sets`); `sets` commits last (see object
+    * doc for the crash-ordering argument). The frozen `freq` table is
+    * NOT touched — that is the point.
+    */
+  def append(store: ParquetTableStore, incoming: DataFrame, n: Int,
+      tJac: Double, tCont: Double): Unit = {
+    val fresh = incoming.join(
+      store.read("sets").select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // pin the guard's verdict before tables move
+    val sh = TextDedup.shingleRows(fresh, n)
+    val freq = store.read("freq")
+    store.append("postings", sh)
+    store.append("prefix_jac", prefixFrozen(sh, freq, tJac))
+    store.append("prefix_cont", prefixFrozen(sh, freq, tCont))
+    store.append("sets", shingleSets(fresh, n))
+  }
+
+  /** Near-dup pair delta for an arriving batch vs the indexed corpus —
+    * `prefixFilterPairsIncremental` semantics with zero corpus-sized
+    * work: every stage reads either the batch or a stored table. Output
+    * schema/arithmetic = `jaccardPairs` (exact verification), final pairs
+    * EQUAL the full-recompute incremental join.
+    */
+  def pairsIncremental(store: ParquetTableStore, incoming: DataFrame,
+      n: Int, minJaccard: Double): DataFrame = {
+    val shNew = TextDedup.shingleRows(incoming, n)
+    val pNew = prefixFrozen(shNew, store.read("freq"), minJaccard)
+    val a = pNew.as("a")
+    // PPJoin length filter: J(A,B) ≥ t forces |A∩B| ≥ t·|A∪B|, and with
+    // |A∩B| ≤ min, |A∪B| ≥ max that needs min ≥ t·max — prune pairs whose
+    // set sizes alone rule the threshold out, before they reach the
+    // (array_intersect) verification. Sizes ride along in the prefix rows.
+    val sizeOk =
+      least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(minJaccard) * greatest(col("a.sz"), col("b.sz")).cast("double")
+    val newNew = a.join(pNew.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") && sizeOk)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val newOld = a.join(store.read("prefix_jac").as("b"),
+        col("a.s") === col("b.s") && sizeOk)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val cands = newNew.unionByName(newOld).dropDuplicates("id_a", "id_b")
+    val sets = store.read("sets").unionByName(shingleSets(incoming, n))
+    TextDedup.verifyPairsSets(sets, cands, minJaccard)
+  }
+
+  /** Containment pair delta for an arriving batch vs the indexed corpus —
+    * `containmentPairsIncremental` semantics, batch-sized work only:
+    * (batch prefixes × stored ∪ batch postings) plus (stored prefixes ×
+    * batch postings), exact verification against stored sets.
+    */
+  def containmentIncremental(store: ParquetTableStore, incoming: DataFrame,
+      n: Int, minContainment: Double): DataFrame = {
+    val shNew = TextDedup.shingleRows(incoming, n)
+    val pNew = prefixFrozen(shNew, store.read("freq"), minContainment)
+    // (no pair-level length filter here: containment only bounds the
+    // container from BELOW — |B| ≥ t·|A| — and the posting side carries
+    // no sizes; a tiny doc can sit inside an arbitrarily large one, so
+    // the symmetric PPJoin prune does not apply)
+    val postAll = store.read("postings").unionByName(shNew)
+    val newInAny = pNew.as("a").join(postAll.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val oldInNew = store.read("prefix_cont").as("a").join(shNew.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cands = newInAny.unionByName(oldInNew).dropDuplicates("id_a", "id_b")
+    val sets = store.read("sets").unionByName(shingleSets(incoming, n))
+    TextDedup.verifyContainmentSets(sets, cands, minContainment)
+  }
+
+  // ───── mtime-keyed ensure (registered-query / bench serving surface) ─────
+
+  private val cacheRoot =
+    sys.env.getOrElse("SPARK_GRAFT_DEDUP_STATE_DIR", "target/graft-dedup-state")
+  private val ensureLock = new Object
+
+  /** Index for a corpus dir, built on first use per (dir, mtime, params)
+    * — later invocations (bench timed runs included) only read, which is
+    * the deployment cost model.
+    */
+  def ensure(spark: SparkSession, corpusDir: String, docs: DataFrame,
+      n: Int, tJac: Double, tCont: Double): ParquetTableStore = {
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // "pidx2": layout version — prefix tables carry sz since the PPJoin
+    // length filter landed; a key bump orphans (never corrupts) old caches
+    val path = s"$cacheRoot/pidx2_${n}_${(tJac * 1000).toInt}_${(tCont * 1000).toInt}_${key}_$mtime"
+    ensureLock.synchronized {
+      val store = new ParquetTableStore(spark, path)
+      if (!tables.forall(store.exists)) build(store, docs, n, tJac, tCont)
+      store
+    }
+  }
+}

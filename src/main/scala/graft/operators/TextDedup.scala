@@ -449,8 +449,17 @@ object TextDedup {
     * arithmetic identical to `jaccardPairs`.
     */
   private def verifyPairs(docs: DataFrame, cands: DataFrame, n: Int,
+      minJaccard: Double): DataFrame =
+    verifyPairsSets(
+      Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh")),
+      cands, minJaccard)
+
+  /** Verification against PRECOMPUTED shingle sets (doc_id, sh) — the
+    * entry `DedupIndexStore` uses so a stored index's `sets` table
+    * replaces the per-batch corpus re-shingle entirely.
+    */
+  private[operators] def verifyPairsSets(sets: DataFrame, cands: DataFrame,
       minJaccard: Double): DataFrame = {
-    val sets = Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh"))
     val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -494,8 +503,16 @@ object TextDedup {
     * one-shot and incremental containment joins.
     */
   private def verifyContainment(docs: DataFrame, cands: DataFrame, n: Int,
+      minContainment: Double): DataFrame =
+    verifyContainmentSets(
+      Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh")),
+      cands, minContainment)
+
+  /** Containment verification against PRECOMPUTED shingle sets — see
+    * `verifyPairsSets`.
+    */
+  private[operators] def verifyContainmentSets(sets: DataFrame, cands: DataFrame,
       minContainment: Double): DataFrame = {
-    val sets = Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh"))
     val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))

@@ -499,6 +499,64 @@ object PipelineQueries {
         ORDER BY d.doc_id"""),
       "incremental keep decisions: abelian container counts, retro-flips exact"),
 
+    // INDEXED incremental near-dup pairs: the corpus's prefix rows,
+    // postings, frozen frequencies, and shingle sets are SERVED FROM THE
+    // PERSISTED DedupIndexStore (built once per corpus, read thereafter)
+    // — so the per-batch plan touches NOTHING corpus-sized: no corpus
+    // re-shingle, no union-frequency groupBy, no corpus-side window.
+    // Same semantics as d12 (the prefix theorem needs one COMMON total
+    // order — here the frozen build-time order — and exact verification
+    // makes the final pairs equal), so it shares d12's oracle verbatim.
+    "d23_indexed_pairs" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = graft.operators.DedupIndexStore.ensure(s, d,
+          docs.filter(col("doc_id") % 2 === 0), n = 3, tJac = 0.8, tCont = 0.8)
+        graft.operators.DedupIndexStore.pairsIncremental(idx,
+            docs.filter(col("doc_id") % 2 === 1), n = 3, minJaccard = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / (ca.n + cb.n - c)) AS BIGINT) AS jac_micro
+        FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+          AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        ORDER BY id_a, id_b"""),
+      "indexed incremental pairs: served from the stored prefix index, zero corpus-sized work"),
+
+    // INDEXED incremental containment — d21's semantics served from the
+    // same stored index (batch prefixes × stored∪batch postings, stored
+    // containment prefixes × batch postings, verification against stored
+    // sets). Shares d21's oracle verbatim.
+    "d24_indexed_containment" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = graft.operators.DedupIndexStore.ensure(s, d,
+          docs.filter(col("doc_id") % 2 === 0), n = 3, tJac = 0.8, tCont = 0.8)
+        graft.operators.DedupIndexStore.containmentIncremental(idx,
+            docs.filter(col("doc_id") % 2 === 1), n = 3, minContainment = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / ca.n) AS BIGINT) AS cont_micro
+        FROM common JOIN cnt ca ON ca.doc_id = id_a
+        WHERE CAST(c AS DOUBLE) / ca.n >= 0.8
+          AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        ORDER BY id_a, id_b"""),
+      "indexed incremental containment: served from the stored prefix index"),
+
     // Duplication REPORT: the cluster-size histogram (how much of the
     // corpus is duplication mass, and in what shapes — many pairs vs a
     // few giant boilerplate clusters drive different curation choices).

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.ParquetTableStore
+import graft.operators.{DedupIndexStore, TextDedup}
+
+/** The persisted prefix/postings index vs the full-recompute incremental
+  * joins: final pairs must be EQUAL (the frozen-order recall argument +
+  * exact verification), appends must compose, and a crash mid-append must
+  * degrade to extra candidates, never wrong output.
+  */
+class DedupIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfTiny).cache()
+  private lazy val even = docs.filter(col("doc_id") % 2 === 0)
+  private lazy val odd = docs.filter(col("doc_id") % 2 === 1)
+
+  private def freshStore(): ParquetTableStore =
+    new ParquetTableStore(spark,
+      Files.createTempDirectory("graft-dedup-idx").toString)
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("id_a"), col("id_b"), df.columns.last match {
+      case c => col(c)
+    }).as[(Long, Long, Long)].collect().toSet
+
+  test("indexed incremental pairs equal the full-recompute incremental join") {
+    val store = freshStore()
+    DedupIndexStore.build(store, even, n = 3, tJac = 0.8, tCont = 0.8)
+    val indexed = pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8))
+    val full = pairsOf(TextDedup.prefixFilterPairsIncremental(even, odd, 3, 0.8))
+    assert(indexed == full,
+      s"indexed-only: ${indexed.diff(full)}; full-only: ${full.diff(indexed)}")
+    assert(indexed.nonEmpty, "no planted cross-parity pairs — vacuous test")
+  }
+
+  test("indexed incremental containment equals the full-recompute incremental join") {
+    val store = freshStore()
+    DedupIndexStore.build(store, even, n = 3, tJac = 0.8, tCont = 0.8)
+    val indexed =
+      pairsOf(DedupIndexStore.containmentIncremental(store, odd, 3, 0.8))
+    val full =
+      pairsOf(TextDedup.containmentPairsIncremental(even, odd, 3, 0.8))
+    assert(indexed == full,
+      s"indexed-only: ${indexed.diff(full)}; full-only: ${full.diff(indexed)}")
+    assert(indexed.nonEmpty, "vacuous")
+  }
+
+  test("append-after-build serves the same final pairs as building on the union") {
+    // corpus grows even₁ → even₁ ∪ even₂; the appended index keeps the
+    // order frozen at even₁'s frequencies while the rebuilt index freezes
+    // the union's — candidate sets may differ, FINAL pairs may not.
+    val e1 = even.filter(col("doc_id") % 4 === 0)
+    val e2 = even.filter(col("doc_id") % 4 === 2)
+    val appended = freshStore()
+    DedupIndexStore.build(appended, e1, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(appended, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    val rebuilt = freshStore()
+    DedupIndexStore.build(rebuilt, even, n = 3, tJac = 0.8, tCont = 0.8)
+    val viaAppend = pairsOf(DedupIndexStore.pairsIncremental(appended, odd, 3, 0.8))
+    val viaRebuild = pairsOf(DedupIndexStore.pairsIncremental(rebuilt, odd, 3, 0.8))
+    assert(viaAppend == viaRebuild)
+    val contAppend =
+      pairsOf(DedupIndexStore.containmentIncremental(appended, odd, 3, 0.8))
+    val contRebuild =
+      pairsOf(DedupIndexStore.containmentIncremental(rebuilt, odd, 3, 0.8))
+    assert(contAppend == contRebuild)
+    assert(viaAppend.nonEmpty && contAppend.nonEmpty, "vacuous")
+  }
+
+  test("replayed append is a no-op (sets-table guard)") {
+    val e1 = even.filter(col("doc_id") % 4 === 0)
+    val e2 = even.filter(col("doc_id") % 4 === 2)
+    val store = freshStore()
+    DedupIndexStore.build(store, e1, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(store, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    val before = pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8))
+    val setsBefore = store.read("sets").count()
+    DedupIndexStore.append(store, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    assert(store.read("sets").count() == setsBefore)
+    assert(pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8)) == before)
+  }
+
+  test("crash between appends degrades to duplicate candidates, never wrong pairs") {
+    // simulate dying after the candidate-side tables appended but BEFORE
+    // `sets` (the commit point): replaying the append must restore a
+    // state whose served output equals the clean path's.
+    val e1 = even.filter(col("doc_id") % 4 === 0)
+    val e2 = even.filter(col("doc_id") % 4 === 2)
+    val store = freshStore()
+    DedupIndexStore.build(store, e1, n = 3, tJac = 0.8, tCont = 0.8)
+    // partial append: candidate tables only — what a crash right before
+    // the sets append leaves behind
+    val sh2 = e2.select(col("doc_id"), explode(TextDedup.shingles(col("text"), 3)).as("s"))
+    store.append("postings", sh2)
+    // replay the full append (guard sees e2 absent from `sets` → re-adds)
+    DedupIndexStore.append(store, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    val clean = freshStore()
+    DedupIndexStore.build(clean, e1, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(clean, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    val gotJ = pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8))
+    val expJ = pairsOf(DedupIndexStore.pairsIncremental(clean, odd, 3, 0.8))
+    assert(gotJ == expJ)
+    val gotC = pairsOf(DedupIndexStore.containmentIncremental(store, odd, 3, 0.8))
+    val expC = pairsOf(DedupIndexStore.containmentIncremental(clean, odd, 3, 0.8))
+    assert(gotC == expC)
+    assert(gotJ.nonEmpty && gotC.nonEmpty, "vacuous")
+  }
+}
