@@ -25,6 +25,14 @@ import graft.marts.Views
   *   dedup <docs> <out> --spans [--scrub] [--n N]
   *                                           duplicated-span report (and
   *                                           scrubbed corpus rebuild)
+  *   dedupidx build <docs> <idx> [--threshold T] [--cthreshold C]
+  *                                           persist the prefix/postings
+  *                                           dedup index over a corpus
+  *   dedupidx serve <batch> <idx> <out> [--threshold T] [--containment] [--append]
+  *                                           batch's near-dup (or
+  *                                           containment) pair delta from
+  *                                           the stored index; --append
+  *                                           absorbs the batch afterwards
   *   index build <emb> <out> [--ivf|--ivfpq] train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
   *   index query <queries> <idx> <res> [--k K]  top-k from the stored index
@@ -52,6 +60,14 @@ object Main {
       case "load" :: root :: csv :: rest => load(spark, root, csv, opt(rest, "--source").getOrElse("csv"))
       case "check" :: root :: Nil => check(spark, root)
       case "analyze" :: root :: Nil => analyze(spark, root)
+      case "dedupidx" :: "build" :: docs :: idx :: rest =>
+        dedupIdxBuild(spark, docs, idx,
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
+          opt(rest, "--cthreshold").map(_.toDouble).getOrElse(0.8))
+      case "dedupidx" :: "serve" :: batch :: idx :: out :: rest =>
+        dedupIdxServe(spark, batch, idx, out,
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
+          rest.contains("--containment"), rest.contains("--append"))
       case "index" :: "build" :: emb :: out :: rest =>
         indexBuild(spark, emb, out,
           if (rest.contains("--ivfpq")) "ivfpq"
@@ -559,6 +575,48 @@ object Main {
     println(s"[graft] dedup --incremental: $nTotal docs -> $nKept kept " +
       s"(threshold $threshold, delta-only pair generation)")
     nKept
+  }
+
+  /** Persist the prefix/postings dedup index over a corpus — the state a
+    * continuous-ingest deployment serves every later batch from with
+    * batch-sized work only (DedupIndexStore; all tables publish as one
+    * journaled group commit).
+    */
+  def dedupIdxBuild(spark: SparkSession, docsPath: String, idx: String,
+      threshold: Double, cThreshold: Double): Long = {
+    import graft.operators.DedupIndexStore
+    val store = new ParquetTableStore(spark, idx)
+    val docs = spark.read.parquet(docsPath)
+    DedupIndexStore.build(store, docs, n = 3, tJac = threshold, tCont = cThreshold)
+    val nDocs = store.read("sets").count()
+    println(s"[graft] dedupidx build: $nDocs docs indexed " +
+      s"(jaccard >= $threshold, containment >= $cThreshold)")
+    nDocs
+  }
+
+  /** Serve a batch's near-dup (or containment) pair delta from the
+    * stored index and optionally absorb the batch afterwards — the
+    * per-batch loop of an indexed dedup deployment: zero corpus-sized
+    * work, the index is never rebuilt.
+    */
+  def dedupIdxServe(spark: SparkSession, batchPath: String, idx: String,
+      out: String, threshold: Double, containment: Boolean,
+      append: Boolean): Long = {
+    import graft.operators.DedupIndexStore
+    val store = new ParquetTableStore(spark, idx)
+    val outStore = new ParquetTableStore(spark, out)
+    val batch = spark.read.parquet(batchPath)
+    val pairs =
+      if (containment)
+        DedupIndexStore.containmentIncremental(store, batch, n = 3, threshold)
+      else DedupIndexStore.pairsIncremental(store, batch, n = 3, threshold)
+    outStore.overwrite("pairs", pairs)
+    if (append) DedupIndexStore.append(store, batch)
+    val nPairs = outStore.read("pairs").count()
+    val kind = if (containment) "containment" else "near-dup"
+    println(s"[graft] dedupidx serve: ${batch.count()} batch docs -> " +
+      s"$nPairs $kind pair deltas" + (if (append) " (batch absorbed)" else ""))
+    nPairs
   }
 
   /** Semantic dedup as a product command (SemDeDup over an embedding

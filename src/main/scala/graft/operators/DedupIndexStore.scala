@@ -62,7 +62,8 @@ import graft.etl.ParquetTableStore
   */
 object DedupIndexStore {
 
-  val tables: Seq[String] = Seq("freq", "prefix_jac", "prefix_cont", "postings", "sets")
+  val tables: Seq[String] =
+    Seq("meta", "freq", "prefix_jac", "prefix_cont", "postings", "sets")
 
   /** Batch prefix rows under the FROZEN (df₀ asc, shingle asc) order:
     * per doc keep the first |s| − ⌈t·|s|⌉ + 1 shingles. Shingles unseen
@@ -98,16 +99,38 @@ object DedupIndexStore {
     store.stage("prefix_jac", prefixFrozen(sh, freq, tJac))
     store.stage("prefix_cont", prefixFrozen(sh, freq, tCont))
     store.stage("sets", shingleSets(docs, n))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    store.stage("meta", Seq((n, tJac, tCont)).toDF("n", "t_jac", "t_cont"))
     store.commitStaged(tables)
+  }
+
+  /** The stored prefix rows guarantee recall only for thresholds ≥ the
+    * build-time one (a longer prefix covers a stricter threshold, never a
+    * looser one) — reject a serve/append call that would silently lose
+    * recall.
+    */
+  private def requireParams(store: ParquetTableStore, n: Int,
+      t: Double, contSide: Boolean): Unit = {
+    val m = store.read("meta").head()
+    require(m.getInt(0) == n,
+      s"index built with n=${m.getInt(0)}, asked n=$n")
+    val built = if (contSide) m.getDouble(2) else m.getDouble(1)
+    require(t >= built - 1e-12,
+      f"index prefixes cover thresholds >= $built%.3f, asked $t%.3f")
   }
 
   /** Append a batch under the frozen order. Docs already indexed are
     * skipped (replay guard on `sets`); `sets` commits last (see object
     * doc for the crash-ordering argument). The frozen `freq` table is
-    * NOT touched — that is the point.
+    * NOT touched — that is the point. n and the thresholds come from the
+    * stored `meta`, never from the caller: a batch indexed under
+    * different parameters would silently poison recall for every later
+    * serve.
     */
-  def append(store: ParquetTableStore, incoming: DataFrame, n: Int,
-      tJac: Double, tCont: Double): Unit = {
+  def append(store: ParquetTableStore, incoming: DataFrame): Unit = {
+    val m = store.read("meta").head()
+    val (n, tJac, tCont) = (m.getInt(0), m.getDouble(1), m.getDouble(2))
     val fresh = incoming.join(
       store.read("sets").select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // pin the guard's verdict before tables move
@@ -127,6 +150,7 @@ object DedupIndexStore {
     */
   def pairsIncremental(store: ParquetTableStore, incoming: DataFrame,
       n: Int, minJaccard: Double): DataFrame = {
+    requireParams(store, n, minJaccard, contSide = false)
     val shNew = TextDedup.shingleRows(incoming, n)
     val pNew = prefixFrozen(shNew, store.read("freq"), minJaccard)
     val a = pNew.as("a")
@@ -157,6 +181,7 @@ object DedupIndexStore {
     */
   def containmentIncremental(store: ParquetTableStore, incoming: DataFrame,
       n: Int, minContainment: Double): DataFrame = {
+    requireParams(store, n, minContainment, contSide = true)
     val shNew = TextDedup.shingleRows(incoming, n)
     val pNew = prefixFrozen(shNew, store.read("freq"), minContainment)
     // (no pair-level length filter here: containment only bounds the

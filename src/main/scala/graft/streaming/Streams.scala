@@ -310,6 +310,45 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of the INDEXED dedup serve loop (`dedupidx serve
+    * --append` per micro-batch): each arriving document batch emits its
+    * near-dup pair delta against the accumulated corpus — served from the
+    * persisted DedupIndexStore with batch-sized work only — and is then
+    * absorbed into the index under the frozen order.
+    *
+    * Exactly-once: the pair output is keyed by micro-batch id
+    * (`<outDir>/batch=<id>`, dynamic overwrite) so a replayed batch
+    * OVERWRITES its own output instead of appending twice — the standard
+    * foreachBatch idempotence idiom; the index absorb is independently
+    * idempotent via the sets-table replay guard (DedupIndexStore.append
+    * skips already-indexed docs). Either crash ordering therefore heals:
+    * pairs written + absorb lost → replay re-serves (the fresh-filter
+    * still sees the docs) and rewrites identical pairs; absorb done +
+    * pairs lost is impossible (pairs commit first).
+    */
+  def dedupIndexStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      store: graft.etl.ParquetTableStore, outDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupIndexStore
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = batch.dropDuplicates("doc_id")
+          .join(store.read("sets").select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // one verdict for both the serve and the absorb
+        if (!fresh.isEmpty) {
+          DedupIndexStore.pairsIncremental(store, fresh, n = 3, threshold)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          DedupIndexStore.append(store, fresh)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of the quality gate: document batches arrive as
     * parquet files and are scored under the stored FROZEN trigram LM
     * (Main.qualityTrain's artifact) — training never re-runs, the

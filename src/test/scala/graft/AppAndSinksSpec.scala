@@ -642,6 +642,41 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(scrub == directScrub, "CLI scrub drifted from d16")
   }
 
+  test("CLI dedupidx build/serve/append: two-batch lifecycle equals the direct operators") {
+    import graft.operators.{DedupIndexStore, TextDedup}
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val tmp = Files.createTempDirectory("graft_didx").toString
+    docs.filter($"doc_id" % 4 === 0).write.parquet(s"$tmp/b0")
+    docs.filter($"doc_id" % 4 === 2).write.parquet(s"$tmp/b1")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$tmp/b2")
+    graft.app.Main.route(spark,
+      List("dedupidx", "build", s"$tmp/b0", s"$tmp/idx"))
+    // serve b1 and absorb it, then serve b2 against the grown index
+    graft.app.Main.route(spark, List("dedupidx", "serve", s"$tmp/b1",
+      s"$tmp/idx", s"$tmp/out1", "--append"))
+    graft.app.Main.route(spark, List("dedupidx", "serve", s"$tmp/b2",
+      s"$tmp/idx", s"$tmp/out2", "--containment"))
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val gotJ = spark.read.parquet(s"$tmp/out1/pairs")
+      .as[(Long, Long, Long)].collect().toSet
+    val expJ = TextDedup.prefixFilterPairsIncremental(
+        docs.filter($"doc_id" % 4 === 0), docs.filter($"doc_id" % 4 === 2), 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotJ == expJ, "CLI serve drifted from the incremental join")
+    val gotC = spark.read.parquet(s"$tmp/out2/pairs")
+      .as[(Long, Long, Long)].collect().toSet
+    val expC = TextDedup.containmentPairsIncremental(
+        even, docs.filter($"doc_id" % 2 === 1), 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotC == expC, "CLI containment serve drifted")
+    assert(gotJ.nonEmpty && gotC.nonEmpty, "vacuous")
+    // a looser-than-build threshold must be rejected, not silently lossy
+    intercept[IllegalArgumentException] {
+      graft.app.Main.route(spark, List("dedupidx", "serve", s"$tmp/b2",
+        s"$tmp/idx", s"$tmp/out3", "--threshold", "0.5"))
+    }
+  }
+
   test("sketch error gates at sf0.01: HLL distinct and quantile sketch vs exact") {
     // the a7/a13 twin of the ANN recall gates: a silent sketch-parameter
     // regression (rsd, accuracy) must trip a pinned numeric bound, not

@@ -59,7 +59,7 @@ class DedupIndexSpec extends SparkTestBase {
     val e2 = even.filter(col("doc_id") % 4 === 2)
     val appended = freshStore()
     DedupIndexStore.build(appended, e1, n = 3, tJac = 0.8, tCont = 0.8)
-    DedupIndexStore.append(appended, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(appended, e2)
     val rebuilt = freshStore()
     DedupIndexStore.build(rebuilt, even, n = 3, tJac = 0.8, tCont = 0.8)
     val viaAppend = pairsOf(DedupIndexStore.pairsIncremental(appended, odd, 3, 0.8))
@@ -78,10 +78,10 @@ class DedupIndexSpec extends SparkTestBase {
     val e2 = even.filter(col("doc_id") % 4 === 2)
     val store = freshStore()
     DedupIndexStore.build(store, e1, n = 3, tJac = 0.8, tCont = 0.8)
-    DedupIndexStore.append(store, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(store, e2)
     val before = pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8))
     val setsBefore = store.read("sets").count()
-    DedupIndexStore.append(store, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(store, e2)
     assert(store.read("sets").count() == setsBefore)
     assert(pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8)) == before)
   }
@@ -99,10 +99,10 @@ class DedupIndexSpec extends SparkTestBase {
     val sh2 = e2.select(col("doc_id"), explode(TextDedup.shingles(col("text"), 3)).as("s"))
     store.append("postings", sh2)
     // replay the full append (guard sees e2 absent from `sets` → re-adds)
-    DedupIndexStore.append(store, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(store, e2)
     val clean = freshStore()
     DedupIndexStore.build(clean, e1, n = 3, tJac = 0.8, tCont = 0.8)
-    DedupIndexStore.append(clean, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(clean, e2)
     val gotJ = pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8))
     val expJ = pairsOf(DedupIndexStore.pairsIncremental(clean, odd, 3, 0.8))
     assert(gotJ == expJ)

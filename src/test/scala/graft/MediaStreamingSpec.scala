@@ -174,6 +174,37 @@ class MediaStreamingSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet == oneShot)
   }
 
+  test("dedup index stream: served pair deltas union to the batch pair set, batch-keyed output") {
+    import graft.operators.{DedupIndexStore, TextDedup}
+    val docs = Tables.documents(spark, sfTiny)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_didxs").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/idx")
+    // index bootstrapped over the 0-mod-4 docs; stream delivers the rest
+    DedupIndexStore.build(store, docs.filter($"doc_id" % 4 === 0),
+      n = 3, tJac = 0.8, tCont = 0.8)
+    val docsDir = s"$tmp/arrivals"
+    docs.filter($"doc_id" % 4 === 2).write.mode("append").parquet(docsDir)
+    Streams.dedupIndexStream(spark, docsDir, store, s"$tmp/pairs", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(docsDir)
+    Streams.dedupIndexStream(spark, docsDir, store, s"$tmp/pairs", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    // bootstrap pairs ∪ every served delta == one-shot pairs over it all
+    val bootstrap = TextDedup.prefixFilterPairs(
+        docs.filter($"doc_id" % 4 === 0), 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val served = spark.read.parquet(s"$tmp/pairs")
+      .select($"id_a", $"id_b", $"jac_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = TextDedup.jaccardPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert((bootstrap ++ served) == oneShot,
+      s"missing: ${oneShot.diff(bootstrap ++ served)}; extra: ${(bootstrap ++ served).diff(oneShot)}")
+    assert(served.nonEmpty, "no served deltas — vacuous")
+    // every indexed doc is in the sets table exactly once
+    assert(store.read("sets").count() == docs.count())
+  }
+
   test("containment stream: decision state tracks batch d20 across micro-batches") {
     import graft.operators.TextDedup
     val docs = Tables.documents(spark, sfTiny)

@@ -278,6 +278,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("d23/d24: every corpus-file scan in the indexed serve plan is batch-filtered") {
+    // the whole point of DedupIndexStore: per-batch work is batch-sized.
+    // Structurally: every FileScan over documents.parquet carries the
+    // batch predicate pushed into the scan (the corpus as a whole is
+    // never read — only stored index tables are), and index-table scans
+    // are present.
+    for (name <- Seq("d23_indexed_pairs", "d24_indexed_containment")) {
+      val p = planOf(q(name))
+      val docScanLines = p.split("\n").filter(l =>
+        l.contains("FileScan") && l.contains("documents.parquet"))
+      assert(docScanLines.nonEmpty, s"$name:\n$p")
+      docScanLines.foreach { l =>
+        assert(l.contains("% 2) = 1"), s"$name: unfiltered corpus scan:\n$l")
+      }
+      assert(p.contains("graft-dedup-state"), s"$name: no index-table scan\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
   test("dq3: cumulative windows run over value-domain aggregates, not doc rows") {
     val df = q("dq3_ks_drift")
     val p = planOf(df)
