@@ -23,6 +23,54 @@ import org.apache.spark.sql.types._
   */
 object TextQuality {
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
+    * filter set Dolma/RedPajama/FineWeb re-use): per-doc integer metrics
+    * and one boolean per published rule, plus the conjunction. Distinct
+    * from `TextStats.qualityMetrics` (t2), which is a SCORE — this is the
+    * hard-rule REJECTOR a pretraining pipeline runs first.
+    *
+    * All ratios are integer permille computed by the identical double op
+    * sequence on both engines (floor(x·1000/y)), so the DuckDB oracle
+    * hash-matches exactly. One narrow pass, no shuffle, no UDF.
+    *
+    * Rules kept engine-side (line-structure rules need newline-bearing
+    * corpora; the synthetic docs are single-line so those would be
+    * constant-true here):
+    *   r_words:  50 ≤ n_words ≤ 100 000
+    *   r_len:    3 ≤ mean word length ≤ 10
+    *   r_symbol: symbol-to-word ratio (#, …) < 0.1
+    *   r_alpha:  ≥ 80 % of words contain a letter
+    *   r_stop:   ≥ 2 stopwords of the 8-word probe list
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = split(TextDedup.normalizeText(col("text")), " ")
+    val nWords = size(toks).cast(LongType)
+    val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)),
+      lit(0L), (a, b) => a + b)
+    val meanLenMilli = floor(sumLen.cast(DoubleType) * 1000d / nWords.cast(DoubleType))
+    val nSymbols = regexp_count(col("text"), lit("[#…]")).cast(LongType)
+    val symbolPermille = floor(nSymbols.cast(DoubleType) * 1000d / nWords.cast(DoubleType))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
+    val alphaPermille = floor(nAlpha.cast(DoubleType) * 1000d / nWords.cast(DoubleType))
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+    val nStop = size(filter(toks, t => t.isInCollection(stops))).cast(LongType)
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        meanLenMilli.cast(LongType).as("mean_word_len_milli"),
+        symbolPermille.cast(LongType).as("symbol_permille"),
+        alphaPermille.cast(LongType).as("alpha_permille"),
+        nStop.as("n_stopwords"))
+      .withColumn("r_words",
+        (col("n_words") >= 50L && col("n_words") <= 100000L).cast(LongType))
+      .withColumn("r_len", (col("mean_word_len_milli") >= 3000L &&
+        col("mean_word_len_milli") <= 10000L).cast(LongType))
+      .withColumn("r_symbol", (col("symbol_permille") < 100L).cast(LongType))
+      .withColumn("r_alpha", (col("alpha_permille") >= 800L).cast(LongType))
+      .withColumn("r_stop", (col("n_stopwords") >= 2L).cast(LongType))
+      .withColumn("passes", (col("r_words") === 1L && col("r_len") === 1L &&
+        col("r_symbol") === 1L && col("r_alpha") === 1L &&
+        col("r_stop") === 1L).cast(LongType))
+  }
+
   /** Per-document cross-entropy (avg negative log-prob, nats) under an
     * add-one-smoothed trigram LM trained on the corpus itself:
     * P(w3|w1 w2) = (c(w1 w2 w3) + 1) / (c(w1 w2 ·) + V).

@@ -40,6 +40,40 @@ object QualityQueries {
 
   val all: Map[String, Q] = Map(
 
+    // Gopher hard-rule quality gate (the rejector a pretraining pipeline
+    // runs before any scoring): per-doc integer metrics + one flag per
+    // published rule + the conjunction. Line-structure rules are omitted
+    // engine-side (single-line synthetic corpus — they'd be constant).
+    "t22_gopher_rules" -> Q(
+      (s, d) => TextQuality.gopherRules(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH m AS (SELECT doc_id, text, string_split($normSql, ' ') AS toks
+          FROM documents),
+        r AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(FLOOR(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            * 1000 / len(toks)) AS BIGINT) AS mean_word_len_milli,
+          CAST(FLOOR(CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+            * 1000 / len(toks)) AS BIGINT) AS symbol_permille,
+          CAST(FLOOR(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+            * 1000 / len(toks)) AS BIGINT) AS alpha_permille,
+          CAST(len(list_filter(toks, x -> list_contains(
+            ['the','a','and','of','to','in','is','on'], x))) AS BIGINT) AS n_stopwords
+          FROM m)
+        SELECT doc_id, n_words, mean_word_len_milli, symbol_permille,
+          alpha_permille, n_stopwords,
+          CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_words,
+          CAST(mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000 AS BIGINT) AS r_len,
+          CAST(symbol_permille < 100 AS BIGINT) AS r_symbol,
+          CAST(alpha_permille >= 800 AS BIGINT) AS r_alpha,
+          CAST(n_stopwords >= 2 AS BIGINT) AS r_stop,
+          CAST(n_words >= 50 AND n_words <= 100000
+            AND mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000
+            AND symbol_permille < 100 AND alpha_permille >= 800
+            AND n_stopwords >= 2 AS BIGINT) AS passes
+        FROM r ORDER BY doc_id"""),
+      "Gopher rule-based quality gate: integer metrics, per-rule flags, conjunction"),
+
     // Per-doc LM cross-entropy — the perplexity quality gate (CCNet
     // doctrine): low avg_nlp = templated/duplicated text, high = noise.
     "t15_lm_score" -> Q(

@@ -185,6 +185,32 @@ class QualitySpec extends SparkTestBase {
     assert(rep == recount)
   }
 
+  test("gopher rules: each rule fires correctly on constructed docs; gate non-constant on corpus") {
+    val crafted = Seq(
+      // 60 words incl 2 stopwords, mean len ~3 → passes everything
+      (1L, (Seq.fill(58)("word") ++ Seq("the", "a")).mkString(" ")),
+      (2L, "too short the a"),                           // fails r_words
+      (3L, (Seq.fill(60)("word")).mkString(" ")),        // fails r_stop
+      (4L, (Seq.fill(58)("xy") ++ Seq("the", "a")).mkString(" ")), // mean len 2.07 → fails r_len
+      (5L, (Seq.fill(29)("# #") ++ Seq("the a")).mkString(" ")), // symbol-heavy → fails r_symbol
+      (6L, (Seq.fill(58)("42") ++ Seq("the", "a")).mkString(" "))  // digits → fails r_alpha
+    ).toDF("doc_id", "text")
+    val got = TextQuality.gopherRules(crafted)
+      .select($"doc_id", $"r_words", $"r_len", $"r_symbol", $"r_alpha", $"r_stop", $"passes")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(got(2L)._1 == 0L && got(2L)._6 == 0L)
+    assert(got(3L)._5 == 0L && got(3L)._6 == 0L)
+    assert(got(4L)._2 == 0L && got(4L)._6 == 0L)
+    assert(got(5L)._3 == 0L && got(5L)._6 == 0L)
+    assert(got(6L)._4 == 0L && got(6L)._6 == 0L)
+    // and on the real corpus the gate must split, not rubber-stamp
+    val corpus = TextQuality.gopherRules(Tables.documents(spark, sfTiny))
+      .groupBy($"passes").count().as[(Long, Long)].collect().toMap
+    assert(corpus.keySet == Set(0L, 1L), s"gate is constant: $corpus")
+  }
+
   test("ks drift: identical sources → 0, disjoint supports → 500000") {
     val same = ((1 to 50).map(i => ("a", 10L + i % 5)) ++
       (1 to 50).map(i => ("b", 10L + i % 5)))
