@@ -377,6 +377,67 @@ object EndToEndQueries {
     // come from the shingle postings join (never n²  against docs that
     // share nothing); both rankings finish in partial WindowGroupLimit;
     // the agreement join is k-bounded.
+    // THE PRETRAINING FRONT DOOR composed end-to-end: near-dup keep
+    // (cluster labels SERVED FROM STORED STATE — ensureClusters, the
+    // deployment shape shared with d13/d19) → Gopher hard-rule gate
+    // (t22) → per-language corpus accounting. The oracle replays the
+    // recursive-CTE closure AND the full rule arithmetic, so a hash
+    // match certifies the dedup ∘ gate composition, not the stages.
+    "e2e10_pretrain_frontdoor" -> Q(
+      (s, d) => {
+        import graft.operators.{TextDedup, TextQuality}
+        val docs = Tables.documents(s, d)
+        val clusters = TextDedup.ensureClusters(s, d, docs,
+          n = 3, minJaccard = 0.8, tag = "full")
+        val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        val kept = docs.join(drop, Seq("doc_id"), "left_anti")
+        TextQuality.gopherRules(kept).filter(col("passes") === 1L)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("total_words"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        clus AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+        keptd AS (SELECT doc_id, lang, text, string_split($normSql2, ' ') AS tk
+          FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)),
+        r AS (SELECT doc_id, lang,
+          CAST(len(tk) AS BIGINT) AS n_words,
+          CAST(FLOOR(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+            * 1000 / len(tk)) AS BIGINT) AS mean_word_len_milli,
+          CAST(FLOOR(CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+            * 1000 / len(tk)) AS BIGINT) AS symbol_permille,
+          CAST(FLOOR(CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+            * 1000 / len(tk)) AS BIGINT) AS alpha_permille,
+          CAST(len(list_filter(tk, x -> list_contains(
+            ['the','a','and','of','to','in','is','on'], x))) AS BIGINT) AS n_stopwords
+          FROM keptd)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS total_words, MIN(doc_id) AS min_doc
+        FROM r
+        WHERE n_words >= 50 AND n_words <= 100000
+          AND mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000
+          AND symbol_permille < 100 AND alpha_permille >= 800
+          AND n_stopwords >= 2
+        GROUP BY lang ORDER BY lang"""),
+      "pretraining front door: stored-state dedup keep → Gopher gate → corpus accounting"),
+
     "e2e9_retrieval_eval" -> Q(
       (s, d) => {
         import graft.operators.{Similarity, TextDedup}
