@@ -47,13 +47,22 @@ object ScalingProbe {
       val prevCont = TextDedup.containmentKeep(corpus, 3, 0.8).cache()
       prevCont.count()
       // warm (JIT + codegen) then time the per-batch stages
+      // the indexed serve path (d23/d24): corpus state persisted once,
+      // built here untimed — the state an indexed deployment already has
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_probe_idx").toString
+      val idx = new graft.etl.ParquetTableStore(spark, idxDir)
+      graft.operators.DedupIndexStore.build(idx, corpus, 3, 0.8, 0.8)
       val stages = Seq[(String, () => Unit)](
         "d12_pairs" -> (() => noop(
           TextDedup.prefixFilterPairsIncremental(corpus, batch, 3, 0.8))),
         "d13_clusters" -> (() => noop(TextDedup.ccIncremental(prevLabels,
           TextDedup.prefixFilterPairsIncremental(corpus, batch, 3, 0.8)))),
         "d21_d22_containment" -> (() => noop(
-          TextDedup.containmentKeepIncremental(prevCont, corpus, batch, 3, 0.8))))
+          TextDedup.containmentKeepIncremental(prevCont, corpus, batch, 3, 0.8))),
+        "d23_indexed_pairs" -> (() => noop(
+          graft.operators.DedupIndexStore.pairsIncremental(idx, batch, 3, 0.8))),
+        "d24_indexed_cont" -> (() => noop(
+          graft.operators.DedupIndexStore.containmentIncremental(idx, batch, 3, 0.8))))
       val out = stages.map { case (name, f) =>
         f() // warmup
         name -> (1 to 2).map(_ => time(f())).min
