@@ -13,15 +13,21 @@ import graft.marts.Views
   *   load <layerRoot> <csvPath> [--source S] ingest a values file into raw
   *   check <layerRoot>                       layer/mart health counts
   *   analyze <layerRoot>                     column profile + expectations
-  *   dedup <docs> <out> [--threshold T] [--exact]  corpus near-dup removal
+  *   dedup <docs> <out> [--threshold T] [--exact] [--indexed]
+  *                                           corpus near-dup removal;
+  *                                           --indexed also persists the
+  *                                           prefix index beside the state
   *   dedup <docs> <out> --containment [--threshold T]
   *                                           drop excerpts of larger docs
   *   dedup <docs> <out> --containment --incremental <new> [--threshold T]
   *                                           merge a batch's containment
   *                                           decisions into stored state
-  *   dedup <docs> <out> --incremental <new> [--threshold T]
+  *   dedup <docs> <out> --incremental <new> [--threshold T] [--indexed]
   *                                           merge a new batch's near-dups
-  *                                           into an existing dedup state
+  *                                           into an existing dedup state;
+  *                                           --indexed serves the delta
+  *                                           from the persisted prefix
+  *                                           index and absorbs the batch
   *   dedup <docs> <out> --spans [--scrub] [--n N]
   *                                           duplicated-span report (and
   *                                           scrubbed corpus rebuild)
@@ -92,7 +98,8 @@ object Main {
       case "dedup" :: docs :: out :: rest if rest.contains("--incremental") =>
         dedupIncremental(spark, docs, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
-          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
+          rest.contains("--indexed"))
       case "dedup" :: docs :: out :: rest if rest.contains("--containment") =>
         dedupContainment(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
@@ -103,7 +110,7 @@ object Main {
       case "dedup" :: docs :: out :: rest =>
         dedup(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
-          rest.contains("--exact"))
+          rest.contains("--exact"), rest.contains("--indexed"))
       case "semdedup" :: emb :: out :: rest if rest.contains("--incremental") =>
         semdedupIncremental(spark, emb, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
@@ -351,8 +358,8 @@ object Main {
     * and `<out>/kept` (the surviving corpus); returns the kept count.
     */
   def dedup(spark: SparkSession, docsPath: String, out: String,
-      threshold: Double, exact: Boolean): Long = {
-    import graft.operators.TextDedup
+      threshold: Double, exact: Boolean, indexed: Boolean = false): Long = {
+    import graft.operators.{DedupIndexStore, TextDedup}
     val store = new ParquetTableStore(spark, out)
     val docs = spark.read.parquet(docsPath)
     val pairs =
@@ -365,11 +372,18 @@ object Main {
       .select(col("doc_id"))
     store.stage("kept", docs.join(drop, Seq("doc_id"), "left_anti"))
     store.commitStaged(Seq("clusters", "kept"))
+    // --indexed: persist the prefix index beside the cluster state so
+    // every later --incremental --indexed batch is served corpus-free
+    // (its own group commit; an index crash never tears clusters/kept)
+    if (indexed)
+      DedupIndexStore.build(new ParquetTableStore(spark, s"$out/pidx"),
+        docs, n = 3, tJac = threshold, tCont = threshold)
     val nTotal = docs.count()
     val nKept = store.read("kept").count()
     println(s"[graft] dedup: $nTotal docs -> $nKept kept " +
       s"(${nTotal - nKept} near-dups dropped, threshold $threshold, " +
-      s"${if (exact) "exact" else "prefix-filter"} pair path)")
+      s"${if (exact) "exact" else "prefix-filter"} pair path" +
+      s"${if (indexed) ", prefix index persisted" else ""})")
     nKept
   }
 
@@ -552,16 +566,31 @@ object Main {
     * read (prev labels) and replaced (merged labels) safely in one run.
     */
   def dedupIncremental(spark: SparkSession, existingPath: String, out: String,
-      newPath: String, threshold: Double): Long = {
-    import graft.operators.TextDedup
+      newPath: String, threshold: Double, indexed: Boolean = false): Long = {
+    import graft.operators.{DedupIndexStore, TextDedup}
     val store = new ParquetTableStore(spark, out)
     require(store.exists("clusters"),
       s"no $out/clusters — run batch `dedup` on the existing corpus first")
     val existing = spark.read.parquet(existingPath)
     val incoming = spark.read.parquet(newPath)
     val prev = store.read("clusters")
-    val delta = TextDedup.prefixFilterPairsIncremental(
-      existing, incoming, n = 3, minJaccard = threshold)
+    // --indexed: the delta comes from the persisted prefix index (zero
+    // corpus-sized work; `dedup --indexed` built it) instead of the
+    // from-scratch incremental join. Final pairs are EQUAL either way
+    // (frozen-order recall + exact verification), so downstream state
+    // is identical — AppAndSinksSpec pins the two paths against each
+    // other and against the one-shot.
+    val idxStore =
+      if (indexed) { val s = new ParquetTableStore(spark, s"$out/pidx")
+        require(DedupIndexStore.tables.forall(s.exists),
+          s"--indexed needs $out/pidx — run batch `dedup ... --indexed` first")
+        Some(s) }
+      else None
+    val delta = idxStore match {
+      case Some(idx) => DedupIndexStore.pairsIncremental(idx, incoming, n = 3, threshold)
+      case None => TextDedup.prefixFilterPairsIncremental(
+        existing, incoming, n = 3, minJaccard = threshold)
+    }
     // clusters + kept publish as ONE journaled group commit (see
     // dedupContainmentIncremental) — no torn pair across a crash
     val merged = store.stage("clusters", TextDedup.ccIncremental(prev, delta))
@@ -570,10 +599,15 @@ object Main {
     store.stage("kept",
       existing.unionByName(incoming).join(drop, Seq("doc_id"), "left_anti"))
     store.commitStaged(Seq("clusters", "kept"))
+    // absorb AFTER the state commit: a crash in between replays cleanly
+    // (re-merge of the same delta is idempotent; the sets guard skips
+    // the already-absorbed case on the other ordering)
+    idxStore.foreach(DedupIndexStore.append(_, incoming))
     val nTotal = existing.count() + incoming.count()
     val nKept = store.read("kept").count()
     println(s"[graft] dedup --incremental: $nTotal docs -> $nKept kept " +
-      s"(threshold $threshold, delta-only pair generation)")
+      s"(threshold $threshold, " +
+      s"${if (indexed) "index-served" else "delta-only"} pair generation)")
     nKept
   }
 

@@ -114,6 +114,39 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(incKept == fullKept && incKept.nonEmpty)
   }
 
+  test("CLI dedup --indexed: index-served incremental equals plain incremental and one-shot") {
+    val docsPath = s"$sfTiny/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val tmp = Files.createTempDirectory("graft_incx").toString
+    docs.filter($"doc_id" % 4 === 0).write.parquet(s"$tmp/b0")
+    docs.filter($"doc_id" % 4 === 2).write.parquet(s"$tmp/b1")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$tmp/b01") // accumulated after day 2
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$tmp/b2")
+    // day 1 builds state + index; days 2 and 3 are served from the index
+    // (the second serve exercises serve-after-absorb against a GROWN index)
+    val out = s"$tmp/out"
+    graft.app.Main.route(spark,
+      List("dedup", s"$tmp/b0", out, "--indexed"))
+    graft.app.Main.route(spark, List("dedup", s"$tmp/b0", out,
+      "--incremental", s"$tmp/b1", "--indexed"))
+    val nInc = graft.app.Main.dedupIncremental(
+      spark, s"$tmp/b01", out, s"$tmp/b2", 0.8, indexed = true)
+    val outFull = Files.createTempDirectory("graft_incx_full").toString
+    val nFull = graft.app.Main.dedup(spark, docsPath, outFull, 0.8, exact = false)
+    assert(nInc == nFull, s"indexed incremental kept $nInc, batch kept $nFull")
+    val incClusters = spark.read.parquet(s"$out/clusters")
+      .as[(Long, Long)].collect().toMap
+    val fullClusters = spark.read.parquet(s"$outFull/clusters")
+      .as[(Long, Long)].collect().toMap
+    assert(incClusters == fullClusters,
+      "index-served cluster state drifted from one-shot")
+    val incKept = spark.read.parquet(s"$out/kept").select($"doc_id")
+      .as[Long].collect().toSet
+    val fullKept = spark.read.parquet(s"$outFull/kept").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(incKept == fullKept && incKept.nonEmpty)
+  }
+
   test("CLI semdedup --incremental: frozen cells make two batches equal one") {
     val emb = Tables.embeddings(spark, sfTiny)
     val evenP = Files.createTempDirectory("graft_sd_b0").toString + "/emb"
