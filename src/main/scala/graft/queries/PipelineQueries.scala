@@ -1021,6 +1021,48 @@ object PipelineQueries {
         WHERE token != '' GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
       "exact top-k vocabulary extraction"),
 
+    // BPE training, iteration 0: adjacent symbol pairs over the DISTINCT
+    // word-frequency table (vocabulary-sized — the real trainers' shape;
+    // the corpus is walked exactly once, by the wordFreq agg).
+    "bpe1_pair_counts" -> Q(
+      (s, d) => graft.operators.Bpe.pairCounts(Tables.documents(s, d), 40),
+      Some(s"""WITH wf AS (SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY w),
+        p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+          FROM wf, UNNEST(range(1, length(w))) t(i))
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 40"""),
+      "BPE iteration 0: corpus-weighted adjacent-pair counts over distinct words"),
+
+    // BPE training, one merge iteration: the best pair rewrites to a
+    // single symbol in every word (left-to-right non-overlapping — the
+    // BPE contract) and pairs are recounted. The best pair is a 1-row
+    // broadcast aggregate, not driver logic; per-iteration work is
+    // vocabulary-sized. A hash match certifies count → argmax-with-
+    // tie-break → rewrite → recount end-to-end.
+    "bpe2_merge_step" -> Q(
+      (s, d) => graft.operators.Bpe.mergeStep(Tables.documents(s, d), 40),
+      Some(s"""WITH wf AS (SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY w),
+        p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+          FROM wf, UNNEST(range(1, length(w))) t(i)),
+        pc AS (SELECT pair, SUM(freq) AS n FROM p GROUP BY pair),
+        best AS (SELECT pair AS merged_pair, n AS merged_n FROM pc
+          ORDER BY n DESC, pair LIMIT 1),
+        rw AS (SELECT replace(w, merged_pair, '§') AS w, freq,
+            merged_pair, merged_n
+          FROM wf CROSS JOIN best),
+        p2 AS (SELECT merged_pair, merged_n,
+            substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+          FROM rw, UNNEST(range(1, length(w))) t(i)
+          WHERE length(w) >= 2)
+        SELECT merged_pair, CAST(merged_n AS BIGINT) AS merged_n, pair,
+          CAST(SUM(freq) AS BIGINT) AS n
+        FROM p2 GROUP BY 1, 2, 3 ORDER BY n DESC, pair LIMIT 40"""),
+      "BPE merge iteration: broadcast best pair, rewrite, recount — all vocab-sized"),
+
     // Per-label embedding centroids (the "domain centroid" a curation
     // pipeline scores documents against): element-wise mean via the a18
     // sufficient-statistics discipline — exact DECIMAL sums per

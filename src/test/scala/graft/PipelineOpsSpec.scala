@@ -950,6 +950,26 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bpe merge step: argmax tie-break, non-overlapping rewrite, exact recount") {
+    import graft.operators.Bpe
+    // 'abab'×3: pairs ab=6(2 per word), ba=3; plus 'aaaa'×1: aa counts
+    // non-overlapping? NO — pair COUNTING slides over every adjacent
+    // position (aa appears 3× in 'aaaa'); only the REWRITE is
+    // non-overlapping ('aaaa' → '§§', 'abab' → '§§').
+    val docs = Seq(
+      (1L, "abab abab abab aaaa")).toDF("doc_id", "text")
+    val pc = Bpe.pairCounts(docs, 10).as[(String, Long)].collect().toList
+    assert(pc.head == ("ab", 6L), s"got $pc")
+    assert(pc.contains(("aa", 3L)) && pc.contains(("ba", 3L)))
+    val ms = Bpe.mergeStep(docs, 10)
+      .select($"merged_pair", $"merged_n", $"pair", $"n")
+      .as[(String, Long, String, Long)].collect().toList
+    // best pair 'ab' merges; each 'abab' → '§§', 'aaaa' untouched
+    assert(ms.forall(r => r._1 == "ab" && r._2 == 6L))
+    val post = ms.map(r => r._3 -> r._4).toMap
+    assert(post == Map("§§" -> 3L, "aa" -> 3L), s"got $post")
+  }
+
   test("bloom prune never drops a matching key and prunes most non-matches") {
     import graft.operators.RuntimeFilter
     val fact = spark.range(0, 20000).select($"id".as("k"))
