@@ -63,5 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(children.length == 2, "graft_bbit_minhash(text, n)")
       BBitMinHashSig(children.head, litInt(children(1), "graft_bbit_minhash"))
     }
+    inject("graft_intersect_size") { children =>
+      require(children.length == 2, "graft_intersect_size(a, b)")
+      IntersectSize(children.head, children(1))
+    }
+
+    // size(array_intersect(a, b)) → intersect_size(a, b): kills the
+    // per-candidate-pair intersection-array allocation across the whole
+    // dedup/containment verify surface (see SetExpressions).
+    ext.injectOptimizerRule(_ => IntersectSizeRewrite)
   }
 }

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, BinaryExpression, Expression, If, IsNull, Literal, Or, Size}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** |set(a) ∩ set(b)| without materializing the intersection array.
+  *
+  * The dedup/containment verify stages compute
+  * `size(array_intersect(sh_a, sh_b))` per candidate pair —
+  * `ArrayIntersect` allocates an OpenHashSet AND a result ArrayData per
+  * row just so `Size` can read its length. With ~10⁵ candidates × ~200
+  * shingles per doc, that allocation is the verify hot path. This
+  * expression computes the count directly: one hash set from the smaller
+  * side, one membership sweep over the other, zero result allocation.
+  *
+  * Semantics match `size(array_intersect(a, b))` exactly (the rewrite
+  * rule below is only sound because of it):
+  *  - result = number of DISTINCT elements present in both arrays
+  *    (`array_intersect` dedupes; removing from the probe set dedupes
+  *    here);
+  *  - a null ELEMENT counts once iff both sides contain null;
+  *  - a null ARRAY on either side → null result (non-legacy `size`
+  *    returns null on null input; the rule does not fire under
+  *    spark.sql.legacy.sizeOfNull=true).
+  *
+  * Eval-only (CodegenFallback), like every engine sketch expression: one
+  * virtual call per row, tight JVM loops inside.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      // sameType (nullability-insensitive), or an empty-literal array<void>
+      // side — matching array_intersect's coerced surface
+      case (ArrayType(l, _), ArrayType(r, _))
+          if DataType.equalsStructurally(l, r, ignoreNullability = true) ||
+            l == NullType || r == NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"intersect_size needs two arrays of the same element type, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
+
+  @transient private lazy val elemType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    var build = a.asInstanceOf[ArrayData]
+    var probe = b.asInstanceOf[ArrayData]
+    if (probe.numElements() < build.numElements()) {
+      val t = build; build = probe; probe = t
+    }
+    val set = new java.util.HashSet[Any](Math.max(8, build.numElements() * 2))
+    var buildHasNull = false
+    var i = 0
+    while (i < build.numElements()) {
+      if (build.isNullAt(i)) buildHasNull = true
+      else set.add(build.get(i, elemType))
+      i += 1
+    }
+    var count = 0
+    var nullCounted = false
+    i = 0
+    while (i < probe.numElements()) {
+      if (probe.isNullAt(i)) {
+        if (buildHasNull && !nullCounted) { count += 1; nullCounted = true }
+      } else if (set.remove(probe.get(i, elemType))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: `size(array_intersect(a, b))` → `intersect_size(a, b)`
+  * wherever the intersection array itself is never used. Fires across the
+  * whole dedup/containment verify surface without touching caller code —
+  * registered via SparkSessionExtensions.injectOptimizerRule
+  * (GraftSession), PlanSpec asserts it fired in the verify plans.
+  *
+  * Both `size` null contracts are preserved: non-legacy size(null) is
+  * null (IntersectSize's own null propagation); legacy size(null) is -1
+  * — the engine's default, since ANSI is off — so that form rewrites to
+  * `if(isnull(a) or isnull(b), -1, intersect_size(a, b))`.
+  */
+object IntersectSizeRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ai: ArrayIntersect, false) =>
+        IntersectSize(ai.left, ai.right)
+      case Size(ai: ArrayIntersect, true) =>
+        If(Or(IsNull(ai.left), IsNull(ai.right)), Literal(-1),
+          IntersectSize(ai.left, ai.right))
+    }
+}

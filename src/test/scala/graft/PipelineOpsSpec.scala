@@ -950,6 +950,31 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("intersect_size semantics on every edge: dups, null elements, null/empty arrays") {
+    // `size(array_intersect(...))` below goes through the REWRITTEN path
+    // (IntersectSizeRewrite fires in this session), so asserting it
+    // against hand-computed expecteds pins the whole rewrite's semantics
+    // — element dedup, null elements equal to each other, the legacy
+    // -1-on-null-array contract — not just the raw expression's.
+    val cases = Seq(
+      "array('a','b','c'), array('b','c','d')" -> 2,
+      "array('a','a','b'), array('a','a','a')" -> 1,      // dedup
+      "array('a', NULL, 'b'), array(NULL, 'c')" -> 1,     // null elem both sides
+      "array('a', NULL), array('b')" -> 0,                // null elem one side
+      "array(), array('a')" -> 0,
+      "CAST(NULL AS ARRAY<STRING>), array('a')" -> -1,    // legacy size(null) = -1
+      "array(1, 2, 3), array(3, 4, 1)" -> 2)              // non-string elements
+    cases.foreach { case (c, want) =>
+      val got = spark.sql(s"SELECT size(array_intersect($c)) AS got").head().getInt(0)
+      assert(got == want, s"rewritten size(array_intersect($c)) = $got, want $want")
+    }
+    // the raw function itself propagates a null ARRAY as null (non-legacy)
+    assert(spark.sql(
+      "SELECT graft_intersect_size(CAST(NULL AS ARRAY<STRING>), array('a'))").head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT graft_intersect_size(array('a','b'), array('b'))").head().getInt(0) == 1)
+  }
+
   test("bpe merge step: argmax tie-break, non-overlapping rewrite, exact recount") {
     import graft.operators.Bpe
     // 'abab'×3: pairs ab=6(2 per word), ba=3; plus 'aaaa'×1: aa counts

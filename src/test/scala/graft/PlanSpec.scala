@@ -297,6 +297,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("verify stages run through intersect_size, not size(array_intersect)") {
+    // the IntersectSizeRewrite optimizer rule must fire across the dedup
+    // verify surface: no intersection array is ever materialized just to
+    // be counted.
+    for (name <- Seq("d11_prefix_pairs", "d23_indexed_pairs", "d24_indexed_containment")) {
+      val p = planOf(q(name))
+      assert(p.contains("intersectsize"), s"$name: rewrite did not fire\n$p")
+      assert(!p.contains("array_intersect"), s"$name: raw array_intersect survived\n$p")
+    }
+  }
+
   test("dq3: cumulative windows run over value-domain aggregates, not doc rows") {
     val df = q("dq3_ks_drift")
     val p = planOf(df)
