@@ -26,6 +26,68 @@ object PipelineQueries {
 
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** DuckDB replay of the BPE training chain (bpe3/bpe4 oracles): the
+    * word-frequency state as symbol LISTS, then per merge step j —
+    * pair counts (pj), deterministic best (bj), fold rewrite (sj). The
+    * list_reduce fold is the same LTR non-overlapping pass as
+    * Bpe.mergePass (see its doc for the equivalence argument). bj is
+    * LEFT JOINed so an exhausted chain (no pairs left) leaves the state
+    * unchanged instead of emptying it — mirroring the Scala loop's early
+    * stop.
+    */
+  private def bpeChainCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""wf AS (SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w),
+    s0 AS (SELECT list_transform(range(1, length(w) + 1),
+        i -> w[CAST(i AS INTEGER)]) AS syms, freq FROM wf)""")
+    for (j <- 1 to nMerges) {
+      val prev = s"s${j - 1}"
+      sb.append(s""",
+    p$j AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+        syms[CAST(i + 1 AS INTEGER)] AS r, SUM(freq) AS n
+      FROM $prev, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
+    b$j AS (SELECT l, r, n FROM p$j ORDER BY n DESC, l, r LIMIT 1),
+    s$j AS (SELECT CASE WHEN b.l IS NULL THEN syms ELSE
+        list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+            THEN acc[:-2] || [b.l || b.r] ELSE acc || x END) END AS syms, freq
+      FROM $prev LEFT JOIN b$j b ON TRUE)""")
+    }
+    sb.toString
+  }
+
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val union = (1 to nMerges).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS step, l, r, CAST(n AS BIGINT) AS n FROM b$j")
+      .mkString("\n      UNION ALL ")
+    s"""WITH ${bpeChainCtes(nMerges)}
+    SELECT step, l, r, n FROM ($union) ORDER BY step"""
+  }
+
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val encodeChain = (1 to nMerges).map { j =>
+      s"""e$j AS (SELECT w, CASE WHEN b.l IS NULL THEN syms ELSE
+        list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+            THEN acc[:-2] || [b.l || b.r] ELSE acc || x END) END AS syms
+      FROM e${j - 1} LEFT JOIN b$j b ON TRUE)"""
+    }.mkString(",\n    ")
+    s"""WITH ${bpeChainCtes(nMerges)},
+    dw AS (SELECT doc_id, w FROM (SELECT doc_id,
+        unnest(string_split($normSql, ' ')) AS w FROM documents)
+      WHERE length(w) >= 1),
+    e0 AS (SELECT w, list_transform(range(1, length(w) + 1),
+        i -> w[CAST(i AS INTEGER)]) AS syms FROM (SELECT DISTINCT w FROM dw)),
+    $encodeChain,
+    tok AS (SELECT w, len(syms) AS n_tok FROM e$nMerges)
+    SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(t.n_tok) * 1000 // COUNT(*) AS BIGINT) AS fertility_permille
+    FROM dw d JOIN tok t ON t.w = d.w
+    GROUP BY 1 ORDER BY doc_id"""
+  }
+
   val all: Map[String, Q] = Map(
 
     // ───── deduplication ─────
@@ -1062,6 +1124,30 @@ object PipelineQueries {
           CAST(SUM(freq) AS BIGINT) AS n
         FROM p2 GROUP BY 1, 2, 3 ORDER BY n DESC, pair LIMIT 40"""),
       "BPE merge iteration: broadcast best pair, rewrite, recount — all vocab-sized"),
+
+    // Full BPE training loop (round 7): nMerges merges over the
+    // vocabulary-sized symbol-array state (real multi-char symbols — the
+    // '§' single-char trick of bpe2 doesn't iterate). The oracle replays
+    // the ENTIRE loop in DuckDB as an unrolled CTE chain: per step, pair
+    // counts over list state → deterministic best → list_reduce fold
+    // rewrite (proven equal to LTR non-overlapping merging: a pass output
+    // l||r can never re-match as l). Hash-green = both engines agree on
+    // every merge decision AND every count, end to end.
+    "bpe3_train_merges" -> Q(
+      (s, d) => graft.operators.Bpe.trainMerges(Tables.documents(s, d), 6)
+        .orderBy(col("step")),
+      Some(bpeTrainOracle(6)),
+      "full BPE training: 6 merges, vocab-sized state, 1-row-per-step driver data"),
+
+    // Tokenizer APPLICATION: train 6 merges, encode the corpus, report
+    // per-doc token counts + fertility (tokens per 1000 words — the
+    // tokenizer-fit curation signal). Encoding cost is vocab-sized
+    // (distinct words only); docs join the encoded vocab broadcast.
+    "bpe4_encode_fertility" -> Q(
+      (s, d) => graft.operators.Bpe.encodeFertility(Tables.documents(s, d), 6)
+        .orderBy(col("doc_id")),
+      Some(bpeEncodeOracle(6)),
+      "BPE encode + per-doc fertility under the 6 trained merges"),
 
     // Per-label embedding centroids (the "domain centroid" a curation
     // pipeline scores documents against): element-wise mean via the a18

@@ -995,6 +995,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(post == Map("§§" -> 3L, "aa" -> 3L), s"got $post")
   }
 
+  test("bpe training loop: merge order, LTR non-overlapping pass, early stop, symbol aliasing") {
+    import graft.operators.Bpe
+    // hand-traced corpus: 'abab'×3 + 'aaaa'×2 (as two docs)
+    //   step 1: ab=6 beats aa=6? aa appears 3×/word ×2 words = 6; ab = 2×3 = 6.
+    //   TIE at 6 → lexicographic (l, r): (a,a) < (a,b) → merge (a,a) first.
+    //   'aaaa' → [aa, aa]; 'abab' unchanged.
+    //   step 2: ab=6 wins → 'abab' → [ab, ab].
+    //   step 3: remaining pairs: (aa,aa)=2, (ab,ab)=3, (b,a)... gone
+    //   ('abab' is now [ab, ab] so (b,a) no longer exists) → (ab,ab)=3.
+    val docs = Seq((1L, "abab abab abab"), (2L, "aaaa aaaa")).toDF("doc_id", "text")
+    val ms = Bpe.trainMergesList(docs, 3)
+    assert(ms == Seq((1L, "a", "a", 6L), (2L, "a", "b", 6L), (3L, "ab", "ab", 3L)),
+      s"got $ms")
+    // the merge pass is LTR non-overlapping: aaa -> [aa, a], not [aa, aa]
+    val pass = spark.range(1).select(
+      Bpe.mergePass(typedLit(Seq("a", "a", "a")), lit("a"), lit("a")).as("s"))
+      .head().getSeq[String](0)
+    assert(pass == Seq("aa", "a"), s"got $pass")
+    // early stop: a corpus that exhausts its pairs stops short of nMerges
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val short = Bpe.trainMergesList(tiny, 10)
+    assert(short == Seq((1L, "a", "b", 2L)), s"got $short")
+    // encode under the trained merges: token counts are exact
+    val rows = Bpe.encodeFertility(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 'abab' ×3 -> merges fold [a,b,a,b] -> [ab,ab] -> [abab]:
+    //   1 token/word -> 3 tokens, fertility 1000
+    // doc 2: 'aaaa' ×2 -> [aa, aa]: 2 tokens/word -> 4 tokens, 2000
+    assert(rows == Map(1L -> ((3L, 3L, 1000L)), 2L -> ((2L, 4L, 2000L))), s"got $rows")
+  }
+
   test("bloom prune never drops a matching key and prunes most non-matches") {
     import graft.operators.RuntimeFilter
     val fact = spark.range(0, 20000).select($"id".as("k"))
