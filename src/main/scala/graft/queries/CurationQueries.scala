@@ -24,7 +24,63 @@ object CurationQueries {
       grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS gram
         FROM toks, UNNEST(range(1, len(w) - ${n - 2})) AS t(i))"""
 
+  /** DuckDB replay of Dsir.importanceWeights (CTEs up to per-doc
+    * weights): hashed unigram+bigram features, add-one-smoothed bucket
+    * LLRs through one DECIMAL(18,6) ln each, exact decimal sums.
+    */
+  private val dsirWeightsCtes =
+    s"""w0 AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, g FROM
+        (SELECT doc_id, unnest(w) AS g FROM w0) WHERE length(g) > 0
+      UNION ALL
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+        FROM w0, UNNEST(range(1, len(w))) t(i)),
+    f AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(g), 1, 4)) AS BIGINT) % 4096 AS bucket
+      FROM g),
+    tc AS (SELECT bucket, COUNT(*) AS c_t FROM f
+      WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+      GROUP BY 1),
+    rc AS (SELECT bucket, COUNT(*) AS c_r FROM f GROUP BY 1),
+    nt AS (SELECT SUM(c_t) AS n_t FROM tc),
+    nr AS (SELECT SUM(c_r) AS n_r FROM rc),
+    lnr AS (SELECT rc.bucket,
+        CAST(ln(((COALESCE(tc.c_t, 0) + 1)::DOUBLE / (rc.c_r + 1)) *
+          ((nr.n_r + 4096)::DOUBLE / (nt.n_t + 4096))) AS DECIMAL(18, 6)) AS lnr6
+      FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket CROSS JOIN nt CROSS JOIN nr),
+    wts AS (SELECT f.doc_id, COUNT(*) AS n_feats,
+        CAST(SUM(lnr6) * 1000000 AS BIGINT) AS weight_micro
+      FROM f JOIN lnr ON lnr.bucket = f.bucket GROUP BY 1)"""
+
   val all: Map[String, Q] = Map(
+
+    // DSIR (Xie et al. 2023): importance weights of every raw doc against
+    // the lang='en' target slice, under add-one-smoothed bag-of-hashed-
+    // ngram models (B=4096 buckets, unigrams+bigrams). The corpus-sized
+    // stages are one narrow feature explode and one doc_id aggregation;
+    // the ratio table is B-bounded and broadcast.
+    "dsir1_importance_weights" -> Q(
+      (s, d) => graft.operators.Dsir.importanceWeights(
+          Tables.documents(s, d), col("lang") === "en")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $dsirWeightsCtes
+        SELECT doc_id, n_feats, weight_micro FROM wts ORDER BY doc_id"""),
+      "DSIR importance weights: hashed-ngram LLR of raw docs vs the lang='en' target"),
+
+    // The resampling step: Gumbel top-k over the log weights with
+    // deterministic content-hash uniforms — a without-replacement sample
+    // ∝ importance weight, reproducible across engines and runs. TakeOrdered,
+    // never a global sort.
+    "dsir2_importance_resample" -> Q(
+      (s, d) => graft.operators.Dsir.resample(
+          Tables.documents(s, d), col("lang") === "en", k = 100)
+        .orderBy(col("key_micro").desc, col("doc_id")),
+      Some(s"""WITH $dsirWeightsCtes
+        SELECT doc_id, weight_micro, weight_micro + CAST(FLOOR(-ln(-ln(
+            (CAST(concat('0x', substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) + 0.5) / 65536.0)) * 1000000.0) AS BIGINT) AS key_micro
+        FROM wts ORDER BY key_micro DESC, doc_id LIMIT 100"""),
+      "DSIR Gumbel top-k resample (k=100) — deterministic hash uniforms"),
 
     // Benchmark decontamination: training docs sharing a word 4-gram with
     // the held-out set (doc_id ≡ 0 mod 97 stands in for the benchmark

@@ -131,4 +131,34 @@ class CurationSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
   }
+
+  test("DSIR: target docs score higher, resampling enriches the target slice") {
+    import graft.operators.Dsir
+    val docs = Tables.documents(spark, sfTiny)
+    val isEn = col("lang") === "en"
+    val w = Dsir.importanceWeights(docs, isEn).join(
+      docs.select(col("doc_id"), isEn.as("is_t")), Seq("doc_id")).cache()
+    // separation: the mean log importance weight of target docs must
+    // exceed the non-target mean — the LLR models score their own slice
+    // higher by construction unless the feature hash destroyed signal
+    val means = w.groupBy(col("is_t")).agg(avg(col("weight_micro")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"target mean ${means(true)} must beat raw mean ${means(false)}")
+    // the resample enriches the target fraction above its base rate
+    val baseRate = docs.filter(isEn).count().toDouble / docs.count()
+    val sample = Dsir.resample(docs, isEn, k = 100)
+      .join(docs.select(col("doc_id"), isEn.as("is_t")), Seq("doc_id"))
+    val sampleRate = sample.filter(col("is_t")).count() / 100.0
+    assert(sampleRate > baseRate,
+      f"sample target-rate $sampleRate%.2f must beat base rate $baseRate%.2f")
+    // deterministic: two invocations agree exactly (hash-derived uniforms)
+    val again = Dsir.resample(docs, isEn, k = 100).collect().map(_.getLong(0)).toSet
+    assert(again == sample.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+    // scale contract: the ratio table is broadcast, the top-k is a
+    // TakeOrdered — never a global sort of the corpus
+    val plan = Dsir.resample(docs, isEn, k = 100).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$plan")
+    w.unpersist()
+  }
 }
