@@ -306,4 +306,62 @@ object Similarity {
     }
     spark.read.parquet(path)
   }
+
+  /** Benchmark vectors collected to the driver — bounded by construction
+    * (an eval benchmark is hundreds-to-thousands of vectors, KB–MB; the
+    * same shape as the k-means centroid collects). Sorted by vec_id for
+    * a deterministic literal.
+    */
+  def collectBenchmark(bench: DataFrame): Array[Array[Double]] =
+    bench.select(col("vec_id"), asDouble(col("embedding")))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Embedding-space decontamination (the semantic sibling of ct1's
+    * n-gram overlap): per corpus vector, the max cosine against a
+    * benchmark set carried as ONE array-of-(vector, |v|²) literal — so
+    * the scan is a single narrow pass with zero join and zero shuffle,
+    * and the plan holds one literal VALUE, not one expression per
+    * benchmark vector (the plan-size discipline from NOTES.md). Corpus
+    * norms are computed once per row; flagged rows are those a trainer
+    * must drop before pretraining to keep the benchmark honest.
+    */
+  def semanticContamination(corpus: DataFrame, bench: Array[Array[Double]],
+      minCos: Double): DataFrame = {
+    val benchLit = typedLit(bench.map(b => (b.toSeq, b.map(x => x * x).sum)).toSeq)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", norm2(col("v")))
+      .withColumn("mx", array_max(transform(benchLit,
+        b => dot(col("v"), b.getField("_1")) / sqrt(col("n2") * b.getField("_2")))))
+      .select(col("vec_id"),
+        col("mx").cast(DecimalType(18, 6)).cast(DoubleType).as("max_cos"),
+        (col("mx") >= minCos).cast(LongType).as("contaminated"))
+  }
+
+  /** SSL-prototypes curation (Sorscher et al. 2022): rank each vector by
+    * cosine to its OWN label centroid (exact decimal-mean centroids —
+    * emb2's machinery) and keep the `m` most prototypical per label.
+    * Centroids travel as one map literal (labels × dim doubles — KB), so
+    * scoring is a narrow pass; the per-label top-m plans as a
+    * WindowGroupLimit (partial limit before the shuffle, like ann1).
+    * Ranking is on the DECIMAL(18,6)-rounded cosine with a vec_id
+    * tiebreak — deterministic across engines and partitionings.
+    */
+  def labelPrototypes(embeddings: DataFrame, m: Int): DataFrame = {
+    val cents = labelCentroids(embeddings)
+    val centMap = typedLit(cents.map { case (l, c) =>
+      l -> (c.toSeq, c.map(x => x * x).sum)
+    }.toMap)
+    val e = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", norm2(col("v")))
+      .withColumn("c", element_at(centMap, col("label")))
+      .withColumn("cos", (dot(col("v"), col("c").getField("_1")) /
+          sqrt(col("n2") * col("c").getField("_2")))
+        .cast(DecimalType(18, 6)).cast(DoubleType))
+    val w = Window.partitionBy(col("label")).orderBy(col("cos").desc, col("vec_id"))
+    e.withColumn("rk", row_number().over(w)).filter(col("rk") <= m)
+      .select(col("label"), col("vec_id"), col("cos"),
+        col("rk").cast(LongType).as("rk"))
+  }
 }

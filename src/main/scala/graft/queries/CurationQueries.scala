@@ -279,5 +279,99 @@ object CurationQueries {
               ON sl.source = g.source AND sl.lang = g.lang)
         SELECT source, CAST(SUM(dev) AS BIGINT) AS drift_permille
         FROM q GROUP BY source ORDER BY source"""),
-      "per-source language-mix drift vs corpus, exact integer permille"))
+      "per-source language-mix drift vs corpus, exact integer permille"),
+
+    // Embedding-space decontamination — the semantic sibling of ct1:
+    // benchmark vectors (label 9 = the held-out eval set) ride along as
+    // ONE array literal (KB), so the corpus scan is a single narrow pass
+    // with zero join/shuffle; max_cos ≥ τ flags docs to drop before
+    // pretraining. ct1 catches verbatim leakage; this catches
+    // paraphrased leakage n-grams miss.
+    "ct2_semantic_decontaminate" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val bench = graft.operators.Similarity.collectBenchmark(
+          emb.where(col("label") === 9))
+        graft.operators.Similarity.semanticContamination(
+            emb.where(col("label") =!= 9), bench, minCos = 0.35)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH bench AS (
+          SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE label = 9),
+        corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE label <> 9),
+        m AS (SELECT c.vec_id, MAX(list_cosine_similarity(c.v, b.b)) AS mx
+          FROM corpus c CROSS JOIN bench b GROUP BY 1)
+        SELECT vec_id, CAST(CAST(mx AS DECIMAL(18,6)) AS DOUBLE) AS max_cos,
+          CAST(mx >= 0.35 AS BIGINT) AS contaminated
+        FROM m ORDER BY vec_id"""),
+      "embedding-space decontamination: max benchmark cosine per corpus vector"),
+
+    // SSL-prototypes curation (Sorscher et al. 2022 data-pruning): keep
+    // the m most centroid-prototypical vectors per label. Centroids are
+    // emb2's exact decimal means; ranking is on the 1e-6-rounded cosine
+    // with a vec_id tiebreak, so the kept set is deterministic across
+    // engines and partitionings.
+    "cl2_label_prototypes" -> Q(
+      (s, d) => graft.operators.Similarity
+        .labelPrototypes(Tables.embeddings(s, d), m = 20)
+        .orderBy(col("label"), col("rk")),
+      Some("""WITH emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT label, list(c_val ORDER BY dim) AS cent FROM (
+            SELECT label, i AS dim,
+              CAST(SUM(CAST(v[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val
+            FROM emb, UNNEST(range(1, 65)) AS t(i)
+            GROUP BY label, i) GROUP BY label),
+        sc AS (SELECT e.vec_id, e.label,
+            CAST(CAST(list_cosine_similarity(e.v, c.cent) AS DECIMAL(18,6)) AS DOUBLE) AS cos
+          FROM emb e JOIN cent c ON c.label = e.label),
+        rk AS (SELECT vec_id, label, cos, ROW_NUMBER() OVER
+            (PARTITION BY label ORDER BY cos DESC, vec_id) AS rk FROM sc)
+        SELECT label, vec_id, cos, rk FROM rk WHERE rk <= 20
+        ORDER BY label, rk"""),
+      "SSL-prototypes pruning: top-20 most centroid-prototypical per label"),
+
+    // Token-budget data recipe (the LLaMA/DoReMi mixing table): α=0.5
+    // temperature weights over per-source token counts, normalized
+    // through an exact DECIMAL(18,6) sum (order-independent across
+    // engines/partitionings — a double Σ would not be), then per-source
+    // target tokens + repeat factor for a fixed training budget.
+    // Shape: one narrow token-count pass, one 20-row agg, broadcast
+    // total — the whole recipe costs one corpus scan at any scale.
+    "mx5_token_budget" -> Q(
+      (s, d) => {
+        val budget = 10000000d // 10 M training tokens
+        val toks = size(split(graft.operators.TextDedup.normalizeText(col("text")), " "))
+          .cast(LongType)
+        val per = Tables.documents(s, d).select(col("source"), toks.as("t"))
+          .groupBy(col("source")).agg(sum(col("t")).as("n_tok"))
+          .withColumn("w6", sqrt(col("n_tok").cast(DoubleType)).cast(DecimalType(18, 6)))
+        val tot = per.agg(sum(col("w6")).as("tot6"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tok"),
+            floor(col("w6").cast(DoubleType) * lit(budget) /
+              col("tot6").cast(DoubleType)).cast(LongType).as("target_tok"))
+          .withColumn("epochs_milli",
+            floor(col("target_tok").cast(DoubleType) * 1000d /
+              col("n_tok").cast(DoubleType)).cast(LongType))
+          .withColumn("oversampled", (col("epochs_milli") > 1000L).cast(LongType))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH per AS (SELECT source,
+            CAST(SUM(len(string_split($normSql, ' '))) AS BIGINT) AS n_tok
+          FROM documents GROUP BY 1),
+        w AS (SELECT source, n_tok,
+            CAST(sqrt(CAST(n_tok AS DOUBLE)) AS DECIMAL(18,6)) AS w6 FROM per),
+        tot AS (SELECT SUM(w6) AS tot6 FROM w),
+        t AS (SELECT source, n_tok,
+            CAST(FLOOR(CAST(w6 AS DOUBLE) * 10000000.0 / CAST(tot6 AS DOUBLE)) AS BIGINT) AS target_tok
+          FROM w CROSS JOIN tot),
+        e AS (SELECT source, n_tok, target_tok,
+            CAST(FLOOR(CAST(target_tok AS DOUBLE) * 1000 / CAST(n_tok AS DOUBLE)) AS BIGINT) AS epochs_milli
+          FROM t)
+        SELECT source, n_tok, target_tok, epochs_milli,
+          CAST(epochs_milli > 1000 AS BIGINT) AS oversampled
+        FROM e ORDER BY source"""),
+      "token-budget recipe: α=0.5 temperature weights, targets + repeat factors"))
 }

@@ -161,4 +161,69 @@ class CurationSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$plan")
     w.unpersist()
   }
+
+  private def embRows(rows: (Long, Seq[Double], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("semantic decontamination: aligned vectors flagged, orthogonal clean, zero-shuffle plan") {
+    import graft.operators.Similarity
+    val e = embRows(
+      (1L, Seq(1.0, 0.0, 0.0), 0), // == bench vec 10 → cos 1.0
+      (2L, Seq(0.0, 1.0, 0.0), 0), // ⊥ both bench vecs → cos 0
+      (3L, Seq(0.6, 0.0, 0.8), 1), // cos 0.6 to bench 10
+      (10L, Seq(1.0, 0.0, 0.0), 9),
+      (11L, Seq(0.0, 0.0, 1.0), 9))
+    val bench = Similarity.collectBenchmark(e.where(col("label") === 9))
+    assert(bench.length == 2)
+    val got = Similarity.semanticContamination(
+        e.where(col("label") =!= 9), bench, minCos = 0.7)
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._3).toSeq == Seq(1L -> 1L, 2L -> 0L, 3L -> 1L))
+    assert(math.abs(got(0)._2 - 1.0) < 1e-9)
+    assert(math.abs(got(2)._2 - 0.8) < 1e-9) // max over {0.6, 0.8} picks 0.8
+    // scale contract: the benchmark rides as a literal — no join, no
+    // exchange anywhere in the scoring scan
+    val plan = Similarity.semanticContamination(
+        e.where(col("label") =!= 9), bench, minCos = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"contamination scan must be a narrow pass:\n$plan")
+  }
+
+  test("label prototypes: centroid-nearest ranks first, m bounds per label, WindowGroupLimit plan") {
+    import graft.operators.Similarity
+    val e = embRows(
+      (1L, Seq(1.0, 0.0), 0),   // centroid of label 0 ≈ (0.75, 0.25)
+      (2L, Seq(1.0, 0.0), 0),
+      (3L, Seq(1.0, 0.0), 0),
+      (4L, Seq(0.0, 1.0), 0),   // the outlier — least prototypical
+      (5L, Seq(0.0, 1.0), 1),
+      (6L, Seq(0.1, 1.0), 1))
+    val got = Similarity.labelPrototypes(e, m = 3)
+      .as[(Int, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val lab0 = got.filter(_._1 == 0)
+    assert(lab0.length == 3 && !lab0.map(_._2).contains(4L),
+      s"outlier must fall outside top-3: ${lab0.mkString(",")}")
+    assert(lab0.map(_._2).toSeq == Seq(1L, 2L, 3L), "vec_id tiebreak on equal cos")
+    assert(got.filter(_._1 == 1).length == 2) // fewer rows than m → all kept
+    val plan = Similarity.labelPrototypes(e, m = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-label top-m must plan as WindowGroupLimit:\n$plan")
+  }
+
+  test("token-budget recipe: targets sum to ~budget, repeat factors consistent") {
+    val r = SparkEntry.registry("mx5_token_budget").fn(spark, sfTiny)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    val budget = 10000000L
+    val sumTarget = r.map(_._3).sum
+    // each source floor-truncates < 1 token-unit of its share
+    assert(sumTarget <= budget && sumTarget >= budget - r.length,
+      s"targets must partition the budget: $sumTarget vs $budget")
+    r.foreach { case (src, nTok, target, epochsMilli, over) =>
+      assert(epochsMilli == math.floor(target * 1000.0 / nTok).toLong, src)
+      assert((over == 1L) == (epochsMilli > 1000L), src)
+    }
+  }
 }

@@ -284,8 +284,18 @@ class PlanSpec extends SparkTestBase {
     // batch predicate pushed into the scan (the corpus as a whole is
     // never read — only stored index tables are), and index-table scans
     // are present.
+    // hermetic corpus dir: other suites cache Tables.documents(sfTiny)
+    // raw, and Spark's shared CacheManager would substitute that cache
+    // here — the printed InMemoryRelation build plan then contains an
+    // unfiltered full-width FileScan line that is NOT a real read (the
+    // suite-order flake this guards against). A private copy of the
+    // file keeps the plan file-backed and the assertion meaningful.
+    val dir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
     for (name <- Seq("d23_indexed_pairs", "d24_indexed_containment")) {
-      val p = planOf(q(name))
+      val p = planOf(SparkEntry.registry(name).fn(spark, dir))
       val docScanLines = p.split("\n").filter(l =>
         l.contains("FileScan") && l.contains("documents.parquet"))
       assert(docScanLines.nonEmpty, s"$name:\n$p")
