@@ -45,7 +45,13 @@ object Dsir {
     * bigrams over the normalized text. Occurrences, not distincts — the
     * bag-of-ngrams models count multiplicity.
     */
-  def features(docs: DataFrame, b: Int): DataFrame = {
+  def features(docs: DataFrame, b: Int): DataFrame =
+    features(docs, b, Nil)
+
+  /** As `features`, carrying `extra` doc-level columns through the
+    * explode (narrow — evaluated once per doc row, not per gram).
+    */
+  def features(docs: DataFrame, b: Int, extra: Seq[String]): DataFrame = {
     val words = split(TextDedup.normalizeText(col("text")), " ")
     val unigrams = filter(words, w => length(w) > 0)
     // guard the bigram sequence: sequence(1, 0) is DESCENDING in Spark,
@@ -55,8 +61,8 @@ object Dsir {
           i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
       .otherwise(array().cast(ArrayType(StringType)))
     Par.fan(docs)
-      .select(col("doc_id"), explode(concat(unigrams, bigrams)).as("g"))
-      .select(col("doc_id"), bucketOf(col("g"), b).as("bucket"))
+      .select(col("doc_id") +: extra.map(col) :+ explode(concat(unigrams, bigrams)).as("g"): _*)
+      .select(col("doc_id") +: extra.map(col) :+ bucketOf(col("g"), b).as("bucket"): _*)
   }
 
   /** Per-bucket add-one-smoothed log-likelihood ratio
@@ -68,10 +74,24 @@ object Dsir {
     val tCnt = feats.join(targetIds, Seq("doc_id"), "left_semi")
       .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
     val rCnt = feats.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
-    val nT = tCnt.agg(sum(col("c_t")).as("n_t"))
-    val nR = rCnt.agg(sum(col("c_r")).as("n_r"))
-    rCnt.join(tCnt, Seq("bucket"), "left")
-      .na.fill(0L, Seq("c_t"))
+    ratiosFromCounts(rCnt.join(tCnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_t")), b)
+  }
+
+  /** Both bucket models from ONE pass over a feature stream that carries
+    * an `is_t` target flag: c_r counts every occurrence, c_t only the
+    * target slice — identical counts to the two-aggregation formulation
+    * without re-reading the stream.
+    */
+  def bucketLogRatiosFlagged(feats: DataFrame, b: Int): DataFrame =
+    ratiosFromCounts(feats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t")), b)
+
+  private def ratiosFromCounts(counts: DataFrame, b: Int): DataFrame = {
+    val nT = counts.agg(sum(col("c_t")).as("n_t"))
+    val nR = counts.agg(sum(col("c_r")).as("n_r"))
+    counts
       .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
       // double-division sequence mirrored verbatim in the oracle —
       // integer-product formulations would overflow BIGINT at corpus
@@ -89,9 +109,15 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, targetPred: Column,
       b: Int = 4096): DataFrame = {
-    val feats = features(docs, b)
-    val targetIds = docs.filter(targetPred).select(col("doc_id"))
-    val lnr = bucketLogRatios(feats, targetIds, b)
+    // ONE feature explode serves both the model fit and the scoring
+    // join: the target flag rides through the explode (narrow), the
+    // stream is materialized once (localCheckpoint — at 100 TB this is
+    // "persist the feature table", the DedupIndexStore doctrine), and
+    // both bucket models come from a single conditional aggregation.
+    // The naive shape re-exploded the corpus three times.
+    val feats = features(docs.withColumn("is_t", targetPred), b, Seq("is_t"))
+      .localCheckpoint(true)
+    val lnr = bucketLogRatiosFlagged(feats, b)
     feats.join(broadcast(lnr), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lnr6")).as("s6"))
