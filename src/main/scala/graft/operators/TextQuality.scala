@@ -92,7 +92,11 @@ object TextQuality {
     val vocab = Par.fan(docs)
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    val tris = triRows(docs)
+    // the trigram stream feeds BOTH model aggregations and the scoring
+    // join — materialize it once instead of re-running the explode three
+    // times (the DSIR single-pass doctrine; at 100 TB this is the
+    // persisted trigram event table)
+    val tris = triRows(docs).localCheckpoint(true)
     val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
     val c2 = tris.groupBy(col("ctx")).agg(count(lit(1)).as("c2"))
     tris.join(c3, Seq("tri")).join(c2, Seq("ctx")).crossJoin(broadcast(vocab))
@@ -366,8 +370,14 @@ object TextQuality {
     */
   def ksDrift(docs: DataFrame, valueCol: String = "n_chars",
       domainCap: Int = 100000): DataFrame = {
+    // the (source, x) count grid is DOMAIN-bounded (sources × distinct
+    // metric values — KB), and every stage below derives from it, so
+    // materialize it once: the upstream (which may be a full LM scoring
+    // pass, as in dq4) runs exactly one time instead of once per
+    // downstream reference + once for the eager domain probe
     val cnt = docs.groupBy(col("source"), col(valueCol).as("x"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val nS = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val corpus = cnt.groupBy(col("x")).agg(sum(col("c")).as("c_all"))
     // `wAll` below is an UNPARTITIONED window — safe by design because it
