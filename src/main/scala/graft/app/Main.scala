@@ -42,6 +42,12 @@ import graft.marts.Views
   *   index build <emb> <out> [--ivf|--ivfpq] train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
   *   index query <queries> <idx> <res> [--k K]  top-k from the stored index
+  *   decon <emb> <out> --benchmark <bench> [--threshold T]
+  *                                           flag corpus vectors too close
+  *                                           to a (frozen, persisted) eval
+  *                                           benchmark in embedding space
+  *   decon <emb-new> <out> --incremental     score only a new batch against
+  *                                           the stored benchmark artifact
   *   monitor <events> <out> [--window N] [--min-n M]
   *                                           robust median/MAD anomaly flags
   *                                           per user over an event series
@@ -111,6 +117,12 @@ object Main {
         dedup(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
           rest.contains("--exact"), rest.contains("--indexed"))
+      case "decon" :: emb :: out :: rest if rest.contains("--incremental") =>
+        deconIncremental(spark, emb, out)
+      case "decon" :: emb :: out :: rest if rest.contains("--benchmark") =>
+        decon(spark, emb, out,
+          opt(rest, "--benchmark").getOrElse(sys.error("--benchmark needs a path")),
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.35))
       case "semdedup" :: emb :: out :: rest if rest.contains("--incremental") =>
         semdedupIncremental(spark, emb, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
@@ -711,6 +723,56 @@ object Main {
     println(s"[graft] semdedup --incremental: $nTotal vectors -> $nKept kept " +
       s"(threshold $threshold, frozen cells, delta-only pair scoring)")
     nKept
+  }
+
+  /** Embedding-space decontamination as a product command: persist the
+    * benchmark set + threshold as FROZEN artifacts (the quantizer
+    * doctrine applied to an eval set — it must never drift between
+    * batches or the flags stop being comparable), score the corpus
+    * against it, write `<out>/flags` (vec_id, max_cos, contaminated).
+    * benchmark + meta + flags publish as one journaled group commit.
+    */
+  def decon(spark: SparkSession, embPath: String, out: String,
+      benchPath: String, threshold: Double): Long = {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val store = new ParquetTableStore(spark, out)
+    val benchDf = spark.read.parquet(benchPath)
+    val bench = Similarity.collectBenchmark(benchDf)
+    store.stage("benchmark", benchDf)
+    store.stage("meta", Seq(Tuple1(threshold)).toDF("threshold"))
+    store.stage("flags", Similarity.semanticContamination(
+      spark.read.parquet(embPath), bench, threshold))
+    store.commitStaged(Seq("benchmark", "meta", "flags"))
+    val n = store.read("flags").count()
+    val nFlagged = store.read("flags").filter(col("contaminated") === 1L).count()
+    println(s"[graft] decon: $n vectors scored against ${bench.length} benchmark " +
+      s"vectors -> $nFlagged flagged (threshold $threshold)")
+    nFlagged
+  }
+
+  /** Score ONLY an arriving batch against the STORED benchmark and
+    * threshold — per-batch cost is batch-sized (one narrow pass; the
+    * benchmark artifact is KB), and N batches compose to the one-shot
+    * because the score is per-row under frozen inputs. Replay-guarded
+    * by an anti-join on already-flagged vec_ids, so a re-run batch is a
+    * no-op.
+    */
+  def deconIncremental(spark: SparkSession, newPath: String, out: String): Long = {
+    import graft.operators.Similarity
+    val store = new ParquetTableStore(spark, out)
+    require(store.exists("benchmark") && store.exists("meta"),
+      s"no $out/benchmark+meta — run batch `decon --benchmark` first")
+    val threshold = store.read("meta").head().getDouble(0)
+    val bench = Similarity.collectBenchmark(store.read("benchmark"))
+    val fresh = spark.read.parquet(newPath).dropDuplicates("vec_id")
+      .join(store.read("flags").select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // pin the guard's verdict before flags move
+    store.append("flags", Similarity.semanticContamination(fresh, bench, threshold))
+    val nFlagged = store.read("flags").filter(col("contaminated") === 1L).count()
+    println(s"[graft] decon --incremental: batch scored under frozen benchmark " +
+      s"(threshold $threshold) -> $nFlagged total flagged")
+    nFlagged
   }
 
   /** Train the trigram quality LM and persist it as parquet artifacts

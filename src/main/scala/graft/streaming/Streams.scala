@@ -378,6 +378,36 @@ object Streams {
       .start()
   }
 
+  /** Streaming decontamination twin (`Main.decon --incremental` per
+    * micro-batch): arriving embedding batches are scored against the
+    * STORED frozen benchmark + threshold and appended to `flags`. The
+    * benchmark never changes mid-stream (the frozen-quantizer doctrine
+    * — drifting it would make flags incomparable across batches), the
+    * per-batch pass is narrow (benchmark rides as a literal), and the
+    * seen-vec anti-join makes a replayed batch a no-op — one appended
+    * table, so there is no multi-table ordering to tear.
+    */
+  def deconStream(spark: org.apache.spark.sql.SparkSession, embDir: String,
+      store: graft.etl.TableStore,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val schema = spark.read.parquet(embDir).schema // footer-only read
+    val bench = Similarity.collectBenchmark(store.read("benchmark"))
+    val threshold = store.read("meta").head().getDouble(0)
+    spark.readStream.schema(schema).parquet(embDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b0 = batch.dropDuplicates("vec_id")
+        val b = if (store.exists("flags"))
+          b0.join(store.read("flags").select(col("vec_id")), Seq("vec_id"), "left_anti")
+        else b0
+        store.append("flags", Similarity.semanticContamination(b, bench, threshold))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming novelty scoring: arriving doc batches are scored against
     * the STORED corpus shingle frequencies (`shingle_freq` — plain
     * abelian counts), then the counts absorb the batch — so each batch's

@@ -176,6 +176,39 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(expected.exists(_._4 == 0L), "no semantic dups — vacuous test")
   }
 
+  test("CLI decon: frozen benchmark makes two incremental batches equal one-shot") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val benchP = Files.createTempDirectory("graft_dc_bench").toString + "/emb"
+    val b0P = Files.createTempDirectory("graft_dc_b0").toString + "/emb"
+    val b1P = Files.createTempDirectory("graft_dc_b1").toString + "/emb"
+    val allP = Files.createTempDirectory("graft_dc_all").toString + "/emb"
+    emb.filter($"label" === 9).write.parquet(benchP)
+    val corpus = emb.filter($"label" =!= 9)
+    corpus.filter($"vec_id" % 2 === 0).write.parquet(b0P)
+    corpus.filter($"vec_id" % 2 === 1).write.parquet(b1P)
+    corpus.write.parquet(allP)
+    // day 1: batch build persists benchmark + threshold + batch-0 flags;
+    // days 2..: new batches score under the FROZEN artifacts via the
+    // real CLI dispatch (route), replay included
+    val out = Files.createTempDirectory("graft_dc_out").toString
+    graft.app.Main.route(spark, List("decon", b0P, out,
+      "--benchmark", benchP, "--threshold", "0.35"))
+    graft.app.Main.route(spark, List("decon", b1P, out, "--incremental"))
+    graft.app.Main.route(spark, List("decon", b1P, out, "--incremental")) // replay: no-op
+    val got = spark.read.parquet(s"$out/flags")
+      .as[(Long, Double, Long)].collect().toSet
+    // equals the one-shot operator over the union (per-row scoring under
+    // identical frozen benchmark + threshold)
+    val bench = graft.operators.Similarity.collectBenchmark(
+      emb.filter($"label" === 9))
+    val expected = graft.operators.Similarity
+      .semanticContamination(spark.read.parquet(allP), bench, 0.35)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == expected, "incremental CLI flags drifted from one-shot")
+    assert(expected.exists(_._3 == 1L) && expected.exists(_._3 == 0L),
+      "threshold must split the corpus — vacuous otherwise")
+  }
+
   test("CLI index build/append/query: stored lifecycle equals one-shot build") {
     val embPath = s"$sfTiny/embeddings.parquet"
     val emb = spark.read.parquet(embPath)

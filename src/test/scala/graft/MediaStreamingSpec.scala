@@ -174,6 +174,37 @@ class MediaStreamingSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet == oneShot)
   }
 
+  test("decon stream: batches flagged under the frozen stored benchmark, replay-idempotent") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfTiny)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dcs").toString
+    emb.filter($"label" === 9).write.parquet(s"$tmp/bench")
+    val corpus = emb.filter($"label" =!= 9)
+    corpus.filter($"vec_id" % 2 === 0).write.parquet(s"$tmp/b0")
+    // day 1: CLI batch build seeds benchmark + meta + batch-0 flags
+    graft.app.Main.decon(spark, s"$tmp/b0", s"$tmp/store", s"$tmp/bench", 0.35)
+
+    val embDir = s"$tmp/incoming"
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/store")
+    // two arriving files = two micro-batch slices of the odd vectors
+    corpus.filter($"vec_id" % 4 === 1).write.mode("append").parquet(embDir)
+    corpus.filter($"vec_id" % 4 === 3).write.mode("append").parquet(embDir)
+    Streams.deconStream(spark, embDir, store, s"$tmp/ckpt")
+      .awaitTermination(120000)
+
+    val streamed = store.read("flags").as[(Long, Double, Long)].collect().toSet
+    val bench = Similarity.collectBenchmark(emb.filter($"label" === 9))
+    val oneShot = Similarity.semanticContamination(corpus, bench, 0.35)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(streamed == oneShot && streamed.exists(_._3 == 1L),
+      "streamed frozen-benchmark flags drifted from the batch API")
+
+    // replay with no new files: state undisturbed
+    Streams.deconStream(spark, embDir, store, s"$tmp/ckpt")
+      .awaitTermination(120000)
+    assert(store.read("flags").as[(Long, Double, Long)].collect().toSet == oneShot)
+  }
+
   test("dedup index stream: served pair deltas union to the batch pair set, batch-keyed output") {
     import graft.operators.{DedupIndexStore, TextDedup}
     val docs = Tables.documents(spark, sfTiny)
