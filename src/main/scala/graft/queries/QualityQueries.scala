@@ -18,6 +18,59 @@ object QualityQueries {
 
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** DuckDB replay of srch5's unrolled MMR greedy: identical candidate
+    * pool, pairwise sims, and 5 argmax steps (integer arithmetic
+    * throughout, cand_id tie-breaks — bit-equal to the Spark side).
+    */
+  private def mmrOracleSql: String = {
+    val steps = (2 to 5).map { i =>
+      s"""r$i AS (SELECT c.* FROM cands c LEFT JOIN sel${i - 1} s
+          ON s.query_id = c.query_id AND s.cand_id = c.cand_id
+        WHERE s.cand_id IS NULL),
+      m$i AS (SELECT r.query_id, r.cand_id, r.rel_micro,
+          MAX(COALESCE(sims.sim_micro, 0)) AS maxsim_micro
+        FROM r$i r JOIN sel${i - 1} s ON s.query_id = r.query_id
+        LEFT JOIN sims ON sims.id_a = LEAST(r.cand_id, s.cand_id)
+          AND sims.id_b = GREATEST(r.cand_id, s.cand_id)
+        GROUP BY 1, 2, 3),
+      s$i AS (SELECT query_id, CAST($i AS BIGINT) AS step, cand_id, rel_micro,
+          maxsim_micro, 700 * rel_micro - 300 * maxsim_micro AS mmr_score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY 700 * rel_micro - 300 * maxsim_micro DESC, cand_id) AS rn
+          FROM m$i) WHERE rn = 1),
+      sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+    }.mkString(",\n      ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS query_id, b.doc_id AS cand_id, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < 5 GROUP BY 1, 2),
+      rel AS (SELECT query_id, cand_id,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / (ca.n + cb.n - c)) AS BIGINT) AS rel_micro
+        FROM common JOIN cnt ca ON ca.doc_id = query_id
+          JOIN cnt cb ON cb.doc_id = cand_id),
+      cands AS (SELECT query_id, cand_id, rel_micro FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel_micro DESC, cand_id) AS rn FROM rel) WHERE rn <= 10),
+      cd AS (SELECT DISTINCT cand_id AS doc_id FROM cands),
+      csh AS (SELECT sh.doc_id, sh.s FROM sh JOIN cd ON sh.doc_id = cd.doc_id),
+      ccommon AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      sims AS (SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / (ca.n + cb.n - c)) AS BIGINT) AS sim_micro
+        FROM ccommon JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b),
+      sel1 AS (SELECT query_id, CAST(1 AS BIGINT) AS step, cand_id, rel_micro,
+          CAST(0 AS BIGINT) AS maxsim_micro, 700 * rel_micro AS mmr_score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel_micro DESC, cand_id) AS rn FROM cands) WHERE rn = 1),
+      $steps
+      SELECT query_id, step, cand_id, rel_micro, maxsim_micro, mmr_score
+      FROM sel5 ORDER BY query_id, step"""
+  }
+
   /** Shared oracle CTEs for the trigram LM (t15 + e2e8): occurrence-
     * grained trigram/context counts and the add-one-smoothed per-doc
     * cross-entropy, mirroring TextQuality.lmScore op-for-op.
@@ -228,6 +281,59 @@ object QualityQueries {
         WHERE g = 'window merge hash' GROUP BY 1
         ORDER BY n_matches DESC, doc_id LIMIT 20"""),
       "exact-phrase search: positional postings + consecutive-position joins"),
+
+    // MMR diversity rerank (Carbonell & Goldstein 1998) over each query
+    // doc's lexical shortlist: greedily pick k results balancing
+    // relevance (3-gram Jaccard micros to the query) against redundancy
+    // (max Jaccard to already-picked results), λ=0.7. The greedy is
+    // unrolled (k is a page-size constant) and every step is
+    // candidate-scale; all arithmetic is integer, so the selection is
+    // bit-identical across engines — the oracle replays the identical
+    // 5-step chain.
+    "srch5_mmr_rerank" -> Q(
+      (s, d) => {
+        import graft.operators.{Mmr, TextDedup}
+        val docs = Tables.documents(s, d)
+        // one explode feeds the query join, the size counts, and the
+        // candidate sims (a deployment serves all three from the stored
+        // postings table — DedupIndexStore's `postings`)
+        val sh = TextDedup.shingleRows(docs, 3).localCheckpoint(true)
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        def jacMicro = floor(col("c").cast(DoubleType) * 1000000d /
+          (col("na") + col("nb") - col("c")).cast(DoubleType)).cast(LongType)
+        val common = broadcast(sh.as("a").filter(col("a.doc_id") < 5))
+          .join(sh.as("b"), col("a.s") === col("b.s") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("query_id"), col("b.doc_id").as("cand_id"))
+          .agg(count(lit(1)).as("c"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("rel_micro").desc, col("cand_id"))
+        val cands = common
+          .join(cnt.toDF("query_id", "na"), Seq("query_id"))
+          .join(cnt.toDF("cand_id", "nb"), Seq("cand_id"))
+          .withColumn("rel_micro", jacMicro)
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+          .select(col("query_id"), col("cand_id"), col("rel_micro"))
+          // pool is page-sized (queries × 10) — one partition keeps every
+          // greedy step single-task; a many-query deployment would
+          // repartition by query_id here instead
+          .coalesce(1).localCheckpoint(true)
+        val csh = sh.join(
+          broadcast(cands.select(col("cand_id").as("doc_id")).distinct()),
+          Seq("doc_id"))
+        val sims = csh.as("a").join(csh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("c"))
+          .join(cnt.toDF("id_a", "na"), Seq("id_a"))
+          .join(cnt.toDF("id_b", "nb"), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), jacMicro.as("sim_micro"))
+          .coalesce(1).localCheckpoint(true) // pool-sized, joined every step
+        Mmr.rerank(cands, sims, k = 5, lambdaMilli = 700L)
+          .orderBy(col("query_id"), col("step"))
+      },
+      Some(mmrOracleSql),
+      "MMR diversity rerank: unrolled integer-exact greedy over the shortlist"),
 
     // Supervised corpus classification (the fastText-style gate):
     // multinomial Naive Bayes over tokens, self-trained on the corpus

@@ -226,4 +226,27 @@ class QualitySpec extends SparkTestBase {
     // At x=1: F_lo=1 vs F_corpus=0.5; F_hi=0 vs 0.5 → both sup = 1/2.
     assert(ksSplit("lo") == 500000L && ksSplit("hi") == 500000L)
   }
+
+  test("MMR greedy: diversity outranks a redundant higher-relevance pick") {
+    import graft.operators.Mmr
+    // three equal-relevance candidates; 11 is an exact copy of 10
+    // (sim 1.0), 12 is fully diverse. Classic MMR order: 10, 12, 11 —
+    // a pure-relevance ranking (tie on cand_id) would emit 10, 11, 12.
+    val cands = Seq((1L, 10L, 272727L), (1L, 11L, 272727L), (1L, 12L, 272727L))
+      .toDF("query_id", "cand_id", "rel_micro")
+    val sims = Seq((10L, 11L, 1000000L)).toDF("id_a", "id_b", "sim_micro")
+    val got = Mmr.rerank(cands, sims, k = 5, lambdaMilli = 700L)
+      .orderBy($"step")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => r._2 -> r._3).toSeq == Seq(1L -> 10L, 2L -> 12L, 3L -> 11L),
+      s"greedy order wrong: ${got.mkString(",")}")
+    // step 2 saw 12 as disjoint (maxsim 0) and 11 as the near-copy
+    assert(got(1)._5 == 0L && got(2)._5 == 1000000L)
+    // pool exhausted after 3 picks — steps 4/5 emit nothing
+    assert(got.length == 3)
+    // λ=1000 degenerates to pure relevance order
+    val pure = Mmr.rerank(cands, sims, k = 3, lambdaMilli = 1000L)
+      .orderBy($"step").as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(pure.map(_._3).toSeq == Seq(10L, 11L, 12L))
+  }
 }
