@@ -145,4 +145,32 @@ object TextStats {
       .withColumn("novelty_permille",
         floor(lit(1000d) * col("n_unseen").cast(DoubleType) /
           col("n_shingles").cast(DoubleType)).cast(LongType))
+
+  /** Per-document Shannon entropy of the unigram distribution, integer
+    * micro-nats: H = ln n − (Σ_tok c·ln c)/n. High = diverse vocabulary;
+    * near zero = repeated-token spam — the information-theoretic form of
+    * the dup-word ratio (t9) the filtering literature thresholds on.
+    *
+    * Parity: each ln rounds through DECIMAL(18,6) once (the t15
+    * doctrine), c·lnc and the sums are exact decimal arithmetic, and
+    * the normalization is integer (micro DIV n) — hash-stable across
+    * engines. Shape: one narrow explode + two hash aggregations, the
+    * same fabric as t1/t13.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    Par.fan(docs)
+      .select(col("doc_id"),
+        explode(split(TextDedup.normalizeText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        log(col("c").cast(DoubleType)).cast(DecimalType(18, 6)).as("lnc6"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(col("c").cast(DecimalType(18, 0)) * col("lnc6")).as("s6"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("""CAST(CAST(CAST(ln(CAST(n_toks AS DOUBLE)) AS DECIMAL(18,6))
+            * 1000000 AS BIGINT)
+          - (CAST(s6 * 1000000 AS BIGINT) DIV n_toks) AS BIGINT)""")
+          .as("entropy_micro"))
 }

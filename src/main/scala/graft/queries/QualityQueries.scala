@@ -282,6 +282,29 @@ object QualityQueries {
         ORDER BY n_matches DESC, doc_id LIMIT 20"""),
       "exact-phrase search: positional postings + consecutive-position joins"),
 
+    // Per-doc unigram Shannon entropy in integer micro-nats — the
+    // information-theoretic repetition/diversity signal (t9's dup-word
+    // ratio in nats). One explode + two hash aggs; every ln rounds
+    // through DECIMAL(18,6) once, the rest is exact integer/decimal
+    // arithmetic, so the oracle hash-matches.
+    "t23_token_entropy" -> Q(
+      (s, d) => TextStats.tokenEntropy(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH occ AS (SELECT doc_id,
+            unnest(string_split($normSql, ' ')) AS tok FROM documents),
+        g AS (SELECT doc_id, tok, COUNT(*) AS c FROM occ
+          WHERE length(tok) > 0 GROUP BY 1, 2),
+        p AS (SELECT doc_id, c,
+            CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) AS lnc6 FROM g),
+        a AS (SELECT doc_id, SUM(c) AS n_toks,
+            SUM(CAST(c AS DECIMAL(18,0)) * lnc6) AS s6 FROM p GROUP BY 1)
+        SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+          CAST(CAST(CAST(ln(CAST(n_toks AS DOUBLE)) AS DECIMAL(18,6))
+              * 1000000 AS BIGINT)
+            - (CAST(s6 * 1000000 AS BIGINT) // n_toks) AS BIGINT) AS entropy_micro
+        FROM a ORDER BY doc_id"""),
+      "per-doc unigram Shannon entropy, integer micro-nats"),
+
     // MMR diversity rerank (Carbonell & Goldstein 1998) over each query
     // doc's lexical shortlist: greedily pick k results balancing
     // relevance (3-gram Jaccard micros to the query) against redundancy

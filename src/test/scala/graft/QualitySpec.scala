@@ -227,6 +227,22 @@ class QualitySpec extends SparkTestBase {
     assert(ksSplit("lo") == 500000L && ksSplit("hi") == 500000L)
   }
 
+  test("token entropy: hand-computed micro-nats, uniform max, constant zero") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (1L, "a a b b"),   // uniform over 2 → H = ln 2
+      (2L, "a a a"),     // constant → H = 0
+      (3L, "a b c d"))   // uniform over 4 → H = ln 4
+      .toDF("doc_id", "text")
+    val got = TextStats.tokenEntropy(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // ln2 → 0.693147 (rounded once at the per-count ln): 1386294 − 693147
+    assert(got(1L) == ((4L, 693147L)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 0L)), s"got ${got(2L)}")
+    // ln4 − 0 (all counts 1, ln 1 = 0)
+    assert(got(3L) == ((4L, 1386294L)), s"got ${got(3L)}")
+  }
+
   test("MMR greedy: diversity outranks a redundant higher-relevance pick") {
     import graft.operators.Mmr
     // three equal-relevance candidates; 11 is an exact copy of 10
