@@ -48,6 +48,11 @@ import graft.marts.Views
   *                                           benchmark in embedding space
   *   decon <emb-new> <out> --incremental     score only a new batch against
   *                                           the stored benchmark artifact
+  *   search build|append <docs> <idx>        persist / extend the inverted index
+  *   search query <idx> <out> --terms a,b,c [--k K] [--mmr [--page P]]
+  *                                           BM25 top-k from the stored
+  *                                           index; --mmr reranks the pool
+  *                                           into a diversified page
   *   monitor <events> <out> [--window N] [--min-n M]
   *                                           robust median/MAD anomaly flags
   *                                           per user over an event series
@@ -150,7 +155,10 @@ object Main {
         searchQuery(spark, idx, out,
           opt(rest, "--terms").getOrElse(sys.error("--terms a,b,c required"))
             .split(",").toSeq,
-          opt(rest, "--k").map(_.toInt).getOrElse(10))
+          opt(rest, "--k").map(_.toInt).getOrElse(10),
+          if (rest.contains("--mmr"))
+            Some(opt(rest, "--page").map(_.toInt).getOrElse(5))
+          else None)
       case other => sys.error(s"usage: run|load|check|analyze|dedup|semdedup|index|quality|search ... (got $other)")
     }
 
@@ -862,14 +870,49 @@ object Main {
     println(s"[graft] search append: now $n postings in $idx")
   }
 
-  /** BM25 top-k from the stored index. */
+  /** BM25 top-k from the stored index; with `mmrPage` set, the top-k
+    * becomes the candidate POOL and an MMR greedy (λ=0.7) picks a
+    * diversified page — redundancy measured as term-set Jaccard from
+    * the index's own postings (whole-doc profiles, not just the query
+    * terms). Pool and sims are page-scale, so the rerank adds only
+    * fixed single-task steps on top of the BM25 scan.
+    */
   def searchQuery(spark: SparkSession, idx: String, out: String,
-      terms: Seq[String], k: Int): Long = {
-    import graft.operators.TextIndexStore
-    TextIndexStore.search(spark, idx, terms, k)
-      .write.mode("overwrite").parquet(out)
+      terms: Seq[String], k: Int, mmrPage: Option[Int] = None): Long = {
+    import graft.operators.{Mmr, TextIndexStore}
+    val top = TextIndexStore.search(spark, idx, terms, k)
+    val res = mmrPage match {
+      case None => top
+      case Some(page) =>
+        // bm25 is a DECIMAL(18,6) rendered as double — ×1e6 is exact
+        val cands = top.select(lit(0L).as("query_id"),
+            col("doc_id").as("cand_id"),
+            (col("bm25") * 1e6).cast("long").as("rel_micro"))
+          .coalesce(1).localCheckpoint(true)
+        val post = spark.read.parquet(s"$idx/postings")
+          .join(broadcast(cands.select(col("cand_id").as("doc_id"))), Seq("doc_id"))
+          .select(col("doc_id"), col("term")).distinct()
+          .coalesce(1).localCheckpoint(true)
+        val cnt = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val sims = post.as("a")
+          .join(post.as("b"), col("a.term") === col("b.term") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("c"))
+          .join(cnt.toDF("id_a", "na"), Seq("id_a"))
+          .join(cnt.toDF("id_b", "nb"), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            floor(col("c").cast("double") * 1000000d /
+              (col("na") + col("nb") - col("c")).cast("double"))
+              .cast("long").as("sim_micro"))
+        Mmr.rerank(cands, sims, page, lambdaMilli = 700L)
+          .select(col("step"), col("cand_id").as("doc_id"),
+            col("rel_micro"), col("maxsim_micro"), col("mmr_score"))
+    }
+    res.write.mode("overwrite").parquet(out)
     val n = spark.read.parquet(out).count()
-    println(s"[graft] search query: top-$n of k=$k for [${terms.mkString(",")}] -> $out")
+    val mode = mmrPage.fold(s"top-$n of k=$k")(p => s"MMR page $n of pool k=$k")
+    println(s"[graft] search query: $mode for [${terms.mkString(",")}] -> $out")
     n
   }
 }

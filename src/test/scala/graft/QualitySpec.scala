@@ -152,6 +152,24 @@ class QualitySpec extends SparkTestBase {
     val appended = graft.operators.TextIndexStore.search(spark, s"$tmp/idx2", terms, 10)
       .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
     assert(appended == direct)
+
+    // --mmr: the diversified page draws from the BM25 pool, leads with
+    // its top hit, never repeats a doc, and is deterministic
+    graft.app.Main.route(spark, List("search", "query", s"$tmp/idx",
+      s"$tmp/mmr", "--terms", terms.mkString(","), "--k", "10", "--mmr", "--page", "4"))
+    val page = spark.read.parquet(s"$tmp/mmr").orderBy($"step")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(page.length == 4)
+    val pool = indexed.map(_._1).toSet
+    assert(page.map(_._2).toSet.subsetOf(pool) && page.map(_._2).distinct.length == 4)
+    // step 1 is pure relevance — the BM25 argmax (bm25 desc, doc_id)
+    val top1 = indexed.maxBy(r => (r._3, -r._1))._1
+    assert(page.head._2 == top1, s"MMR step 1 must be the BM25 top hit")
+    val again = { graft.app.Main.searchQuery(spark, s"$tmp/idx", s"$tmp/mmr2",
+        terms, 10, Some(4))
+      spark.read.parquet(s"$tmp/mmr2").orderBy($"step")
+        .as[(Long, Long, Long, Long, Long)].collect() }
+    assert(page.toSeq == again.toSeq, "MMR page must be deterministic")
   }
 
   test("CLI curate: composed pipeline is deterministic, rate-monotone, dedup-respecting") {
