@@ -48,6 +48,9 @@ import graft.marts.Views
   *                                           benchmark in embedding space
   *   decon <emb-new> <out> --incremental     score only a new batch against
   *                                           the stored benchmark artifact
+  *   export <docs> <out> [--budget B] [--shard-seqs S]
+  *                                           materialize deterministic JSONL
+  *                                           training shards + md5 manifest
   *   search build|append <docs> <idx>        persist / extend the inverted index
   *   search query <idx> <out> --terms a,b,c [--k K] [--mmr [--page P]]
   *                                           BM25 top-k from the stored
@@ -122,6 +125,10 @@ object Main {
         dedup(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
           rest.contains("--exact"), rest.contains("--indexed"))
+      case "export" :: docs :: out :: rest =>
+        exportShards(spark, docs, out,
+          opt(rest, "--budget").map(_.toLong).getOrElse(2048L),
+          opt(rest, "--shard-seqs").map(_.toLong).getOrElse(64L))
       case "decon" :: emb :: out :: rest if rest.contains("--incremental") =>
         deconIncremental(spark, emb, out)
       case "decon" :: emb :: out :: rest if rest.contains("--benchmark") =>
@@ -731,6 +738,45 @@ object Main {
     println(s"[graft] semdedup --incremental: $nTotal vectors -> $nKept kept " +
       s"(threshold $threshold, frozen cells, delta-only pair scoring)")
     nKept
+  }
+
+  /** Materialize training shards — the pipeline's terminal stage: pack
+    * docs into fixed-token sequences (t7's chunked cumulative sums),
+    * group sequences into shards, write each shard as ONE deterministic
+    * JSONL file (`<out>/shards/shard_id=N/` — repartition on shard_id
+    * gives one file per shard, sortWithinPartitions fixes the row order,
+    * so reruns are byte-identical) plus the e2e11 manifest (counts + an
+    * md5 over the ordered doc ids) through the atomic store. A trainer
+    * validates the manifest before reading a byte; `spark.read.json`
+    * round-trips the shards.
+    */
+  def exportShards(spark: SparkSession, docsPath: String, out: String,
+      budget: Long, seqsPerShard: Long): Long = {
+    import graft.operators.{GlobalOrder, Par, TextStats}
+    val docs = spark.read.parquet(docsPath)
+    val toks = Par.fan(docs).select(col("doc_id"), col("text"),
+      TextStats.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = GlobalOrder.cumSum(toks, col("doc_id"), col("n_tokens"))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) DIV $budget"))
+      .withColumn("shard_id", expr(s"seq_id DIV $seqsPerShard"))
+    packed.repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("doc_id"))
+      .select(col("shard_id"), to_json(struct(col("doc_id"), col("seq_id"),
+        col("n_tokens"), col("text"))).as("value"))
+      .write.mode("overwrite").partitionBy("shard_id").text(s"$out/shards")
+    val store = new ParquetTableStore(spark, out)
+    store.overwrite("manifest", packed.groupBy(col("shard_id"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")))).as("content_md5")))
+    val m = store.read("manifest")
+    val nShards = m.count()
+    val nDocs = m.agg(sum(col("n_docs"))).head().getLong(0)
+    println(s"[graft] export: $nDocs docs -> $nShards shards " +
+      s"(budget $budget tok/seq, $seqsPerShard seq/shard) -> $out")
+    nShards
   }
 
   /** Embedding-space decontamination as a product command: persist the

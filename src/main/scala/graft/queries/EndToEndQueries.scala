@@ -438,6 +438,46 @@ object EndToEndQueries {
         GROUP BY lang ORDER BY lang"""),
       "pretraining front door: stored-state dedup keep → Gopher gate → corpus accounting"),
 
+    // Training-shard manifest — the pipeline's TERMINAL stage: pack docs
+    // into fixed-token sequences (t7's chunked cumulative sums), group
+    // sequences into shards, and emit the per-shard accounting a trainer
+    // validates before reading a single byte: sequence/doc/token counts
+    // plus a content hash over the ordered doc ids (md5 of identical
+    // strings on both engines — byte-exact). `Main.exportShards` writes
+    // the actual JSONL shard files against this same manifest.
+    "e2e11_training_shards" -> Q(
+      (s, d) => {
+        val budget = 2048L; val seqsPerShard = 8L
+        val toks = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"),
+            graft.operators.TextStats.wsTokenCount(col("text"))
+              .cast(LongType).as("n_tokens"))
+        graft.operators.GlobalOrder.cumSum(toks, col("doc_id"), col("n_tokens"))
+          .withColumn("seq_id", expr(s"(cum - n_tokens) DIV $budget"))
+          .withColumn("shard_id", expr(s"seq_id DIV $seqsPerShard"))
+          .groupBy(col("shard_id"))
+          .agg(countDistinct(col("seq_id")).as("n_seqs"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast(StringType)))).as("content_md5"))
+          .orderBy(col("shard_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+        p AS (SELECT doc_id, n_tokens,
+            CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id FROM c),
+        sh AS (SELECT doc_id, n_tokens, seq_id,
+            CAST(seq_id // 8 AS BIGINT) AS shard_id FROM p)
+        SELECT shard_id, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_md5
+        FROM sh GROUP BY 1 ORDER BY shard_id"""),
+      "training-shard manifest: packed sequences -> shards, md5-pinned contents"),
+
     "e2e9_retrieval_eval" -> Q(
       (s, d) => {
         import graft.operators.{Similarity, TextDedup}

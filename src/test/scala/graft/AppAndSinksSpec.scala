@@ -176,6 +176,50 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(expected.exists(_._4 == 0L), "no semantic dups — vacuous test")
   }
 
+  test("CLI export: JSONL shards round-trip, manifest md5-consistent, reruns byte-identical") {
+    val tmp = Files.createTempDirectory("graft_export").toString
+    val docsPath = s"$sfTiny/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val nShards = graft.app.Main.exportShards(spark, docsPath, s"$tmp/a",
+      budget = 2048L, seqsPerShard = 8L)
+    assert(nShards > 1, "need multiple shards for a meaningful test")
+    // round-trip: the JSONL shards reparse to exactly the input corpus
+    val back = spark.read.json(s"$tmp/a/shards")
+    assert(back.count() == docs.count())
+    val joined = back.select($"doc_id", $"text".as("t2"))
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+    assert(joined.filter($"t2" =!= $"text").count() == 0, "shard text drifted")
+    // manifest equals the registered e2e11 aggregate (same params)
+    val manifest = spark.read.parquet(s"$tmp/a/manifest")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val e2e11 = SparkEntry.registry("e2e11_training_shards").fn(spark, sfTiny)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(manifest == e2e11, "CLI manifest drifted from the registered query")
+    // per-shard doc sets match the manifest hash recomputed from the files
+    val md5Back = back.groupBy($"shard_id").agg(
+        md5(concat_ws(",", transform(array_sort(collect_list($"doc_id")),
+          x => x.cast("string")))).as("h"))
+      .as[(Long, String)].collect().toMap
+    manifest.foreach { case (sid, _, _, _, h) =>
+      assert(md5Back(sid) == h, s"shard $sid content hash mismatch")
+    }
+    // determinism: a second export produces byte-identical shard files
+    graft.app.Main.exportShards(spark, docsPath, s"$tmp/b", 2048L, 8L)
+    def bytesOf(root: String): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".txt"))
+        .map { p =>
+          val rel = p.getParent.getFileName.toString
+          rel -> java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    assert(bytesOf(s"$tmp/a/shards") == bytesOf(s"$tmp/b/shards"),
+      "rerun must produce byte-identical shard files")
+  }
+
   test("CLI decon: frozen benchmark makes two incremental batches equal one-shot") {
     val emb = Tables.embeddings(spark, sfTiny)
     val benchP = Files.createTempDirectory("graft_dc_bench").toString + "/emb"
