@@ -307,6 +307,27 @@ object Similarity {
     spark.read.parquet(path)
   }
 
+  /** `semanticDedup` SERVED from the persisted cluster state (the ann4/
+    * ann5 stored-index doctrine): the expensive part — the iterative CC
+    * closure over within-cell cosine pairs — is built once per corpus
+    * by `ensureSemanticClusters` and read thereafter; each serve pays
+    * only the narrow cell assignment plus one join onto the stored
+    * labels. Output equals `semanticDedup(embeddings, minCos)` by
+    * construction (PipelineOpsSpec pins stored == inline).
+    */
+  def semanticDedupServed(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, embeddings: DataFrame, minCos: Double,
+      tag: String = "full"): DataFrame = {
+    val labels = ensureSemanticClusters(spark, corpusDir, embeddings, minCos, tag)
+    assignCells(embeddings, labelCentroids(embeddings))
+      .select(col("vec_id"), col("cell"))
+      .join(labels.select(col("doc_id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("kept", (col("cluster_id") === col("vec_id")).cast(LongType))
+  }
+
   /** Benchmark vectors collected to the driver — bounded by construction
     * (an eval benchmark is hundreds-to-thousands of vectors, KB–MB; the
     * same shape as the k-means centroid collects). Sorted by vec_id for

@@ -238,7 +238,9 @@ object EndToEndQueries {
       (s, d) => {
         import graft.operators.Similarity
         val emb = Tables.embeddings(s, d)
-        val labeled = Similarity.semanticDedup(emb, minCos = 0.3)
+        // keep decisions served from the stored cluster state (sem1's
+        // serving path) — the per-invocation cost is cells + one join
+        val labeled = Similarity.semanticDedupServed(s, d, emb, minCos = 0.3)
         val e = emb.select(col("vec_id"), col("label"),
           col("embedding").cast(ArrayType(DoubleType)).as("emb"))
         val cents = e.select(col("label"), posexplode(col("emb")))

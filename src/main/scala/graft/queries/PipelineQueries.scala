@@ -706,8 +706,13 @@ object PipelineQueries {
     // components to a min-id canonical. Composes emb2's centroid parity
     // + d5's cosine parity + d7's recursive-CTE closure — the whole
     // decision (cell, cluster, keep flag) is hash-checked end to end.
+    // Serves from the PERSISTED cluster state (ensureSemanticClusters —
+    // the ann4/ann5 doctrine): the iterative CC closure builds once per
+    // corpus; each invocation pays assignment + one label join
+    // (stored == inline pinned in PipelineOpsSpec).
     "sem1_semantic_dedup" -> Q(
-      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), minCos = 0.3)
+      (s, d) => Similarity.semanticDedupServed(s, d, Tables.embeddings(s, d),
+          minCos = 0.3)
         .orderBy(col("vec_id")),
       Some("""WITH RECURSIVE emb AS (
           SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),

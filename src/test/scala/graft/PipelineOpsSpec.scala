@@ -362,6 +362,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(scrub.forall { case (id, lost) => flagged.getOrElse(id, false) == lost })
   }
 
+  test("semantic dedup served from stored state equals the inline closure") {
+    // the sem1/e2e7 serving path (ensureSemanticClusters) must be
+    // indistinguishable from the from-scratch operator — the ann4/ann5
+    // stored == inline contract applied to the cluster state
+    val served = Similarity.semanticDedupServed(spark, sfTiny, emb, minCos = 0.3)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val inline = Similarity.semanticDedup(emb, minCos = 0.3)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(served == inline && served.nonEmpty)
+  }
+
   test("semantic dedup: keep rule + clusters match the exact within-cell pair path") {
     val got = Similarity.semanticDedup(emb, minCos = 0.3)
       .as[(Long, Int, Long, Long)].collect()
