@@ -56,9 +56,11 @@ import graft.marts.Views
   *                                           BM25 top-k from the stored
   *                                           index; --mmr reranks the pool
   *                                           into a diversified page
-  *   monitor <events> <out> [--window N] [--min-n M]
+  *   monitor <events> <out> [--window N] [--min-n M] [--cusum]
   *                                           robust median/MAD anomaly flags
-  *                                           per user over an event series
+  *                                           per user over an event series;
+  *                                           --cusum emits daily-volume
+  *                                           changepoints per event type
   *
   * Layers are Parquet tables under layerRoot (raw / staging / audit /
   * marts_*), managed by ParquetTableStore's atomic-swap rewrites.
@@ -100,7 +102,8 @@ object Main {
       case "monitor" :: events :: out :: rest =>
         monitor(spark, events, out,
           opt(rest, "--window").map(_.toInt).getOrElse(21),
-          opt(rest, "--min-n").map(_.toInt).getOrElse(10))
+          opt(rest, "--min-n").map(_.toInt).getOrElse(10),
+          rest.contains("--cusum"))
       // ordered matching: the combined --containment --incremental case
       // MUST precede the plain --incremental case or it is unreachable
       // (Scala dispatches to the first matching case).
@@ -448,20 +451,36 @@ object Main {
     * continuously.
     */
   def monitor(spark: SparkSession, eventsPath: String, out: String,
-      window: Int, minN: Int): Long = {
+      window: Int, minN: Int, cusum: Boolean = false): Long = {
     import graft.operators.Temporal
     import spark.implicits._
     val ev = graft.Tables.normalizeEventTs(spark.read.parquet(eventsPath))
-    val pts = ev.selectExpr("user_id as key", "ts DIV 1000 as ts",
-      "event_id as id", "value").as[Temporal.IdPoint]
-    val flags = Temporal.robustAnomaly(pts, window, minN)
-    flags.write.mode("overwrite").parquet(s"$out/flags")
-    val persisted = spark.read.parquet(s"$out/flags")
-    val nAnom = persisted.filter(col("is_anom") === 1).count()
-    val n = persisted.count()
-    println(s"[graft] monitor: $n points scored, $nAnom anomalies " +
-      s"(window $window, min history $minN)")
-    nAnom
+    if (cusum) {
+      // volume-drift mode: daily counts per event type through the
+      // two-sided CUSUM — catches the sustained shifts the per-point
+      // median/MAD rule never trips
+      val daily = ev.groupBy(col("event_type").as("key"),
+          expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n")).as[Temporal.CountPoint]
+      Temporal.cusum(daily).toDF()
+        .write.mode("overwrite").parquet(s"$out/changepoints")
+      val persisted = spark.read.parquet(s"$out/changepoints")
+      val nFlag = persisted.filter(col("changepoint") === 1L).count()
+      println(s"[graft] monitor --cusum: ${persisted.count()} key-days, " +
+        s"$nFlag changepoint days")
+      nFlag
+    } else {
+      val pts = ev.selectExpr("user_id as key", "ts DIV 1000 as ts",
+        "event_id as id", "value").as[Temporal.IdPoint]
+      val flags = Temporal.robustAnomaly(pts, window, minN)
+      flags.write.mode("overwrite").parquet(s"$out/flags")
+      val persisted = spark.read.parquet(s"$out/flags")
+      val nAnom = persisted.filter(col("is_anom") === 1).count()
+      val n = persisted.count()
+      println(s"[graft] monitor: $n points scored, $nAnom anomalies " +
+        s"(window $window, min history $minN)")
+      nAnom
+    }
   }
 
   /** Vector-index lifecycle as a product surface (the FAISS

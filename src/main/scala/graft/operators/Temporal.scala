@@ -215,4 +215,41 @@ object Temporal {
         out.iterator
       })
   }
+
+  final case class CountPoint(key: String, day: Long, n: Long)
+  final case class CusumFlag(key: String, day: Long, n: Long,
+    s_pos_milli: Long, s_neg_milli: Long, changepoint: Long)
+
+  /** Two-sided CUSUM changepoint detection over per-key daily counts —
+    * the mean-SHIFT monitor dq5's median/MAD point-outlier rule can't
+    * give (a 20% sustained drop never trips a 3×MAD gate, but its drift
+    * accumulates here): with a frozen baseline μ₀ (milli-mean of the
+    * first `warmup` days, integer DIV),
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + n_t·1000 − μ₀ − μ₀/20)
+    *   S⁻_t = max(0, S⁻_{t−1} + μ₀ − n_t·1000 − μ₀/20)
+    *
+    * and a day is a changepoint while either side exceeds h = μ₀ (one
+    * full baseline day of accumulated drift beyond the 5% slack). ALL
+    * Long arithmetic — the sequential walk is bit-identical to the
+    * recursive-CTE oracle (the w6 doctrine with zero float risk). Keys
+    * are bounded (event types), days per key bounded — the grouped
+    * local walk never sees data-scale state.
+    */
+  def cusum(points: Dataset[CountPoint], warmup: Int = 14): Dataset[CusumFlag] = {
+    import points.sparkSession.implicits._
+    require(warmup > 0)
+    points.groupByKey(_.key).flatMapGroups { (k, it) =>
+      val sorted = it.toArray.sortBy(_.day)
+      val w = math.min(warmup, sorted.length)
+      val mu = sorted.take(w).map(_.n).sum * 1000L / w
+      val slack = mu / 20L
+      var sp = 0L; var sn = 0L
+      sorted.iterator.map { p =>
+        sp = math.max(0L, sp + p.n * 1000L - mu - slack)
+        sn = math.max(0L, sn + mu - p.n * 1000L - slack)
+        CusumFlag(k, p.day, p.n, sp, sn, if (sp > mu || sn > mu) 1L else 0L)
+      }
+    }
+  }
 }

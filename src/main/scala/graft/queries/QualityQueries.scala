@@ -496,6 +496,56 @@ object QualityQueries {
     // integers, so no micro scaling is even needed). One narrow count
     // aggregation, one shuffle by type, per-row array ops; the oracle
     // replays the frame relationally like w8's.
+    // Two-sided CUSUM changepoint detection over daily counts — the
+    // mean-shift monitor dq5's point-outlier rule can't give. Frozen
+    // 14-day baseline, 5% slack, threshold = one baseline day of
+    // accumulated drift; all Long arithmetic, so the sequential walk is
+    // bit-identical to the recursive-CTE replay.
+    "w9_cusum_changepoint" -> Q(
+      (s, d) => {
+        val ss = s; import ss.implicits._
+        import graft.operators.Temporal
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type").as("key"),
+            expr("ts DIV 86400000000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .as[Temporal.CountPoint]
+        Temporal.cusum(daily).toDF()
+          .select(col("key").as("event_type"), col("day").as("day_idx"),
+            col("n"), col("s_pos_milli"), col("s_neg_milli"), col("changepoint"))
+          .orderBy(col("event_type"), col("day_idx"))
+      },
+      Some("""WITH RECURSIVE daily AS (SELECT event_type,
+            epoch_ns(ts) // 86400000000000 AS day_idx, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        rk AS (SELECT event_type, day_idx, n,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS tot
+          FROM daily),
+        base AS (SELECT event_type,
+            CAST(SUM(CASE WHEN rn <= 14 THEN n ELSE 0 END) * 1000
+              // LEAST(MAX(tot), 14) AS BIGINT) AS mu
+          FROM rk GROUP BY 1),
+        walk(event_type, day_idx, n, sp, sn, rn) AS (
+          SELECT r.event_type, r.day_idx, r.n,
+            GREATEST(0, r.n * 1000 - b.mu - b.mu // 20),
+            GREATEST(0, b.mu - r.n * 1000 - b.mu // 20), r.rn
+          FROM rk r JOIN base b ON b.event_type = r.event_type WHERE r.rn = 1
+          UNION ALL
+          SELECT r.event_type, r.day_idx, r.n,
+            GREATEST(0, w.sp + r.n * 1000 - b.mu - b.mu // 20),
+            GREATEST(0, w.sn + b.mu - r.n * 1000 - b.mu // 20), r.rn
+          FROM walk w JOIN rk r ON r.event_type = w.event_type
+            AND r.rn = w.rn + 1
+          JOIN base b ON b.event_type = r.event_type)
+        SELECT w.event_type, w.day_idx, w.n,
+          CAST(w.sp AS BIGINT) AS s_pos_milli,
+          CAST(w.sn AS BIGINT) AS s_neg_milli,
+          CAST(w.sp > b.mu OR w.sn > b.mu AS BIGINT) AS changepoint
+        FROM walk w JOIN base b ON b.event_type = w.event_type
+        ORDER BY w.event_type, day_idx"""),
+      "two-sided integer CUSUM: frozen baseline, accumulated-drift changepoints"),
+
     "dq5_volume_anomaly" -> Q(
       (s, d) => {
         val daily = Tables.events(s, d)

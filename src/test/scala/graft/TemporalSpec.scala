@@ -143,4 +143,30 @@ class TemporalSpec extends SparkTestBase {
     assert(streamed == batch, s"stream $streamed != batch $batch")
     assert(streamed.count(_.is_anom == 1) == 1, "expected exactly the spike flagged")
   }
+
+  test("CUSUM: sustained 20% drop accumulates to a changepoint, a single spike does not") {
+    // μ0 = 100000 milli (14 flat warmup days); slack 5000, threshold 100000.
+    // Key "drop": 14×100 then 30×80 — each drop day adds 15000 to S⁻,
+    // so the flag fires from day 14+7 onward (a 20% sustained shift a
+    // 3×MAD point rule never trips). Key "spike": one day at 150 adds
+    // 45000 to S⁺ — under threshold, then decays 5000/day. No flag.
+    val drop = (0L until 14L).map(d => Temporal.CountPoint("drop", d, 100L)) ++
+      (14L until 44L).map(d => Temporal.CountPoint("drop", d, 80L))
+    val spike = (0L until 14L).map(d => Temporal.CountPoint("spike", d, 100L)) ++
+      Seq(Temporal.CountPoint("spike", 14L, 150L)) ++
+      (15L until 44L).map(d => Temporal.CountPoint("spike", d, 100L))
+    val got = Temporal.cusum((drop ++ spike).toDS()).collect()
+      .groupBy(_.key).map { case (k, v) => k -> v.sortBy(_.day) }
+    val dropFlags = got("drop").filter(_.changepoint == 1L).map(_.day)
+    assert(dropFlags.nonEmpty && dropFlags.min == 20L,
+      s"drop must flag from day 20 (7 drift days × 15000 > 100000): $dropFlags")
+    assert(got("drop").dropWhile(_.day < 20L).forall(_.changepoint == 1L),
+      "once the shift persists the alarm must stay up")
+    assert(got("spike").forall(_.changepoint == 0L),
+      "a single point spike must not trip the drift alarm")
+    // S⁺ decays by the slack once the spike passes
+    val s14 = got("spike").find(_.day == 14L).get.s_pos_milli
+    val s15 = got("spike").find(_.day == 15L).get.s_pos_milli
+    assert(s14 == 45000L && s15 == 40000L)
+  }
 }
