@@ -1298,5 +1298,52 @@ object ExtendedQueries {
         COUNT(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT)) AS n_parsed
         FROM events GROUP BY event_type ORDER BY event_type"""),
       "JSON field extraction (F13) + aggregate over semi-structured props"),
+
+    // PageRank over the customer↔supplier trade graph — iterative graph
+    // analytics beyond connected components (the importance/centrality
+    // signal web-corpus curation ranks domains by). INTEGER power
+    // iteration: rank'(v) = 0.15 + 0.85·Σ_{u→v} rank(u)/outdeg(u) in
+    // exact micro units with integer division, a fixed 5 iterations —
+    // deterministic, so the oracle replays the identical unrolled
+    // chain and hash-matches. Shape at scale: edges materialize once;
+    // each iteration is one broadcast of the node-sized rank table into
+    // an edge-scan + one aggregation keyed by dst — never an edge
+    // shuffle per iteration.
+    "g1_pagerank" -> Q(
+      (s, d) => {
+        val raw = Tables.orders(s, d)
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")), Seq("ok"))
+          .select(col("cust"), (col("sk") + lit(1000000L)).as("supp"))
+          .distinct()
+        val edges = raw.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionByName(raw.select(col("supp").as("src"), col("cust").as("dst")))
+        graft.operators.Graph.pageRankMicro(edges, iters = 5)
+          .select(col("node"), col("r").as("rank_micro"),
+            when(col("node") >= 1000000L, "supplier").otherwise("customer")
+              .as("kind"))
+          .orderBy(col("node"))
+      },
+      Some({
+        val steps = (1 to 5).map { i =>
+          s"""r$i AS (SELECT e.dst AS node,
+              CAST(150000 + (850 * SUM(r.r // d.outdeg)) // 1000 AS BIGINT) AS r
+            FROM edges e JOIN r${i - 1} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src GROUP BY 1)"""
+        }.mkString(",\n        ")
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey AS cust,
+              l_suppkey + 1000000 AS supp
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          edges AS (SELECT cust AS src, supp AS dst FROM e0
+            UNION ALL SELECT supp, cust FROM e0),
+          deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+          r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+          $steps
+          SELECT node, r AS rank_micro,
+            CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind
+          FROM r5 ORDER BY node"""
+      }),
+      "integer PageRank: 5 unrolled power iterations over the trade graph"),
   )
 }

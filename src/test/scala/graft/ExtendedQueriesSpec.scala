@@ -204,4 +204,27 @@ class ExtendedQueriesSpec extends SparkTestBase {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("PageRank: integer power iteration matches a hand-rolled reference on a star") {
+    import graft.operators.Graph
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRankMicro(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // independent reference: the identical integer recurrence over
+    // adjacency maps — any divergence in division order or rounding
+    // between the DataFrame plan and the math breaks this exactly
+    val all = und ++ und.map(_.swap)
+    val adj = all.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val out = adj.map { case (k, v) => k -> v.length.toLong }
+    var r: Map[Long, Long] = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (u, vs) => vs.foreach { v => inflow(v) += r(u) / out(u) } }
+      r = r.keys.map(k => k -> (150000L + (850L * inflow(k)) / 1000L)).toMap
+    }
+    assert(got == r, s"got $got expected $r")
+    assert(got(1L) > got(2L), "the hub must outrank the leaves")
+    assert(got(2L) == got(3L) && got(3L) == got(4L), "symmetric leaves tie")
+  }
 }
