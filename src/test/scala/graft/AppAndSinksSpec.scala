@@ -84,6 +84,20 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(persisted == direct)
     assert(nAnom == direct.count(_.is_anom == 1L) && nAnom > 0,
       s"anomaly count $nAnom — vacuous if zero")
+
+    // --cusum mode through the real dispatch: changepoint table equals
+    // the direct operator over the same daily grain
+    val out2 = Files.createTempDirectory("graft_monitor_cusum").toString
+    graft.app.Main.route(spark, List("monitor", evPath, out2, "--cusum"))
+    val cusumPersisted = spark.read.parquet(s"$out2/changepoints")
+      .as[Temporal.CusumFlag].collect().toSet
+    val cusumDirect = Temporal.cusum(
+        Tables.events(spark, sfTiny)
+          .groupBy(col("event_type").as("key"),
+            expr("ts DIV 86400000000000").as("day"))
+          .agg(count(lit(1)).as("n")).as[Temporal.CountPoint])
+      .collect().toSet
+    assert(cusumPersisted == cusumDirect && cusumPersisted.nonEmpty)
   }
 
   test("CLI dedup --incremental: two-batch path equals one-shot batch path") {
