@@ -252,4 +252,62 @@ object Temporal {
       }
     }
   }
+
+  final case class CusumState(mu: Long, sp: Long, sn: Long, buf: Array[Long])
+
+  /** Streaming twin of `cusum`: per-key state is the frozen baseline +
+    * the two drift accumulators — three Longs once warm; during warmup
+    * it is the ≤`warmup`-element count buffer (the days are replayed
+    * through the walk the moment the baseline freezes, so emitted flags
+    * equal the batch walk exactly — TemporalSpec proves it across
+    * micro-batch splits). In-order-per-key delivery assumed, the same
+    * contract as `robustAnomalyStream`. Keys that never accumulate
+    * `warmup` days emit nothing (a stream cannot know the input ended;
+    * batch falls back to a shorter baseline there).
+    */
+  def cusumStream(points: Dataset[CountPoint],
+      warmup: Int = 14): Dataset[CusumFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    require(warmup > 0)
+    points.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (k: String, it: Iterator[CountPoint], state: GroupState[CusumState]) => {
+        val sorted = it.toArray.sortBy(_.day)
+        var st = state.getOption.getOrElse(CusumState(-1L, 0L, 0L, Array.empty))
+        val out = scala.collection.mutable.ArrayBuffer.empty[CusumFlag]
+        def step(day: Long, n: Long): Unit = {
+          val slack = st.mu / 20L
+          val sp = math.max(0L, st.sp + n * 1000L - st.mu - slack)
+          val sn = math.max(0L, st.sn + st.mu - n * 1000L - slack)
+          st = st.copy(sp = sp, sn = sn)
+          out += CusumFlag(k, day, n, sp, sn,
+            if (sp > st.mu || sn > st.mu) 1L else 0L)
+        }
+        var bufDays = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { p =>
+          if (st.mu >= 0L) step(p.day, p.n)
+          else {
+            bufDays += (p.day -> p.n)
+            // st.buf packs (day, n) pairs — two longs per buffered day
+            if (st.buf.length / 2 + bufDays.length == warmup) {
+              // baseline freezes — replay every buffered day now. The
+              // cross-batch part of the buffer has no stored days; its
+              // flags were unemittable then, so the batch twin's first
+              // warmup-1 rows are reproduced from (day, n) pairs kept
+              // in the per-invocation buffer plus the stored counts —
+              // we store (day, n) pairs packed as two longs instead.
+              val counts = st.buf.grouped(2).map(a => (a(0), a(1))).toArray ++
+                bufDays
+              st = st.copy(mu = counts.map(_._2).sum * 1000L / warmup)
+              counts.foreach { case (d, n) => step(d, n) }
+            }
+          }
+        }
+        if (st.mu < 0L && bufDays.nonEmpty)
+          st = st.copy(buf = st.buf ++ bufDays.flatMap { case (d, n) => Seq(d, n) })
+        state.update(st)
+        out.iterator
+      })
+  }
 }

@@ -169,4 +169,26 @@ class TemporalSpec extends SparkTestBase {
     val s15 = got("spike").find(_.day == 15L).get.s_pos_milli
     assert(s14 == 45000L && s15 == 40000L)
   }
+
+  test("CUSUM stream equals batch when the warmup straddles micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // split at day 9 — INSIDE the 14-day warmup, so the baseline buffer
+    // must carry across micro-batches before it freezes and replays
+    val all = (0L until 14L).map(d => Temporal.CountPoint("drop", d, 100L)) ++
+      (14L until 30L).map(d => Temporal.CountPoint("drop", d, 80L))
+    val (b1, b2) = all.splitAt(9)
+    val src = MemoryStream[Temporal.CountPoint]
+    val q = Temporal.cusumStream(src.toDS())
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    src.addData(b1: _*); q.processAllAvailable()
+    src.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cusum_stream")
+      .as[Temporal.CusumFlag].collect().toSet
+    val batch = Temporal.cusum(all.toDS()).collect().toSet
+    assert(streamed == batch, s"stream != batch:\n$streamed\n$batch")
+    assert(streamed.count(_.changepoint == 1L) > 0, "drift must flag — vacuous otherwise")
+  }
 }
