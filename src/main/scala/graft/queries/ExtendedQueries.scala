@@ -1345,5 +1345,64 @@ object ExtendedQueries {
           FROM r5 ORDER BY node"""
       }),
       "integer PageRank: 5 unrolled power iterations over the trade graph"),
+
+    // Seed-and-expand corpus selection: PERSONALIZED PageRank over the
+    // near-dup similarity graph, teleporting only to a trusted seed
+    // slice — rank flows outward from the seeds and decays with graph
+    // distance, scoring how firmly each doc sits in the trusted
+    // neighborhood (the graph-expansion bootstrapping technique).
+    // Same integer exactness as g1; composes d7's pair fabric.
+    "g2_seed_expansion" -> Q(
+      (s, d) => {
+        import graft.operators.TextDedup
+        val docs = Tables.documents(s, d)
+        // prefix-filtered candidate generation (d11's scale path) —
+        // identical final pairs to the exact all-pairs join by the
+        // prefix recall theorem, at a fraction of the join fan-in
+        val pairs = TextDedup.prefixFilterPairs(docs, n = 3, minJaccard = 0.8)
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val seeds = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("node"))
+        graft.operators.Graph.personalizedPageRankMicro(edges, seeds, iters = 5)
+          .filter(col("r") > 0L)
+          .select(col("node").as("doc_id"), col("is_seed"),
+            col("r").as("score_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some({
+        val steps = (1 to 5).map { i =>
+          s"""r$i AS (SELECT n.node, n.is_seed,
+              CAST(n.is_seed * 150000
+                + (850 * COALESCE(i$i.inflow, 0)) // 1000 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node, SUM(r.r // dg.outdeg) AS inflow
+              FROM und e JOIN r${i - 1} r ON r.node = e.src
+              JOIN deg dg ON dg.src = e.src GROUP BY 1) i$i
+              ON i$i.node = n.node)"""
+        }.mkString(",\n        ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM und GROUP BY 1),
+        nodes AS (SELECT node,
+            CAST(CASE WHEN node % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+          FROM (SELECT DISTINCT src AS node FROM und)),
+        r0 AS (SELECT node, is_seed, CAST(is_seed * 1000000 AS BIGINT) AS r
+          FROM nodes),
+        $steps
+        SELECT node AS doc_id, is_seed, r AS score_micro FROM r5
+        WHERE r > 0 ORDER BY doc_id"""
+      }),
+      "personalized PageRank from a trusted seed slice over the near-dup graph"),
   )
 }

@@ -227,4 +227,37 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(got(1L) > got(2L), "the hub must outrank the leaves")
     assert(got(2L) == got(3L) && got(3L) == got(4L), "symmetric leaves tie")
   }
+
+  test("personalized PageRank: exact reference match, seed component holds all mass") {
+    import graft.operators.Graph
+    // chain 1–2–3–4 plus a disconnected pair 10–11; seed = {1}. (No
+    // monotone-decay claim: an undirected path shows parity waves at a
+    // fixed iteration count — a degree-1 seed forwards ALL its mass —
+    // so the contract is exactness vs an independent reference plus
+    // where the mass is allowed to live.)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val all = und ++ und.map(_.swap)
+    val edges = all.toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.personalizedPageRankMicro(edges, seeds, iters = 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 1L && got(2L)._1 == 0L, "seed flags")
+    val ranks = got.view.mapValues(_._2).toMap
+    // independent reference: identical integer recurrence
+    val adj = all.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val out = adj.map { case (k, v) => k -> v.length.toLong }
+    var r: Map[Long, Long] = adj.keys.map(k => k -> (if (k == 1L) 1000000L else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (u, vs) => vs.foreach { v => inflow(v) += r(u) / out(u) } }
+      r = r.keys.map { k =>
+        k -> ((if (k == 1L) 150000L else 0L) + (850L * inflow(k)) / 1000L)
+      }.toMap
+    }
+    assert(ranks == r, s"got $ranks expected $r")
+    assert(Seq(1L, 2L, 3L, 4L).forall(ranks(_) > 0L),
+      "every node reachable within 5 hops carries mass")
+    assert(ranks(10L) == 0L && ranks(11L) == 0L,
+      "the disconnected component must hold zero mass")
+  }
 }
