@@ -156,7 +156,8 @@ object Main {
         curate(spark, docs, out,
           opt(rest, "--rates").map { r =>
             val Array(a, b, c) = r.split(",").map(_.toLong); (a, b, c)
-          }.getOrElse((1000L, 700L, 300L)))
+          }.getOrElse((1000L, 700L, 300L)),
+          pii = rest.contains("--pii"))
       case "search" :: "build" :: docs :: idx :: Nil =>
         searchBuild(spark, docs, idx)
       case "search" :: "append" :: docs :: idx :: Nil =>
@@ -903,12 +904,17 @@ object Main {
 
   /** The composed CCNet-style curation pipeline: exact-dedup keep →
     * lang-id → LM perplexity terciles → per-tercile keep-rates. Writes
-    * the kept corpus + the per-(lang, tercile) report.
+    * the kept corpus + the per-(lang, tercile) report. With `--pii`, the
+    * kept text is additionally scrubbed (emails/IPv4/phones masked —
+    * Curation.scrubPii) before landing, and per-category redaction
+    * counts ride along in the kept table.
     */
   def curate(spark: SparkSession, docsPath: String, out: String,
-      rates: (Long, Long, Long)): Long = {
-    import graft.operators.TextQuality
-    val kept = TextQuality.ccnetCurate(spark.read.parquet(docsPath), rates)
+      rates: (Long, Long, Long), pii: Boolean = false): Long = {
+    import graft.operators.{Curation, TextQuality}
+    val kept0 = TextQuality.ccnetCurate(spark.read.parquet(docsPath), rates)
+    val kept = if (!pii) kept0 else Curation.scrubPii(kept0)
+      .withColumn("text", col("text_scrubbed")).drop("text_scrubbed")
     kept.write.mode("overwrite").parquet(s"$out/kept")
     spark.read.parquet(s"$out/kept")
       .groupBy(col("pred_lang"), col("bucket"))
@@ -949,10 +955,14 @@ object Main {
     val res = mmrPage match {
       case None => top
       case Some(page) =>
-        // bm25 is a DECIMAL(18,6) rendered as double — ×1e6 is exact
+        // bm25 is a DECIMAL(18,6) rendered as double — ×1e6 recovers the
+        // micro integer, but the double PRODUCT can land one ulp below it
+        // (0.29×1e6 = 289999.999…), so round before the long cast: a
+        // truncation there would perturb rel_micro by one and could swap
+        // adjacent MMR candidates across engines
         val cands = top.select(lit(0L).as("query_id"),
             col("doc_id").as("cand_id"),
-            (col("bm25") * 1e6).cast("long").as("rel_micro"))
+            round(col("bm25") * 1e6).cast("long").as("rel_micro"))
           .coalesce(1).localCheckpoint(true)
         val post = spark.read.parquet(s"$idx/postings")
           .join(broadcast(cands.select(col("cand_id").as("doc_id"))), Seq("doc_id"))

@@ -117,6 +117,88 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
   override def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(name))
 
+  // ───── bucketed tables (co-located serve joins) ─────
+  //
+  // A plain parquet read reports no partitioning, so every join against a
+  // stored table re-shuffles it — corpus-sized cost on a serve path that
+  // should only pay for the batch. Writing the table BUCKETED (Spark's
+  // bucket file encoding + a catalog entry carrying the spec) makes its
+  // scan report hashpartitioning(bucketCols), so the serve join co-locates:
+  // only the batch side exchanges. The catalog entry is in-memory; a fresh
+  // session re-registers it over the same files via CREATE TABLE ...
+  // CLUSTERED BY ... LOCATION (schema inferred from the parquet footers).
+  // Data stays under this store's root — the swap/journal machinery and
+  // the crash-safety story are unchanged.
+
+  private def bucketTable(name: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_bkt_${name}_$h"
+  }
+
+  // catalog LOCATION / path options resolve RELATIVE paths against the
+  // warehouse dir, not the CWD the plain read/write paths use — always
+  // hand the catalog an absolute path
+  private def absPath(name: String): String =
+    Paths.get(path(name)).toAbsolutePath.toString
+
+  /** Bucketed flavor of `stage`: write the bucket-encoded files into the
+    * table's tmp dir (via a throwaway catalog entry — dropped at once,
+    * files kept) and return a DataFrame over them. `commitStaged`
+    * publishes as usual. Repartitioning on the bucket columns first keeps
+    * files-per-bucket at ~1 instead of one per task.
+    */
+  def stageBucketed(name: String, df: DataFrame, bucketCols: Seq[String],
+      numBuckets: Int): DataFrame = {
+    val tmpTable = bucketTable(name) + "__tmp"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    deleteRecursive(Paths.get(path(name + "__tmp")))
+    df.repartition(numBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", absPath(name + "__tmp"))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files stay
+    spark.read.parquet(path(name + "__tmp"))
+  }
+
+  /** Read a bucketed table THROUGH the catalog so the scan carries the
+    * bucket spec (a path read would silently degrade to un-partitioned).
+    * Registers the external table on first touch per session; refreshes
+    * the file listing every call (swaps/appends invalidate it).
+    */
+  def readBucketed(name: String, bucketCols: Seq[String],
+      numBuckets: Int): DataFrame = {
+    val tbl = bucketTable(name)
+    if (!spark.catalog.tableExists(tbl)) {
+      val schema = spark.read.parquet(path(name)).schema.toDDL
+      val bc = bucketCols.map(c => s"`$c`").mkString(", ")
+      spark.sql(s"CREATE TABLE `$tbl` ($schema) USING parquet " +
+        s"CLUSTERED BY ($bc) SORTED BY ($bc) INTO $numBuckets BUCKETS " +
+        s"LOCATION '${absPath(name)}'")
+    }
+    spark.catalog.refreshTable(tbl)
+    spark.table(tbl)
+  }
+
+  /** Bucket-encoded append — same spec, new files beside the old ones
+    * (more files per bucket, never a rewrite; the bucket contract still
+    * holds because every file's rows hash to its bucket id).
+    */
+  def appendBucketed(name: String, df: DataFrame, bucketCols: Seq[String],
+      numBuckets: Int): Unit = {
+    readBucketed(name, bucketCols, numBuckets) // ensure registration
+    df.repartition(numBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(bucketTable(name))
+    spark.catalog.refreshTable(bucketTable(name))
+  }
+
   /** Overwrite with Hilbert clustering on two keys: each written file
     * covers a tight (a, b) rectangle, so parquet min/max statistics prune
     * scans filtered on EITHER key — the layout step a 100 TB query mart

@@ -156,11 +156,111 @@ object Bpe {
     merges.toSeq
   }
 
-  /** `trainMergesList` as a DataFrame — (step, l, r, n), ordered. */
+  /** Training as a DataFrame — (step, l, r, n), ordered. Routes through
+    * `trainMergesAuto`, so the registered bpe3 oracle hash-checks the
+    * in-memory trainer against DuckDB's unrolled replay of the loop.
+    */
   def trainMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainMergesList(docs, nMerges).toDF("step", "l", "r", "n")
+    trainMergesAuto(docs, nMerges).toDF("step", "l", "r", "n")
+  }
+
+  /** Deployment-shape training entry: the distributed loop above runs
+    * one Spark job + one 1-row collect PER MERGE — the right cost model
+    * only while nMerges is small. A real vocab is 32 k merges, and the
+    * standard trainer shape (GPT-2, SentencePiece, HF tokenizers) is:
+    * compress the corpus to the distinct-word frequency table with ONE
+    * distributed pass, then — because that table is vocabulary-sized,
+    * not corpus-sized, at ANY corpus scale — collect it once and run the
+    * merge loop in memory with incremental pair-count maintenance.
+    * `maxVocabRows` guards the collect (2 M words ≈ tens of MB, the
+    * benchmark-literal / centroid collect doctrine); an over-bound vocab
+    * falls back to the distributed loop. Output is IDENTICAL to
+    * `trainMergesList` (same counts, same count-desc/(l, r)-asc
+    * tie-break — parity spec), ~100× faster at nMerges=1000 (NOTES.md).
+    */
+  def trainMergesAuto(docs: DataFrame, nMerges: Int,
+      maxVocabRows: Long = 2000000L): Seq[(Long, String, String, Long)] = {
+    val wf = wordFreq(docs).localCheckpoint(true)
+    val out =
+      if (wf.count() <= maxVocabRows)
+        trainMergesInMemory(
+          wf.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      else trainMergesList(docs, nMerges)
+    wf.unpersist()
+    out
+  }
+
+  /** The in-memory merge loop over a collected (word, freq) vocabulary.
+    * Incremental maintenance: pair counts and a pair → words index update
+    * only for the words that actually CONTAIN the merged pair, so a merge
+    * costs O(affected words), not O(vocab) — the HF-tokenizers shape.
+    * Tie-break matches the distributed loop: count desc, then (l, r)
+    * ascending (ASCII-safe; both engines compare bytewise on this
+    * corpus's normalized lowercase text).
+    */
+  private[graft] def trainMergesInMemory(vocab: Array[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = vocab.map { case (w, _) =>
+      mutable.ArrayBuffer.from(w.map(_.toString))
+    }
+    val freq = vocab.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def pairsIn(s: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
+      (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    syms.indices.foreach { i =>
+      pairsIn(syms(i)).foreach { p =>
+        pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + freq(i)))
+        pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+    }
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    while (step <= nMerges && pairCount.nonEmpty) {
+      // max by (n desc, l asc, r asc) — a linear scan; the pair table is
+      // vocabulary-sized and shrinks as merges consume it
+      var best: ((String, String), Long) = null
+      pairCount.foreach { e =>
+        if (best == null || e._2 > best._2 || (e._2 == best._2 &&
+            (e._1._1 < best._1._1 || (e._1._1 == best._1._1 && e._1._2 < best._1._2))))
+          best = e
+      }
+      val ((l, r), n) = best
+      merges += ((step.toLong, l, r, n))
+      val affected = pairWords.getOrElse((l, r), mutable.Set.empty).toArray
+      affected.foreach { i =>
+        val s = syms(i)
+        val oldPairs = pairsIn(s).toList
+        // left-to-right non-overlapping rewrite — mergePass's fold
+        val out = mutable.ArrayBuffer.empty[String]
+        s.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r)
+            out(out.length - 1) = l + r
+          else out += x
+        }
+        syms(i) = out
+        val newPairs = pairsIn(out).toList
+        oldPairs.foreach { p =>
+          val c = pairCount(p) - freq(i)
+          if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        }
+        newPairs.foreach { p =>
+          pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + freq(i)))
+        }
+        val oldSet = oldPairs.toSet; val newSet = newPairs.toSet
+        (oldSet -- newSet).foreach { p =>
+          pairWords.get(p).foreach { ws => ws -= i; if (ws.isEmpty) pairWords.remove(p) }
+        }
+        (newSet -- oldSet).foreach { p =>
+          pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+      }
+      step += 1
+    }
+    merges.toSeq
   }
 
   /** Token count per DISTINCT word under a trained merge list — encoding
@@ -184,7 +284,7 @@ object Bpe {
     * the doc pass stays shuffle-free up to the final doc_id aggregate.
     */
   def encodeFertility(docs: DataFrame, nMerges: Int): DataFrame = {
-    val merges = trainMergesList(docs, nMerges).map(m => (m._2, m._3))
+    val merges = trainMergesAuto(docs, nMerges).map(m => (m._2, m._3))
     val words = Par.fan(docs)
       .select(col("doc_id"),
         explode(split(TextDedup.normalizeText(col("text")), " ")).as("w"))

@@ -65,6 +65,21 @@ object DedupIndexStore {
   val tables: Seq[String] =
     Seq("meta", "freq", "prefix_jac", "prefix_cont", "postings", "sets")
 
+  /** Bucket layout: every shingle-keyed table buckets by `s`, the per-doc
+    * set table by `doc_id`, 32 buckets. The serve joins key on exactly
+    * these columns, so the STORED side of each join arrives
+    * pre-partitioned (no corpus-sized exchange per batch — the growth
+    * term the 12× scaling probe caught in d24); only batch-sized sides
+    * shuffle. meta (1 row) stays plain.
+    */
+  val nBuckets: Int = 32
+  private val bucketCols: Map[String, Seq[String]] = Map(
+    "freq" -> Seq("s"), "prefix_jac" -> Seq("s"), "prefix_cont" -> Seq("s"),
+    "postings" -> Seq("s"), "sets" -> Seq("doc_id"))
+
+  private def readB(store: ParquetTableStore, name: String): DataFrame =
+    store.readBucketed(name, bucketCols(name), nBuckets)
+
   /** Batch prefix rows under the FROZEN (df₀ asc, shingle asc) order:
     * per doc keep the first |s| − ⌈t·|s|⌉ + 1 shingles. Shingles unseen
     * at build time get df₀ = 0 (see object doc for why that is sound).
@@ -92,13 +107,20 @@ object DedupIndexStore {
   def build(store: ParquetTableStore, docs: DataFrame, n: Int,
       tJac: Double, tCont: Double): Unit = {
     // stage() returns a DataFrame over the staged files, so the derived
-    // tables read the materialized shingle rows instead of re-exploding
-    val sh = store.stage("postings", TextDedup.shingleRows(docs, n))
-    val freq = store.stage("freq",
-      sh.groupBy(col("s")).agg(count(lit(1)).as("df")))
-    store.stage("prefix_jac", prefixFrozen(sh, freq, tJac))
-    store.stage("prefix_cont", prefixFrozen(sh, freq, tCont))
-    store.stage("sets", shingleSets(docs, n))
+    // tables read the materialized shingle rows instead of re-exploding;
+    // the shingle-keyed tables stage BUCKETED (see bucketCols) so every
+    // later serve join reads them pre-partitioned on its join key
+    val sh = store.stageBucketed("postings", TextDedup.shingleRows(docs, n),
+      bucketCols("postings"), nBuckets)
+    val freq = store.stageBucketed("freq",
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df")),
+      bucketCols("freq"), nBuckets)
+    store.stageBucketed("prefix_jac", prefixFrozen(sh, freq, tJac),
+      bucketCols("prefix_jac"), nBuckets)
+    store.stageBucketed("prefix_cont", prefixFrozen(sh, freq, tCont),
+      bucketCols("prefix_cont"), nBuckets)
+    store.stageBucketed("sets", shingleSets(docs, n),
+      bucketCols("sets"), nBuckets)
     val spark = docs.sparkSession
     import spark.implicits._
     store.stage("meta", Seq((n, tJac, tCont)).toDF("n", "t_jac", "t_cont"))
@@ -132,14 +154,16 @@ object DedupIndexStore {
     val m = store.read("meta").head()
     val (n, tJac, tCont) = (m.getInt(0), m.getDouble(1), m.getDouble(2))
     val fresh = incoming.join(
-      store.read("sets").select(col("doc_id")), Seq("doc_id"), "left_anti")
+      readB(store, "sets").select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // pin the guard's verdict before tables move
     val sh = TextDedup.shingleRows(fresh, n)
-    val freq = store.read("freq")
-    store.append("postings", sh)
-    store.append("prefix_jac", prefixFrozen(sh, freq, tJac))
-    store.append("prefix_cont", prefixFrozen(sh, freq, tCont))
-    store.append("sets", shingleSets(fresh, n))
+    val freq = readB(store, "freq")
+    def appB(name: String, df: DataFrame): Unit =
+      store.appendBucketed(name, df, bucketCols(name), nBuckets)
+    appB("postings", sh)
+    appB("prefix_jac", prefixFrozen(sh, freq, tJac))
+    appB("prefix_cont", prefixFrozen(sh, freq, tCont))
+    appB("sets", shingleSets(fresh, n))
   }
 
   /** Near-dup pair delta for an arriving batch vs the indexed corpus —
@@ -152,7 +176,7 @@ object DedupIndexStore {
       n: Int, minJaccard: Double): DataFrame = {
     requireParams(store, n, minJaccard, contSide = false)
     val shNew = TextDedup.shingleRows(incoming, n)
-    val pNew = prefixFrozen(shNew, store.read("freq"), minJaccard)
+    val pNew = prefixFrozen(shNew, readB(store, "freq"), minJaccard)
     val a = pNew.as("a")
     // PPJoin length filter: J(A,B) ≥ t forces |A∩B| ≥ t·|A∪B|, and with
     // |A∩B| ≤ min, |A∪B| ≥ max that needs min ≥ t·max — prune pairs whose
@@ -164,14 +188,14 @@ object DedupIndexStore {
     val newNew = a.join(pNew.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") && sizeOk)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val newOld = a.join(store.read("prefix_jac").as("b"),
+    val newOld = a.join(readB(store, "prefix_jac").as("b"),
         col("a.s") === col("b.s") && sizeOk)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
     val cands = newNew.unionByName(newOld).dropDuplicates("id_a", "id_b")
-    val sets = store.read("sets").unionByName(shingleSets(incoming, n))
-    TextDedup.verifyPairsSets(sets, cands, minJaccard)
+    TextDedup.verifyPairsSetsSplit(readB(store, "sets"),
+      shingleSets(incoming, n), cands, minJaccard)
   }
 
   /** Containment pair delta for an arriving batch vs the indexed corpus —
@@ -183,21 +207,27 @@ object DedupIndexStore {
       n: Int, minContainment: Double): DataFrame = {
     requireParams(store, n, minContainment, contSide = true)
     val shNew = TextDedup.shingleRows(incoming, n)
-    val pNew = prefixFrozen(shNew, store.read("freq"), minContainment)
+    val pNew = prefixFrozen(shNew, readB(store, "freq"), minContainment)
     // (no pair-level length filter here: containment only bounds the
     // container from BELOW — |B| ≥ t·|A| — and the posting side carries
     // no sizes; a tiny doc can sit inside an arbitrarily large one, so
     // the symmetric PPJoin prune does not apply)
-    val postAll = store.read("postings").unionByName(shNew)
-    val newInAny = pNew.as("a").join(postAll.as("b"),
+    // the stored postings side joins SEPARATELY from the batch shingles
+    // (not unioned first): a union would erase the stored side's bucket
+    // partitioning and re-shuffle the corpus-sized postings every serve
+    val newInStored = pNew.as("a").join(readB(store, "postings").as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val oldInNew = store.read("prefix_cont").as("a").join(shNew.as("b"),
+    val newInNew = pNew.as("a").join(shNew.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val cands = newInAny.unionByName(oldInNew).dropDuplicates("id_a", "id_b")
-    val sets = store.read("sets").unionByName(shingleSets(incoming, n))
-    TextDedup.verifyContainmentSets(sets, cands, minContainment)
+    val oldInNew = readB(store, "prefix_cont").as("a").join(shNew.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cands = newInStored.unionByName(newInNew).unionByName(oldInNew)
+      .dropDuplicates("id_a", "id_b")
+    TextDedup.verifyContainmentSetsSplit(readB(store, "sets"),
+      shingleSets(incoming, n), cands, minContainment)
   }
 
   // ───── mtime-keyed ensure (registered-query / bench serving surface) ─────
@@ -214,9 +244,9 @@ object DedupIndexStore {
       n: Int, tJac: Double, tCont: Double): ParquetTableStore = {
     val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
     val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
-    // "pidx2": layout version — prefix tables carry sz since the PPJoin
-    // length filter landed; a key bump orphans (never corrupts) old caches
-    val path = s"$cacheRoot/pidx2_${n}_${(tJac * 1000).toInt}_${(tCont * 1000).toInt}_${key}_$mtime"
+    // "pidx3": layout version — shingle tables now bucket-encoded (by s /
+    // doc_id); a key bump orphans (never corrupts) old caches
+    val path = s"$cacheRoot/pidx3_${n}_${(tJac * 1000).toInt}_${(tCont * 1000).toInt}_${key}_$mtime"
     ensureLock.synchronized {
       val store = new ParquetTableStore(spark, path)
       if (!tables.forall(store.exists)) build(store, docs, n, tJac, tCont)

@@ -264,8 +264,19 @@ object Similarity {
     */
   def semanticDedupMerge(cents: Array[(Int, Array[Double])],
       prevLabels: DataFrame, existing: DataFrame,
+      incoming: DataFrame, minCos: Double): DataFrame =
+    semanticDedupMergeAssigned(cents, prevLabels, assignCells(existing, cents),
+      incoming, minCos)
+
+  /** The merge step with the existing side's cell rows supplied ALREADY
+    * ASSIGNED (the persisted `assigned` table of `ensureSemanticState`)
+    * — the serve shape that pays NO corpus-sized argmax per batch: only
+    * the incoming batch is assigned; the existing corpus contributes its
+    * stored (vec_id, cell, emb, n2) rows straight into the pair join.
+    */
+  def semanticDedupMergeAssigned(cents: Array[(Int, Array[Double])],
+      prevLabels: DataFrame, oldA: DataFrame,
       incoming: DataFrame, minCos: Double): DataFrame = {
-    val oldA = assignCells(existing, cents)
     val newA = assignCells(incoming, cents)
     val delta = cellPairs(newA, newA, minCos, lowerOnly = true)
       .unionByName(cellPairs(newA, oldA, minCos, lowerOnly = false))
@@ -285,43 +296,78 @@ object Similarity {
     sys.env.getOrElse("SPARK_GRAFT_DEDUP_STATE_DIR", "target/graft-dedup-state")
   private val stateLock = new Object
 
-  /** Semantic cluster labels of an existing corpus as a persisted
-    * artifact (doc_id, cluster_id — clustered members only), built on
-    * first use and keyed by embeddings.parquet mtime: TextDedup.
-    * ensureClusters' pattern for the embedding domain. Labels are
-    * computed under the corpus's OWN (frozen) centroids, exactly what
-    * `semanticDedupIncrementalFrom` expects.
+  /** Persisted semantic-dedup state for a corpus slice: three tables in
+    * one journaled group commit (ParquetTableStore) —
+    *
+    *   - `cents`    (cell, cent)               — the FROZEN quantizer
+    *   - `assigned` (vec_id, cell, emb, n2)    — the slice's cell rows
+    *   - `labels`   (doc_id, cluster_id)       — CC labels of clustered members
+    *
+    * Built on first use per (corpusDir, mtime, minCos, tag), read-only
+    * thereafter — a serve never retrains centroids and never re-assigns
+    * the corpus (the ann4/ann5 stored-index doctrine; the r7 serve paths
+    * recomputed both per call, which is exactly the cost this table
+    * removes).
+    *
+    * CONTRACT: `existing` must be exactly the corpus slice the `tag`
+    * names for this corpusDir (e.g. `"full"` → all of embeddings.parquet,
+    * `"even"` → its even-vec_id half) — the state key is (dir, mtime,
+    * minCos, tag), NOT a content hash, so passing a different subset
+    * under an existing tag would silently serve that tag's stored labels.
+    * Derive a fresh tag for any new slice.
     */
-  def ensureSemanticClusters(spark: org.apache.spark.sql.SparkSession,
-      corpusDir: String, existing: DataFrame, minCos: Double, tag: String): DataFrame = {
+  def ensureSemanticState(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, existing: DataFrame, minCos: Double,
+      tag: String): graft.etl.ParquetTableStore = {
     val mtime = new java.io.File(corpusDir, "embeddings.parquet").lastModified
     val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"$stateRoot/sem_${tag}_${(minCos * 1000).toInt}_${key}_$mtime"
+    // "semst": layout version (cents+assigned+labels); bumping the prefix
+    // orphans (never corrupts) the older labels-only caches
+    val path = s"$stateRoot/semst_${tag}_${(minCos * 1000).toInt}_${key}_$mtime"
     stateLock.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists) {
-        val oldA = assignCells(existing, labelCentroids(existing))
-        TextDedup.connectedComponents(cellPairs(oldA, oldA, minCos, lowerOnly = true))
-          .write.mode("overwrite").parquet(path)
+      val store = new graft.etl.ParquetTableStore(spark, path)
+      if (!Seq("cents", "assigned", "labels").forall(store.exists)) {
+        val spark2 = existing.sparkSession
+        import spark2.implicits._
+        val cents = labelCentroids(existing)
+        store.stage("cents",
+          cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cent"))
+        val oldA = store.stage("assigned", assignCells(existing, cents))
+        store.stage("labels",
+          TextDedup.connectedComponents(cellPairs(oldA, oldA, minCos, lowerOnly = true)))
+        store.commitStaged(Seq("cents", "assigned", "labels"))
       }
+      store
     }
-    spark.read.parquet(path)
   }
 
-  /** `semanticDedup` SERVED from the persisted cluster state (the ann4/
-    * ann5 stored-index doctrine): the expensive part — the iterative CC
-    * closure over within-cell cosine pairs — is built once per corpus
-    * by `ensureSemanticClusters` and read thereafter; each serve pays
-    * only the narrow cell assignment plus one join onto the stored
-    * labels. Output equals `semanticDedup(embeddings, minCos)` by
-    * construction (PipelineOpsSpec pins stored == inline).
+  /** The stored frozen quantizer, collected (k × dim doubles — KB). */
+  def readCents(store: graft.etl.ParquetTableStore): Array[(Int, Array[Double])] =
+    store.read("cents").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+
+  /** Cluster labels of an existing corpus slice from the persisted state
+    * (doc_id, cluster_id — clustered members only). See
+    * `ensureSemanticState` for the tag contract.
+    */
+  def ensureSemanticClusters(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, existing: DataFrame, minCos: Double, tag: String): DataFrame =
+    ensureSemanticState(spark, corpusDir, existing, minCos, tag).read("labels")
+
+  /** `semanticDedup` SERVED from the persisted state: cells come from the
+    * stored `assigned` table and clusters from the stored `labels` — a
+    * serve is two reads and one join; no centroid training, no argmax
+    * scan. Output equals `semanticDedup(embeddings, minCos)` because the
+    * state was built from this same corpus slice (PipelineOpsSpec pins
+    * stored == inline). CONTRACT: `embeddings` must be exactly the slice
+    * `tag` names (see `ensureSemanticState`).
     */
   def semanticDedupServed(spark: org.apache.spark.sql.SparkSession,
       corpusDir: String, embeddings: DataFrame, minCos: Double,
       tag: String = "full"): DataFrame = {
-    val labels = ensureSemanticClusters(spark, corpusDir, embeddings, minCos, tag)
-    assignCells(embeddings, labelCentroids(embeddings))
-      .select(col("vec_id"), col("cell"))
-      .join(labels.select(col("doc_id").as("vec_id"), col("cluster_id")),
+    val store = ensureSemanticState(spark, corpusDir, embeddings, minCos, tag)
+    store.read("assigned").select(col("vec_id"), col("cell"))
+      .join(store.read("labels").select(col("doc_id").as("vec_id"), col("cluster_id")),
         Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
@@ -349,14 +395,25 @@ object Similarity {
     */
   def semanticContamination(corpus: DataFrame, bench: Array[Array[Double]],
       minCos: Double): DataFrame = {
+    // an empty benchmark would make array_max(empty) NULL → every flag
+    // silently null; a zero-norm benchmark vector would make every cosine
+    // NaN → every row reads contaminated. Both are caller bugs — refuse.
+    require(bench.nonEmpty,
+      "semanticContamination: empty benchmark set — nothing to screen against")
+    require(bench.forall(b => b.exists(_ != 0.0)),
+      "semanticContamination: benchmark contains a zero-norm vector")
     val benchLit = typedLit(bench.map(b => (b.toSeq, b.map(x => x * x).sum)).toSeq)
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("n2", norm2(col("v")))
-      .withColumn("mx", array_max(transform(benchLit,
+      // a zero-norm CORPUS vector has no direction: its cosines are 0/0
+      // NaN, which Spark's array_max would rank above every real cosine
+      // — score it NULL / clean explicitly instead
+      .withColumn("mx", when(col("n2") > lit(0.0), array_max(transform(benchLit,
         b => dot(col("v"), b.getField("_1")) / sqrt(col("n2") * b.getField("_2")))))
+        .otherwise(lit(null).cast(DoubleType)))
       .select(col("vec_id"),
         col("mx").cast(DecimalType(18, 6)).cast(DoubleType).as("max_cos"),
-        (col("mx") >= minCos).cast(LongType).as("contaminated"))
+        coalesce(col("mx") >= minCos, lit(false)).cast(LongType).as("contaminated"))
   }
 
   /** SSL-prototypes curation (Sorscher et al. 2022): rank each vector by

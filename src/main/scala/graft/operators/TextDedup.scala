@@ -470,6 +470,37 @@ object TextDedup {
         floor(col("c").cast(DoubleType) * 1000000d / col("u")).as("jac_micro"))
   }
 
+  /** Attach each candidate endpoint's shingle set from a STORED set table
+    * and a batch set table joined SEPARATELY (batch row wins if a doc is
+    * in both) — a `stored.union(fresh)` would erase the stored table's
+    * bucket partitioning and re-shuffle the corpus per serve, which is
+    * exactly the cost the DedupIndexStore layout exists to remove.
+    */
+  private def attachSets(cands: DataFrame, stored: DataFrame, fresh: DataFrame,
+      idName: String, shOut: String): DataFrame =
+    cands
+      .join(stored.select(col("doc_id").as(idName), col("sh").as(shOut + "_s")),
+        Seq(idName), "left")
+      .join(fresh.select(col("doc_id").as(idName), col("sh").as(shOut + "_f")),
+        Seq(idName), "left")
+      .withColumn(shOut, coalesce(col(shOut + "_f"), col(shOut + "_s")))
+      .drop(shOut + "_s", shOut + "_f")
+
+  /** `verifyPairsSets` with the set table split stored/batch — identical
+    * output (inner-join semantics kept by the not-null filter; every real
+    * candidate endpoint has a set row in exactly one side).
+    */
+  private[operators] def verifyPairsSetsSplit(stored: DataFrame, fresh: DataFrame,
+      cands: DataFrame, minJaccard: Double): DataFrame =
+    attachSets(attachSets(cands, stored, fresh, "id_a", "sh_a"),
+        stored, fresh, "id_b", "sh_b")
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("u", size(col("sh_a")).cast(LongType) + size(col("sh_b")).cast(LongType) - col("c"))
+      .filter(col("c").cast(DoubleType) / col("u") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        floor(col("c").cast(DoubleType) * 1000000d / col("u")).as("jac_micro"))
+
   /** Asymmetric containment-similarity join: ordered pairs (id_a, id_b)
     * with C(A→B) = |A∩B| / |A| ≥ minContainment — doc A's shingles are
     * mostly inside B. This is the quote/subset detector Jaccard misses:
@@ -523,6 +554,19 @@ object TextDedup {
         floor(col("c").cast(DoubleType) * 1000000d / col("na").cast(DoubleType))
           .as("cont_micro"))
   }
+
+  /** `verifyContainmentSets` split stored/batch — see `verifyPairsSetsSplit`. */
+  private[operators] def verifyContainmentSetsSplit(stored: DataFrame,
+      fresh: DataFrame, cands: DataFrame, minContainment: Double): DataFrame =
+    attachSets(attachSets(cands, stored, fresh, "id_a", "sh_a"),
+        stored, fresh, "id_b", "sh_b")
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("na", size(col("sh_a")).cast(LongType))
+      .filter(col("c").cast(DoubleType) / col("na").cast(DoubleType) >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        floor(col("c").cast(DoubleType) * 1000000d / col("na").cast(DoubleType))
+          .as("cont_micro"))
 
   /** Incremental containment for a GROWING corpus — the batch delta of
     * `containmentPairs`: every ordered qualifying pair with ≥ 1 new

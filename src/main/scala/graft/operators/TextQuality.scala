@@ -43,22 +43,35 @@ object TextQuality {
     *   r_stop:   ≥ 2 stopwords of the 8-word probe list
     */
   def gopherRules(docs: DataFrame): DataFrame = {
-    val toks = split(TextDedup.normalizeText(col("text")), " ")
-    val nWords = size(toks).cast(LongType)
-    val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)),
-      lit(0L), (a, b) => a + b)
-    val meanLenMilli = floor(sumLen.cast(DoubleType) * 1000d / nWords.cast(DoubleType))
+    // every token-derived count comes out of ONE let-bound lambda struct:
+    // the token array binds as a lambda variable (`transform(array(split
+    // …), w -> …)[1]` — the t9 lesson), so the document tokenizes once
+    // per evaluation of `g` no matter how a downstream filter (e2e10's
+    // gate) substitutes it, and because the struct is expensive and
+    // multiply-referenced, CollapseProject keeps it a separate projection
+    // — the plan holds a single tokenization instead of one per metric
+    val wSql = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    val raw = expr(s"""element_at(transform(array($wSql), w -> named_struct(
+        'n_words', CAST(size(w) AS BIGINT),
+        'sum_len', aggregate(transform(w, t -> CAST(length(t) AS BIGINT)),
+          CAST(0 AS BIGINT), (a, b) -> a + b),
+        'n_alpha', CAST(size(filter(w, t -> t rlike '[a-z]')) AS BIGINT),
+        'n_stop', CAST(size(filter(w, t -> array_contains(
+          array('the', 'a', 'and', 'of', 'to', 'in', 'is', 'on'), t))) AS BIGINT)
+      )), 1)""")
+    val nWords = col("g.n_words")
+    val meanLenMilli =
+      floor(col("g.sum_len").cast(DoubleType) * 1000d / nWords.cast(DoubleType))
     val nSymbols = regexp_count(col("text"), lit("[#…]")).cast(LongType)
     val symbolPermille = floor(nSymbols.cast(DoubleType) * 1000d / nWords.cast(DoubleType))
-    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
-    val alphaPermille = floor(nAlpha.cast(DoubleType) * 1000d / nWords.cast(DoubleType))
-    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "on")
-    val nStop = size(filter(toks, t => t.isInCollection(stops))).cast(LongType)
-    docs.select(col("doc_id"), nWords.as("n_words"),
+    val alphaPermille =
+      floor(col("g.n_alpha").cast(DoubleType) * 1000d / nWords.cast(DoubleType))
+    docs.select(col("doc_id"), col("text"), raw.as("g"))
+      .select(col("doc_id"), nWords.as("n_words"),
         meanLenMilli.cast(LongType).as("mean_word_len_milli"),
         symbolPermille.cast(LongType).as("symbol_permille"),
         alphaPermille.cast(LongType).as("alpha_permille"),
-        nStop.as("n_stopwords"))
+        col("g.n_stop").as("n_stopwords"))
       .withColumn("r_words",
         (col("n_words") >= 50L && col("n_words") <= 100000L).cast(LongType))
       .withColumn("r_len", (col("mean_word_len_milli") >= 3000L &&

@@ -138,6 +138,49 @@ object CurationQueries {
         FROM events ORDER BY event_id"""),
       "digit-masking PII scrub with redaction counts"),
 
+    // Structured-PII scrub: emails → IPv4 → phone shapes, each masked
+    // with a category token and counted per category (ordering is
+    // load-bearing — see Curation.scrubPii). The corpus text is salted
+    // with deterministic doc_id-derived PII on BOTH engines so the
+    // extraction paths are exercised with nonzero counts and the whole
+    // scrub is hash-checked, not vacuously green on clean text.
+    "pii2_structured_scrub" -> Q(
+      (s, d) => {
+        val salted = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"), concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@mail.example.com from host "),
+            pmod(col("doc_id"), lit(256L)), lit("."),
+            pmod(col("doc_id") * 7, lit(256L)), lit(".0.1 call +1 555 "),
+            lpad(pmod(col("doc_id") * 31, lit(10000L)).cast("string"), 7, "0"))
+            .as("text"))
+        Curation.scrubPii(salted)
+          .select(col("doc_id"), col("text_scrubbed"), col("n_emails"),
+            col("n_ipv4"), col("n_phones"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH salted AS (SELECT doc_id,
+          text || ' contact user' || doc_id || '@mail.example.com from host '
+            || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.0.1 call +1 555 '
+            || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 7, '0') AS t
+          FROM documents),
+        s1 AS (SELECT doc_id,
+          len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+          FROM salted),
+        s2 AS (SELECT doc_id, n_emails,
+          len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+          regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+          FROM s1),
+        s3 AS (SELECT doc_id, n_emails, n_ipv4,
+          len(regexp_extract_all(t, '\+?\d[\d() -]{5,}\d')) AS n_phones,
+          regexp_replace(t, '\+?\d[\d() -]{5,}\d', '<PHONE>', 'g') AS t
+          FROM s2)
+        SELECT doc_id, t AS text_scrubbed,
+          CAST(n_emails AS BIGINT) AS n_emails, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+          CAST(n_phones AS BIGINT) AS n_phones
+        FROM s3 ORDER BY doc_id"""),
+      "structured-PII scrub: email/IPv4/phone masking with per-category counts"),
+
     // Deterministic source-mix sampling: re-weight the corpus toward a
     // configured target mix (here: even-numbered sources keep 100%, odd
     // keep 40%) by thresholding a content-hash bucket — reproducible

@@ -844,8 +844,9 @@ object ExtendedQueries {
       "declarative data-quality expectations: PK/FK/range/consistency rules"),
 
     // Column profiling — the ANALYZE pass: nulls / exact distinct /
-    // rendered min-max for three representative columns in ONE scan
-    // (partial aggs; stack unpivots the single result row).
+    // rendered min-max for three representative columns, one
+    // single-distinct pass per column unioned (no multi-distinct
+    // Expand; columnar pruning keeps total I/O equal to one scan).
     "prof1_column_profile" -> Q(
       (s, d) => {
         import graft.operators.Profile
@@ -1305,10 +1306,12 @@ object ExtendedQueries {
     // iteration: rank'(v) = 0.15 + 0.85·Σ_{u→v} rank(u)/outdeg(u) in
     // exact micro units with integer division, a fixed 5 iterations —
     // deterministic, so the oracle replays the identical unrolled
-    // chain and hash-matches. Shape at scale: edges materialize once;
-    // each iteration is one broadcast of the node-sized rank table into
-    // an edge-scan + one aggregation keyed by dst — never an edge
-    // shuffle per iteration.
+    // chain and hash-matches. Shape at scale: edges hash-partition by
+    // src once and pin; each iteration is an edge-scan join against
+    // that fixed layout + one aggregation keyed by dst — at most a
+    // node-sized shuffle per iteration, never a node-sized broadcast
+    // (Spark's size-gated auto-broadcast still fires when rank is
+    // genuinely small; no hint forces it).
     "g1_pagerank" -> Q(
       (s, d) => {
         val raw = Tables.orders(s, d)
@@ -1396,7 +1399,9 @@ object ExtendedQueries {
         deg AS (SELECT src, COUNT(*) AS outdeg FROM und GROUP BY 1),
         nodes AS (SELECT node,
             CAST(CASE WHEN node % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
-          FROM (SELECT DISTINCT src AS node FROM und)),
+          FROM (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM und UNION ALL SELECT dst FROM und
+            UNION ALL SELECT doc_id FROM documents WHERE doc_id % 3 = 0))),
         r0 AS (SELECT node, is_seed, CAST(is_seed * 1000000 AS BIGINT) AS r
           FROM nodes),
         $steps

@@ -104,7 +104,7 @@ class CurationSpec extends SparkTestBase {
     assert(!maskPlan.contains("Exchange"), s"masking must not shuffle:\n$maskPlan")
   }
 
-  test("profile counts nulls/distincts and renders min-max in one scan") {
+  test("profile counts nulls/distincts and renders min-max without an Expand") {
     import graft.operators.Profile
     import graft.operators.Profile.ColSpec
     val df = Seq(
@@ -116,11 +116,14 @@ class CurationSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(got("s") == ((1L, 2L, "a", "b")))
     assert(got("v") == ((1L, 2L, "1.5000", "2.2500")))
-    // one scan: a single aggregate feeds the stack — no join, no union
+    // per-column single-distinct passes, no joins — and critically no
+    // Expand: several exact distincts in ONE aggregate would N× the rows
+    // through the shuffle (the r7 prof1 cost), while per-column branches
+    // stay single-width and columnar pruning keeps total I/O equal
     val plan = Profile.profile(df, Seq(ColSpec("s"), ColSpec("v")))
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("Union") && !plan.contains("Join"),
-      s"profile must be one pass:\n$plan")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand") && !plan.contains("Join"),
+      s"profile must not Expand or join:\n$plan")
   }
 
   test("decontaminate broadcasts the benchmark gram side") {

@@ -95,9 +95,11 @@ class DedupIndexSpec extends SparkTestBase {
     val store = freshStore()
     DedupIndexStore.build(store, e1, n = 3, tJac = 0.8, tCont = 0.8)
     // partial append: candidate tables only — what a crash right before
-    // the sets append leaves behind
+    // the sets append leaves behind. Bucket-encoded, as the real append
+    // writes (a torn job within one table leaves a SUBSET of bucket
+    // files — same duplicates-only degradation, still bucket-valid)
     val sh2 = e2.select(col("doc_id"), explode(TextDedup.shingles(col("text"), 3)).as("s"))
-    store.append("postings", sh2)
+    store.appendBucketed("postings", sh2, Seq("s"), DedupIndexStore.nBuckets)
     // replay the full append (guard sees e2 absent from `sets` → re-adds)
     DedupIndexStore.append(store, e2)
     val clean = freshStore()

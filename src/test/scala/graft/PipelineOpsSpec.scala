@@ -1037,6 +1037,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows == Map(1L -> ((3L, 3L, 1000L)), 2L -> ((2L, 4L, 2000L))), s"got $rows")
   }
 
+  test("bpe driver-bounded trainer == distributed loop, bound gates the fallback") {
+    import graft.operators.Bpe
+    // parity on the REAL corpus (not a toy): every merge decision and
+    // every count must agree between the in-memory incremental trainer
+    // and the per-merge-job distributed loop
+    val docs = Tables.documents(spark, sfTiny)
+    val dist = Bpe.trainMergesList(docs, 25)
+    val mem = Bpe.trainMergesAuto(docs, 25) // vocab ≪ default bound → in-memory
+    assert(mem == dist, s"first divergence: ${
+      mem.zip(dist).find { case (a, b) => a != b }}")
+    // an over-bound vocab must fall back to the distributed loop
+    val fb = Bpe.trainMergesAuto(docs, 3, maxVocabRows = 1L)
+    assert(fb == dist.take(3), s"got $fb")
+  }
+
   test("bloom prune never drops a matching key and prunes most non-matches") {
     import graft.operators.RuntimeFilter
     val fact = spark.range(0, 20000).select($"id".as("k"))

@@ -307,6 +307,51 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("d23/d24: stored index tables join from their bucket layout — no exchange on the stored side") {
+    // the r7 scaling probe's one growth term: the serve join re-shuffled
+    // the corpus-sized stored postings every batch. With the tables
+    // bucket-encoded on their join keys, the stored side of every serve
+    // join must arrive pre-partitioned: bucketed scans engaged, and no
+    // shuffle between a stored-index scan and the join that consumes it.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (name <- Seq("d23_indexed_pairs", "d24_indexed_containment")) {
+      val df = SparkEntry.registry(name).fn(spark, sfTiny)
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      assert(plan.toString.contains("SelectedBucketsCount"),
+        s"$name: no bucketed scan engaged\n$plan")
+      // the corpus-sized stored tables (postings / prefix_* / sets) feed
+      // their consuming join STRAIGHT from the bucket layout: no shuffle
+      // may sit between a stored scan and the nearest join above it.
+      // (Exchanges above joins — dedup, ordering — are batch-sized and
+      // legitimate; freq may ride a size-gated broadcast: vocab-sized.)
+      val bigStored = "graft_bkt_(postings|prefix_jac|prefix_cont|sets)".r
+      var found = 0
+      def walk(node: SparkPlan, pendingExchange: Boolean): Unit = node match {
+        case f: FileSourceScanExec =>
+          if (bigStored.findFirstIn(f.toString).isDefined) {
+            found += 1
+            assert(!pendingExchange,
+              s"$name: shuffle between a stored-index scan and its join\n$plan")
+          }
+        case e: ShuffleExchangeExec => e.children.foreach(walk(_, true))
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.children.foreach(walk(_, false))
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.children.foreach(walk(_, false))
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          j.children.foreach(walk(_, false))
+        case other => other.children.foreach(walk(_, pendingExchange))
+      }
+      walk(plan, pendingExchange = false)
+      assert(found > 0, s"$name: no stored-table scan found\n$plan")
+    }
+  }
+
   test("verify stages run through intersect_size, not size(array_intersect)") {
     // the IntersectSizeRewrite optimizer rule must fire across the dedup
     // verify surface: no intersection array is ever materialized just to
@@ -316,6 +361,57 @@ class PlanSpec extends SparkTestBase {
       assert(p.contains("intersectsize"), s"$name: rewrite did not fire\n$p")
       assert(!p.contains("array_intersect"), s"$name: raw array_intersect survived\n$p")
     }
+  }
+
+  test("g1/g2: the PageRank iteration never force-broadcasts the rank table") {
+    // rank/degree tables are NODE-sized — linear in the corpus on a
+    // document graph — so a forced broadcast would hit Spark's broadcast
+    // ceiling long before 100 TB. With auto-broadcast disabled the
+    // iteration plan must hold NO BroadcastExchange (nothing forces one;
+    // at real sizes Spark's size-gated auto-broadcast may still choose
+    // one when rank is genuinely small — that gate is the contract), and
+    // the pre-partitioned edge side must join without its own exchange.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val raw = Tables.orders(spark, sfTiny)
+        .select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
+      // cap=0 forces the above-the-gate (100 TB) pin: partitioned caches
+      val (edges, deg, small) = graft.operators.Graph.pinned(raw, cap = 0L)
+      try {
+        assert(!small)
+        val ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+        def outerPlan(sm: Boolean) = {
+          val df = graft.operators.Graph.inflowStep(edges, deg, ranks, sm)
+          df.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+        }
+        // above the gate: walk the OUTER physical plan (an
+        // InMemoryTableScan is a leaf — the cached plan's build-time
+        // exchange is not per-iteration cost); no broadcast anywhere and
+        // the only exchange the step needs is the dst aggregation's
+        val big = outerPlan(sm = false)
+        val exchanges = big.collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        }
+        assert(!exchanges.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+          big.toString)
+        assert(exchanges.length <= 1, big.toString)
+        // below the gate: measured-small node tables ride broadcast joins
+        // (the fast plan auto-broadcast can't pick itself — a checkpointed
+        // rank table carries no stats)
+        assert(outerPlan(sm = true).toString.contains("BroadcastHashJoin"))
+        // and the small pin really is the plain-checkpoint shape
+        val (se, sd, ssmall) = graft.operators.Graph.pinned(raw)
+        assert(ssmall)
+        se.unpersist(); sd.unpersist()
+      } finally { edges.unpersist(); deg.unpersist() }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("dq3: cumulative windows run over value-domain aggregates, not doc rows") {
