@@ -10,7 +10,7 @@ import graft.operators.TextDedup
   * per-batch time must track the batch, not the corpus — the property
   * that lets a 100 TB corpus absorb a daily slice without ever paying
   * corpus-shaped work again. Runs the per-batch stage of each
-  * incremental operator against a fixed 100-doc batch over the sf0.01
+  * incremental operator against a fixed 40-doc batch over the sf0.01
   * corpus (400 existing docs) and the sf0.1 corpus (4 900 existing docs,
   * 12×), prints seconds per stage per scale. Results are recorded in
   * NOTES.md (round 7).
@@ -34,12 +34,14 @@ object ScalingProbe {
     def probe(sfDir: String): Map[String, Double] = {
       val docs = Tables.documents(spark, sfDir).cache()
       val n = docs.count()
-      // constant batch: the 100 lowest doc_ids; corpus = the rest
-      val batch = docs.orderBy(col("doc_id")).limit(100).cache()
+      // constant batch: the 40 lowest doc_ids (small enough that the
+      // serve paths run their deployment shape — bloom prune engaged —
+      // at BOTH probe scales); corpus = the rest
+      val batch = docs.orderBy(col("doc_id")).limit(40).cache()
       batch.count()
       val corpus = docs.join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti").cache()
       val nCorpus = corpus.count()
-      println(s"[probe] $sfDir: $n docs, corpus $nCorpus, batch 100")
+      println(s"[probe] $sfDir: $n docs, corpus $nCorpus, batch 40")
       // stored state a deployment would already hold (not timed)
       val prevLabels = TextDedup.connectedComponents(
         TextDedup.prefixFilterPairs(corpus, 3, 0.8)).cache()
@@ -52,7 +54,23 @@ object ScalingProbe {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_probe_idx").toString
       val idx = new graft.etl.ParquetTableStore(spark, idxDir)
       graft.operators.DedupIndexStore.build(idx, corpus, 3, 0.8, 0.8)
+      // graph fabric (g1/g2's shape) over the corpus near-dup pairs —
+      // NOT per-batch: PageRank carries node-sized per-iteration state,
+      // so its cost is EXPECTED to grow with the corpus (documented
+      // growth; the probe pins that the growth is ~linear, not worse,
+      // and that the size-gated no-forced-broadcast shape holds)
+      val pairs = TextDedup.prefixFilterPairs(corpus, 3, 0.8)
+        .select(col("id_a"), col("id_b")).cache()
+      pairs.count()
+      val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val seeds = corpus.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("node"))
       val stages = Seq[(String, () => Unit)](
+        "g1_pagerank" -> (() => noop(
+          graft.operators.Graph.pageRankMicro(und, 5))),
+        "g2_personalized" -> (() => noop(
+          graft.operators.Graph.personalizedPageRankMicro(und, seeds, 5))),
         "d12_pairs" -> (() => noop(
           TextDedup.prefixFilterPairsIncremental(corpus, batch, 3, 0.8))),
         "d13_clusters" -> (() => noop(TextDedup.ccIncremental(prevLabels,
@@ -68,7 +86,7 @@ object ScalingProbe {
         name -> (1 to 2).map(_ => time(f())).min
       }.toMap
       docs.unpersist(); batch.unpersist(); corpus.unpersist()
-      prevLabels.unpersist(); prevCont.unpersist()
+      prevLabels.unpersist(); prevCont.unpersist(); pairs.unpersist()
       out
     }
 

@@ -80,6 +80,36 @@ object DedupIndexStore {
   private def readB(store: ParquetTableStore, name: String): DataFrame =
     store.readBucketed(name, bucketCols(name), nBuckets)
 
+  /** Prune a stored shingle-keyed table to rows whose shingle MIGHT occur
+    * in the batch side, via a KB Bloom bitmap over the batch's (hashed)
+    * shingles — the d18 runtime-filter doctrine applied to the serve
+    * joins: the stored side's join input shrinks from corpus-sized to
+    * ~batch-overlap-sized before any sort/join work, for the price of
+    * one batch-sized aggregation. No false negatives (xxhash64 + Bloom),
+    * so recall is untouched; the narrow filter preserves the bucket
+    * partitioning the join co-locates on. Applied only when `prune` —
+    * the caller's size gate: a batch comparable to the corpus overlaps
+    * nearly every shingle, so the bitmap would filter nothing and its
+    * build would be pure overhead.
+    */
+  private def shinglePruned(stored: DataFrame, batch: DataFrame,
+      prune: Boolean): DataFrame =
+    if (!prune) stored
+    else {
+      val keys = batch.select(xxhash64(col("s")).as("sh64"))
+      stored.filter(RuntimeFilter.mightContain(
+        RuntimeFilter.bloomBytes(keys, "sh64", expectedKeys = 1L << 17, fpp = 0.01),
+        xxhash64(col("s"))))
+    }
+
+  /** The prune gate: batch ≤ 1/8 of the indexed corpus (row counts of
+    * `sets` are metadata-cheap). Deployment batches (daily slice vs a
+    * 100 TB corpus) always pass; the registered bench queries feed a
+    * half-corpus "batch" and correctly skip.
+    */
+  private def smallBatch(store: ParquetTableStore, incoming: DataFrame): Boolean =
+    incoming.count() * 8L <= store.read("sets").count()
+
   /** Batch prefix rows under the FROZEN (df₀ asc, shingle asc) order:
     * per doc keep the first |s| − ⌈t·|s|⌉ + 1 shingles. Shingles unseen
     * at build time get df₀ = 0 (see object doc for why that is sound).
@@ -175,6 +205,7 @@ object DedupIndexStore {
   def pairsIncremental(store: ParquetTableStore, incoming: DataFrame,
       n: Int, minJaccard: Double): DataFrame = {
     requireParams(store, n, minJaccard, contSide = false)
+    val prune = smallBatch(store, incoming)
     val shNew = TextDedup.shingleRows(incoming, n)
     val pNew = prefixFrozen(shNew, readB(store, "freq"), minJaccard)
     val a = pNew.as("a")
@@ -188,7 +219,7 @@ object DedupIndexStore {
     val newNew = a.join(pNew.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") && sizeOk)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val newOld = a.join(readB(store, "prefix_jac").as("b"),
+    val newOld = a.join(shinglePruned(readB(store, "prefix_jac"), pNew, prune).as("b"),
         col("a.s") === col("b.s") && sizeOk)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
@@ -206,6 +237,7 @@ object DedupIndexStore {
   def containmentIncremental(store: ParquetTableStore, incoming: DataFrame,
       n: Int, minContainment: Double): DataFrame = {
     requireParams(store, n, minContainment, contSide = true)
+    val prune = smallBatch(store, incoming)
     val shNew = TextDedup.shingleRows(incoming, n)
     val pNew = prefixFrozen(shNew, readB(store, "freq"), minContainment)
     // (no pair-level length filter here: containment only bounds the
@@ -215,13 +247,15 @@ object DedupIndexStore {
     // the stored postings side joins SEPARATELY from the batch shingles
     // (not unioned first): a union would erase the stored side's bucket
     // partitioning and re-shuffle the corpus-sized postings every serve
-    val newInStored = pNew.as("a").join(readB(store, "postings").as("b"),
+    val newInStored = pNew.as("a")
+      .join(shinglePruned(readB(store, "postings"), pNew, prune).as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val newInNew = pNew.as("a").join(shNew.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val oldInNew = readB(store, "prefix_cont").as("a").join(shNew.as("b"),
+    val oldInNew = shinglePruned(readB(store, "prefix_cont"), shNew, prune).as("a")
+      .join(shNew.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val cands = newInStored.unionByName(newInNew).unionByName(oldInNew)
