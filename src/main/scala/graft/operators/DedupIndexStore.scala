@@ -110,6 +110,25 @@ object DedupIndexStore {
   private def smallBatch(store: ParquetTableStore, incoming: DataFrame): Boolean =
     incoming.count() * 8L <= store.read("sets").count()
 
+  /** Under the prune gate, pin the candidate pairs (they are
+    * batch-overlap-sized — KB) and Bloom-prune the stored `sets` table to
+    * candidate endpoints before verification: without this the verify
+    * stage sorts/intersects the whole corpus-sized set table twice per
+    * serve — the LAST corpus-shaped term in the serve cost. The
+    * checkpoint makes candidate generation run exactly once (the bloom
+    * build reads the pinned rows, not the join plan).
+    */
+  private def verifyInputs(store: ParquetTableStore, cands0: DataFrame,
+      prune: Boolean): (DataFrame, DataFrame) =
+    if (!prune) (readB(store, "sets"), cands0)
+    else {
+      val cands = cands0.localCheckpoint(true)
+      val ids = cands.select(col("id_a").as("id"))
+        .unionByName(cands.select(col("id_b").as("id")))
+      (RuntimeFilter.bloomPruneLong(readB(store, "sets"), ids, "doc_id", "id",
+        expectedKeys = 1L << 16, fpp = 0.01), cands)
+    }
+
   /** Batch prefix rows under the FROZEN (df₀ asc, shingle asc) order:
     * per doc keep the first |s| − ⌈t·|s|⌉ + 1 shingles. Shingles unseen
     * at build time get df₀ = 0 (see object doc for why that is sound).
@@ -224,8 +243,9 @@ object DedupIndexStore {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    val cands = newNew.unionByName(newOld).dropDuplicates("id_a", "id_b")
-    TextDedup.verifyPairsSetsSplit(readB(store, "sets"),
+    val cands0 = newNew.unionByName(newOld).dropDuplicates("id_a", "id_b")
+    val (storedSets, cands) = verifyInputs(store, cands0, prune)
+    TextDedup.verifyPairsSetsSplit(storedSets,
       shingleSets(incoming, n), cands, minJaccard)
   }
 
@@ -258,9 +278,10 @@ object DedupIndexStore {
       .join(shNew.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val cands = newInStored.unionByName(newInNew).unionByName(oldInNew)
+    val cands0 = newInStored.unionByName(newInNew).unionByName(oldInNew)
       .dropDuplicates("id_a", "id_b")
-    TextDedup.verifyContainmentSetsSplit(readB(store, "sets"),
+    val (storedSets, cands) = verifyInputs(store, cands0, prune)
+    TextDedup.verifyContainmentSetsSplit(storedSets,
       shingleSets(incoming, n), cands, minContainment)
   }
 

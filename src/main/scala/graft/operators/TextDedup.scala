@@ -817,6 +817,25 @@ object TextDedup {
     spark.read.parquet(path)
   }
 
+  /** Near-dup PAIR fabric of a corpus as a persisted artifact — the
+    * edge set graph analytics (g2's seed expansion) and cluster builds
+    * run over: built once per (corpus dir, mtime, params) via the
+    * prefix-filter join, read thereafter (a deployment stores its pair
+    * fabric; clusters are derived state on top of it).
+    */
+  def ensurePairs(spark: SparkSession, corpusDir: String, docs: DataFrame,
+      n: Int, minJaccard: Double, tag: String): DataFrame = {
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$stateRoot/pairs_${tag}_${n}_${(minJaccard * 1000).toInt}_${key}_$mtime"
+    stateLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists)
+        prefixFilterPairs(docs, n, minJaccard)
+          .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Containment keep decisions of a corpus as a PERSISTED artifact —
     * the decision table `containmentKeepIncremental` merges each batch
     * delta into (the ensureClusters pattern applied to keep decisions):

@@ -152,8 +152,9 @@ object EndToEndQueries {
       "curation pipeline e2e: dedup → quality gate → hash split → corpus stats"),
 
     // The SCALE-PATH curation cascade composed end-to-end: near-dup
-    // removal via the prefix-filter join (guaranteed recall, never n²) →
-    // connected components → keep canonicals → quality gate →
+    // removal (cluster labels SERVED FROM STORED STATE — ensureClusters,
+    // the deployment shape shared with d13/e2e10; built once per corpus,
+    // read thereafter) → keep canonicals → quality gate →
     // temperature-scaled language rebalancing with rates derived from
     // the SURVIVORS' counts. The oracle replays the whole chain —
     // recursive-CTE closure, the same quality formula, the same
@@ -163,8 +164,8 @@ object EndToEndQueries {
       (s, d) => {
         import graft.operators.{Curation, TextDedup, TextStats}
         val docs = Tables.documents(s, d)
-        val clusters = TextDedup.connectedComponents(
-          TextDedup.prefixFilterPairs(docs, n = 3, minJaccard = 0.8))
+        val clusters = TextDedup.ensureClusters(s, d, docs,
+          n = 3, minJaccard = 0.8, tag = "full")
         val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id"))
         val kept = docs.join(drop, Seq("doc_id"), "left_anti")

@@ -1359,10 +1359,12 @@ object ExtendedQueries {
       (s, d) => {
         import graft.operators.TextDedup
         val docs = Tables.documents(s, d)
-        // prefix-filtered candidate generation (d11's scale path) —
-        // identical final pairs to the exact all-pairs join by the
-        // prefix recall theorem, at a fraction of the join fan-in
-        val pairs = TextDedup.prefixFilterPairs(docs, n = 3, minJaccard = 0.8)
+        // prefix-filtered candidate generation (d11's scale path),
+        // SERVED from the persisted pair fabric (ensurePairs — built
+        // once per corpus, read thereafter): identical final pairs to
+        // the exact all-pairs join by the prefix recall theorem
+        val pairs = TextDedup.ensurePairs(s, d, docs,
+            n = 3, minJaccard = 0.8, tag = "full")
           .select(col("id_a"), col("id_b"))
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
