@@ -86,6 +86,8 @@ object Main {
         dedupIdxBuild(spark, docs, idx,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
           opt(rest, "--cthreshold").map(_.toDouble).getOrElse(0.8))
+      case "dedupidx" :: "compact" :: idx :: Nil =>
+        dedupIdxCompact(spark, idx)
       case "dedupidx" :: "serve" :: batch :: idx :: out :: rest =>
         dedupIdxServe(spark, batch, idx, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
@@ -673,6 +675,17 @@ object Main {
     println(s"[graft] dedupidx build: $nDocs docs indexed " +
       s"(jaccard >= $threshold, containment >= $cThreshold)")
     nDocs
+  }
+
+  /** Compact the index's bucket tables back to ~one file per bucket —
+    * the maintenance pass after a run of appends (content unchanged,
+    * serve joins stay co-located, readers never see a torn table).
+    */
+  def dedupIdxCompact(spark: SparkSession, idx: String): Unit = {
+    import graft.operators.DedupIndexStore
+    val store = new ParquetTableStore(spark, idx)
+    DedupIndexStore.compact(store)
+    println(s"[graft] dedupidx compact: bucket tables rewritten in $idx")
   }
 
   /** Serve a batch's near-dup (or containment) pair delta from the

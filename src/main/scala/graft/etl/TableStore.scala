@@ -199,6 +199,27 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
     spark.catalog.refreshTable(bucketTable(name))
   }
 
+  /** Compact a bucketed table: rewrite the accumulated per-append files
+    * back to ~one file per bucket and swap atomically (tmp + journal-
+    * compatible). The daily append cadence otherwise grows files-per-
+    * bucket without bound — scan open cost and per-bucket in-task merge
+    * width grow with it. Readers never observe a half-compacted table;
+    * the bucket spec (and so every co-located join) is unchanged.
+    */
+  def compactBucketed(name: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit = {
+    // read the PLAIN path, not the catalog table: the optimizer elides
+    // the bucket-aligning repartition against a bucketed relation (it
+    // trusts the layout) while the planner may still run the scan
+    // un-bucketed with mixed-bucket tasks — the write then emits one
+    // file per (task, bucket) and compaction barely compacts. A path
+    // read claims no partitioning, so the shuffle stays and lines up
+    // 1:1 with the writer's bucket hash.
+    stageBucketed(name, read(name), bucketCols, numBuckets)
+    commitStaged(Seq(name))
+    spark.catalog.refreshTable(bucketTable(name))
+  }
+
   /** Overwrite with Hilbert clustering on two keys: each written file
     * covers a tight (a, b) rectangle, so parquet min/max statistics prune
     * scans filtered on EITHER key — the layout step a 100 TB query mart

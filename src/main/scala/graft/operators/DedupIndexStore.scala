@@ -129,6 +129,19 @@ object DedupIndexStore {
         expectedKeys = 1L << 16, fpp = 0.01), cands)
     }
 
+  /** Compact every bucket-encoded table back to ~one file per bucket —
+    * the maintenance pass the daily append cadence needs (each append
+    * adds files per bucket; scan open cost and the per-bucket merge
+    * width grow with them). Content is unchanged, so per-table (rather
+    * than group) atomicity is enough: a crash between table swaps
+    * leaves a mix of compacted and uncompacted tables, every one of
+    * them correct and every serve join still bucket-co-located.
+    */
+  def compact(store: ParquetTableStore): Unit =
+    tables.filter(bucketCols.contains).foreach { name =>
+      store.compactBucketed(name, bucketCols(name), nBuckets)
+    }
+
   /** Batch prefix rows under the FROZEN (df₀ asc, shingle asc) order:
     * per doc keep the first |s| − ⌈t·|s|⌉ + 1 shingles. Shingles unseen
     * at build time get df₀ = 0 (see object doc for why that is sound).

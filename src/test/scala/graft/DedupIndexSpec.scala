@@ -86,6 +86,26 @@ class DedupIndexSpec extends SparkTestBase {
     assert(pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8)) == before)
   }
 
+  test("compaction rewrites to ~one file per bucket, served output unchanged") {
+    val e1 = even.filter(col("doc_id") % 4 === 0)
+    val e2 = even.filter(col("doc_id") % 4 === 2)
+    val store = freshStore()
+    DedupIndexStore.build(store, e1, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(store, e2)
+    def files(name: String): Int = store.read(name).inputFiles.length
+    val before = files("postings")
+    val servedBefore = pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8))
+    val contBefore = pairsOf(DedupIndexStore.containmentIncremental(store, odd, 3, 0.8))
+    DedupIndexStore.compact(store)
+    val after = files("postings")
+    assert(after < before, s"compaction did not shrink files: $before -> $after")
+    assert(after <= DedupIndexStore.nBuckets, s"still $after files")
+    val servedAfter = pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8))
+    val contAfter = pairsOf(DedupIndexStore.containmentIncremental(store, odd, 3, 0.8))
+    assert(servedAfter == servedBefore && contAfter == contBefore)
+    assert(servedAfter.nonEmpty && contAfter.nonEmpty, "vacuous")
+  }
+
   test("crash between appends degrades to duplicate candidates, never wrong pairs") {
     // simulate dying after the candidate-side tables appended but BEFORE
     // `sets` (the commit point): replaying the append must restore a
