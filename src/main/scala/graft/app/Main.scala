@@ -56,6 +56,10 @@ import graft.marts.Views
   *                                           BM25 top-k from the stored
   *                                           index; --mmr reranks the pool
   *                                           into a diversified page
+  *   bpe train <docs> <out> [--merges N]     train + persist a BPE merge
+  *                                           list (driver-bounded loop)
+  *   bpe encode <docs> <mergesDir> <out>     per-doc token counts +
+  *                                           fertility under stored merges
   *   monitor <events> <out> [--window N] [--min-n M] [--cusum]
   *                                           robust median/MAD anomaly flags
   *                                           per user over an event series;
@@ -88,6 +92,11 @@ object Main {
           opt(rest, "--cthreshold").map(_.toDouble).getOrElse(0.8))
       case "dedupidx" :: "compact" :: idx :: Nil =>
         dedupIdxCompact(spark, idx)
+      case "bpe" :: "train" :: docs :: out :: rest =>
+        bpeTrain(spark, docs, out,
+          opt(rest, "--merges").map(_.toInt).getOrElse(1000))
+      case "bpe" :: "encode" :: docs :: merges :: out :: Nil =>
+        bpeEncode(spark, docs, merges, out)
       case "dedupidx" :: "serve" :: batch :: idx :: out :: rest =>
         dedupIdxServe(spark, batch, idx, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
@@ -172,7 +181,7 @@ object Main {
           if (rest.contains("--mmr"))
             Some(opt(rest, "--page").map(_.toInt).getOrElse(5))
           else None)
-      case other => sys.error(s"usage: run|load|check|analyze|dedup|semdedup|index|quality|search ... (got $other)")
+      case other => sys.error(s"usage: run|load|check|analyze|dedup[idx]|semdedup|decon|bpe|index|quality|search|curate|export|monitor ... (got $other)")
     }
 
   private def opt(rest: List[String], flag: String): Option[String] =
@@ -675,6 +684,51 @@ object Main {
     println(s"[graft] dedupidx build: $nDocs docs indexed " +
       s"(jaccard >= $threshold, containment >= $cThreshold)")
     nDocs
+  }
+
+  /** Train a BPE merge list on a corpus and persist it (the tokenizer
+    * artifact a training pipeline ships): driver-bounded in-memory loop
+    * when the distinct-word table fits (`Bpe.trainMergesAuto` —
+    * vocabulary-sized at ANY corpus scale), distributed fallback above
+    * the bound. Writes `<out>/merges` (step, l, r, n) atomically.
+    */
+  def bpeTrain(spark: SparkSession, docsPath: String, out: String,
+      nMerges: Int): Long = {
+    import spark.implicits._
+    val merges = graft.operators.Bpe.trainMergesAuto(
+      spark.read.parquet(docsPath), nMerges)
+    val store = new ParquetTableStore(spark, out)
+    store.overwrite("merges", merges.toDF("step", "l", "r", "n"))
+    println(s"[graft] bpe train: ${merges.length} merges -> $out/merges")
+    merges.length.toLong
+  }
+
+  /** Encode a corpus under a STORED merge list: the distinct-word vocab
+    * encodes in memory (one LTR pass per merge per word — nesting
+    * thousands of mergePass expressions would explode the plan), docs
+    * join the encoded vocab broadcast, per-doc token counts + fertility
+    * land at `<out>/fertility`. Train once, encode any corpus after —
+    * the frozen-artifact doctrine (quantizers, centroids, merge lists).
+    */
+  def bpeEncode(spark: SparkSession, docsPath: String, mergesDir: String,
+      out: String): Long = {
+    import graft.operators.{Bpe, Par, TextDedup}
+    import spark.implicits._
+    val docs = spark.read.parquet(docsPath)
+    val merges = new ParquetTableStore(spark, mergesDir).read("merges")
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Par.fan(docs)
+      .select(explode(split(TextDedup.normalizeText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .distinct().as[String].collect()
+    val enc = Bpe.encodeVocabInMemory(vocab, merges).toSeq
+      .toDF("w", "n_tokens_w")
+    val store = new ParquetTableStore(spark, out)
+    store.overwrite("fertility", Bpe.fertilityFrom(docs, enc))
+    val n = store.read("fertility").count()
+    println(s"[graft] bpe encode: $n docs scored under ${merges.length} stored merges -> $out/fertility")
+    n
   }
 
   /** Compact the index's bucket tables back to ~one file per bucket —

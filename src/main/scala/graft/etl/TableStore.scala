@@ -28,6 +28,11 @@ trait TableStore {
   }
 }
 
+object ParquetTableStore {
+  /** Guards first-touch catalog registration of bucketed tables. */
+  private[etl] val catalogLock = new Object
+}
+
 final class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
   private def path(name: String) = s"$root/$name"
 
@@ -172,12 +177,15 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
   def readBucketed(name: String, bucketCols: Seq[String],
       numBuckets: Int): DataFrame = {
     val tbl = bucketTable(name)
-    if (!spark.catalog.tableExists(tbl)) {
-      val schema = spark.read.parquet(path(name)).schema.toDDL
-      val bc = bucketCols.map(c => s"`$c`").mkString(", ")
-      spark.sql(s"CREATE TABLE `$tbl` ($schema) USING parquet " +
-        s"CLUSTERED BY ($bc) SORTED BY ($bc) INTO $numBuckets BUCKETS " +
-        s"LOCATION '${absPath(name)}'")
+    // two threads serving the same store may race the first registration
+    ParquetTableStore.catalogLock.synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        val schema = spark.read.parquet(path(name)).schema.toDDL
+        val bc = bucketCols.map(c => s"`$c`").mkString(", ")
+        spark.sql(s"CREATE TABLE `$tbl` ($schema) USING parquet " +
+          s"CLUSTERED BY ($bc) SORTED BY ($bc) INTO $numBuckets BUCKETS " +
+          s"LOCATION '${absPath(name)}'")
+      }
     }
     spark.catalog.refreshTable(tbl)
     spark.table(tbl)

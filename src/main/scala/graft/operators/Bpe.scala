@@ -275,13 +275,59 @@ object Bpe {
     words.select(col("w"), size(symsN).cast(LongType).as("n_tokens_w"))
   }
 
+  /** In-memory application of an ORDERED merge list to a collected
+    * vocabulary — the SAME per-merge LTR non-overlapping pass as
+    * `mergePass`, word by word, so the token counts are identical; used
+    * where nMerges is real-vocab-sized (nesting 32 k `mergePass`
+    * expressions would explode the plan — the plan-size discipline).
+    * The substring precheck skips a merge instantly for words that can
+    * never contain the pair adjacency (symbols are contiguous
+    * substrings, so (l, r) adjacency requires the literal l+r).
+    */
+  def encodeVocabInMemory(words: Array[String],
+      merges: Seq[(String, String)]): Map[String, Long] = {
+    val lrs = merges.map { case (l, r) => (l, r, l + r) }
+    words.iterator.map { w =>
+      var syms: Array[String] = null // lazily split only if some merge hits
+      lrs.foreach { case (l, r, lr) =>
+        if (w.contains(lr)) {
+          if (syms == null) syms = w.map(_.toString).toArray
+          if (syms.length >= 2) {
+            val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            syms.foreach { x =>
+              if (buf.nonEmpty && buf.last == l && x == r)
+                buf(buf.length - 1) = l + r
+              else buf += x
+            }
+            syms = buf.toArray
+          }
+        }
+      }
+      w -> (if (syms == null) w.length.toLong else syms.length.toLong)
+    }.toMap
+  }
+
+  /** Per-doc token counts + fertility from an already-encoded vocab table
+    * (w, n_tokens_w): documents join the encoded vocab broadcast —
+    * tokenizer vocabs are bounded (10^5..10^6 rows), so the broadcast is
+    * always safe and the doc pass stays shuffle-free up to the final
+    * doc_id aggregate.
+    */
+  def fertilityFrom(docs: DataFrame, enc: DataFrame): DataFrame = {
+    val words = Par.fan(docs)
+      .select(col("doc_id"),
+        explode(split(TextDedup.normalizeText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    words.join(broadcast(enc), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tokens_w")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000 DIV n_words").as("fertility_permille"))
+  }
+
   /** Train `nMerges` merges, encode the corpus, and report per-doc token
     * counts + fertility (tokens per 1000 words) — the tokenizer-fit
     * signal a curation pipeline uses to spot hard-to-tokenize text.
-    * Scale shape: encode the DISTINCT-word table (vocabulary-sized),
-    * then documents join the encoded vocab broadcast — tokenizer vocabs
-    * are bounded (10^5..10^6 rows), so the broadcast is always safe and
-    * the doc pass stays shuffle-free up to the final doc_id aggregate.
     */
   def encodeFertility(docs: DataFrame, nMerges: Int): DataFrame = {
     val merges = trainMergesAuto(docs, nMerges).map(m => (m._2, m._3))

@@ -766,6 +766,25 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(scrub == directScrub, "CLI scrub drifted from d16")
   }
 
+  test("CLI bpe train/encode: stored-merges encode equals the direct operator") {
+    import graft.operators.Bpe
+    val tmp = Files.createTempDirectory("graft_bpe").toString
+    graft.app.Main.route(spark, List("bpe", "train",
+      s"$sfTiny/documents.parquet", s"$tmp/tok", "--merges", "6"))
+    graft.app.Main.route(spark, List("bpe", "encode",
+      s"$sfTiny/documents.parquet", s"$tmp/tok", s"$tmp/enc"))
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val got = spark.read.parquet(s"$tmp/enc/fertility")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exp = Bpe.encodeFertility(docs, 6)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == exp && got.nonEmpty, "CLI bpe drifted from encodeFertility")
+    // stored artifact is the ordered merge list the trainer produced
+    val merges = spark.read.parquet(s"$tmp/tok/merges").orderBy($"step")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Bpe.trainMergesAuto(docs, 6))
+  }
+
   test("CLI dedupidx build/serve/append: two-batch lifecycle equals the direct operators") {
     import graft.operators.{DedupIndexStore, TextDedup}
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
