@@ -328,8 +328,8 @@ object Streams {
     */
   def dedupIndexStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
       store: graft.etl.ParquetTableStore, outDir: String,
-      checkpointDir: String,
-      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String, threshold: Double = 0.8,
+      containment: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.DedupIndexStore
     val schema = spark.read.parquet(docsDir).schema
     spark.readStream.schema(schema).parquet(docsDir)
@@ -339,8 +339,11 @@ object Streams {
           .join(store.read("sets").select(col("doc_id")), Seq("doc_id"), "left_anti")
           .localCheckpoint(true) // one verdict for both the serve and the absorb
         if (!fresh.isEmpty) {
-          DedupIndexStore.pairsIncremental(store, fresh, n = 3, threshold)
-            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          val delta =
+            if (containment)
+              DedupIndexStore.containmentIncremental(store, fresh, n = 3, threshold)
+            else DedupIndexStore.pairsIncremental(store, fresh, n = 3, threshold)
+          delta.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           DedupIndexStore.append(store, fresh)
         }
       }

@@ -236,6 +236,33 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(store.read("sets").count() == docs.count())
   }
 
+  test("dedup index stream --containment: served deltas union to the one-shot containment set") {
+    import graft.operators.{DedupIndexStore, TextDedup}
+    val docs = Tables.documents(spark, sfTiny)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_didxc").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/idx")
+    DedupIndexStore.build(store, docs.filter($"doc_id" % 4 === 0),
+      n = 3, tJac = 0.8, tCont = 0.8)
+    val docsDir = s"$tmp/arrivals"
+    docs.filter($"doc_id" % 4 === 2).write.mode("append").parquet(docsDir)
+    Streams.dedupIndexStream(spark, docsDir, store, s"$tmp/cont", s"$tmp/ckpt",
+      containment = true).awaitTermination(120000)
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(docsDir)
+    Streams.dedupIndexStream(spark, docsDir, store, s"$tmp/cont", s"$tmp/ckpt",
+      containment = true).awaitTermination(120000)
+    val bootstrap = TextDedup.containmentPairs(
+        docs.filter($"doc_id" % 4 === 0), 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    val served = spark.read.parquet(s"$tmp/cont")
+      .select($"id_a", $"id_b", $"cont_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = TextDedup.containmentPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert((bootstrap ++ served) == oneShot,
+      s"missing: ${oneShot.diff(bootstrap ++ served)}; extra: ${(bootstrap ++ served).diff(oneShot)}")
+    assert(served.nonEmpty, "no served deltas — vacuous")
+  }
+
   test("containment stream: decision state tracks batch d20 across micro-batches") {
     import graft.operators.TextDedup
     val docs = Tables.documents(spark, sfTiny)

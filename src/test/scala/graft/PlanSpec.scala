@@ -414,6 +414,24 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sem1/sem2 serve from stored state — no centroid training in the timed plan") {
+    // the r7 regression: the serve path re-ran labelCentroids (posexplode
+    // + per-(label, dim) aggregation) and re-assigned the corpus per
+    // call. Served plans must hold NO posexplode — centroids and cell
+    // assignments come from the persisted semantic state.
+    for (name <- Seq("sem1_semantic_dedup", "sem2_incremental_semdedup")) {
+      val p = planOf(q(name))
+      assert(!p.toLowerCase.contains("posexplode"),
+        s"$name: centroid training ran inside a serve\n$p")
+    }
+  }
+
+  test("prof1: no multi-distinct Expand — per-column single-distinct passes") {
+    val p = planOf(q("prof1_column_profile"))
+    assert(!p.contains("Expand"), s"multi-distinct Expand returned:\n$p")
+    assert(p.contains("Union"), p)
+  }
+
   test("dq3: cumulative windows run over value-domain aggregates, not doc rows") {
     val df = q("dq3_ks_drift")
     val p = planOf(df)
