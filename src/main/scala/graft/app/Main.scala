@@ -718,12 +718,18 @@ object Main {
     val merges = new ParquetTableStore(spark, mergesDir).read("merges")
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val vocab = Par.fan(docs)
+    val words = Par.fan(docs)
       .select(explode(split(TextDedup.normalizeText(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 1)
-      .distinct().as[String].collect()
-    val enc = Bpe.encodeVocabInMemory(vocab, merges).toSeq
-      .toDF("w", "n_tokens_w")
+      .distinct().localCheckpoint(true)
+    // same driver bound as training: a vocab that fits collects once and
+    // encodes in memory; an over-bound vocab encodes distributed in
+    // bounded-depth merge chunks — it never lands on the driver
+    val enc =
+      if (words.count() <= 2000000L)
+        Bpe.encodeVocabInMemory(words.as[String].collect(), merges).toSeq
+          .toDF("w", "n_tokens_w")
+      else Bpe.encodeVocabChunked(words, merges)
     val store = new ParquetTableStore(spark, out)
     store.overwrite("fertility", Bpe.fertilityFrom(docs, enc))
     val n = store.read("fertility").count()

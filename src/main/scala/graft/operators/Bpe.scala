@@ -307,6 +307,26 @@ object Bpe {
     }.toMap
   }
 
+  /** Distributed encode for a vocabulary that exceeds the driver bound:
+    * fold the merge list in CHUNKS of nested `mergePass` projections
+    * with a localCheckpoint between chunks — plan depth stays bounded
+    * (the plan-size discipline) while the vocab table never leaves the
+    * executors. Identical output to `encodeVocab`/`encodeVocabInMemory`
+    * (same per-merge LTR pass, same order).
+    */
+  def encodeVocabChunked(words: DataFrame, merges: Seq[(String, String)],
+      chunk: Int = 50): DataFrame = {
+    var df = words.select(col("w"), charSyms(col("w")).as("syms"))
+      .localCheckpoint(true)
+    merges.grouped(chunk).foreach { g =>
+      val folded = g.foldLeft(col("syms")) {
+        case (c, (l, r)) => mergePass(c, lit(l), lit(r))
+      }
+      df = df.select(col("w"), folded.as("syms")).localCheckpoint(true)
+    }
+    df.select(col("w"), size(col("syms")).cast(LongType).as("n_tokens_w"))
+  }
+
   /** Per-doc token counts + fertility from an already-encoded vocab table
     * (w, n_tokens_w): documents join the encoded vocab broadcast —
     * tokenizer vocabs are bounded (10^5..10^6 rows), so the broadcast is

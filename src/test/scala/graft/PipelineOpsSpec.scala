@@ -1037,6 +1037,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows == Map(1L -> ((3L, 3L, 1000L)), 2L -> ((2L, 4L, 2000L))), s"got $rows")
   }
 
+  test("bpe encode: in-memory, chunked-distributed and nested-expr paths agree") {
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, sfTiny)
+    val merges = Bpe.trainMergesAuto(docs, 25).map(m => (m._2, m._3))
+    val words = docs
+      .select(explode(split(graft.operators.TextDedup.normalizeText($"text"), " ")).as("w"))
+      .filter(length($"w") >= 1).distinct()
+    val viaExpr = Bpe.encodeVocab(words, merges)
+      .as[(String, Long)].collect().toMap
+    val viaMem = Bpe.encodeVocabInMemory(words.as[String].collect(), merges)
+    val viaChunk = Bpe.encodeVocabChunked(words, merges, chunk = 7)
+      .as[(String, Long)].collect().toMap
+    assert(viaMem == viaExpr, s"first drift: ${
+      viaMem.find { case (w, n) => viaExpr.get(w) != Some(n) }}")
+    assert(viaChunk == viaExpr)
+    assert(viaExpr.nonEmpty && viaExpr.values.exists(_ > 1))
+  }
+
   test("bpe driver-bounded trainer == distributed loop, bound gates the fallback") {
     import graft.operators.Bpe
     // parity on the REAL corpus (not a toy): every merge decision and
