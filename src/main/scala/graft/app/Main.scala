@@ -41,6 +41,7 @@ import graft.marts.Views
   *                                           absorbs the batch afterwards
   *   index build <emb> <out> [--ivf|--ivfpq] train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
+  *   index compact <idx> [--splits N]        rewrite append-accumulated code files
   *   index query <queries> <idx> <res> [--k K]  top-k from the stored index
   *   decon <emb> <out> --benchmark <bench> [--threshold T]
   *                                           flag corpus vectors too close
@@ -107,6 +108,10 @@ object Main {
           else if (rest.contains("--ivf")) "ivf" else "pq")
       case "index" :: "append" :: emb :: out :: Nil =>
         indexAppend(spark, emb, out)
+      case "index" :: "compact" :: idx :: rest =>
+        graft.operators.VectorIndexStore.compactCodes(spark, idx,
+          opt(rest, "--splits").map(_.toInt).getOrElse(32))
+        println(s"[graft] index compact: codes rewritten in $idx")
       case "index" :: "query" :: q :: idx :: resOut :: rest =>
         indexQuery(spark, q, idx, resOut,
           opt(rest, "--k").map(_.toInt).getOrElse(10))

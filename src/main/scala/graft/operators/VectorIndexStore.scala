@@ -147,6 +147,21 @@ object VectorIndexStore {
     catch { case _: Throwable => () }
   }
 
+  /** Compact the append-accumulated `codes` table back to a bounded
+    * file count — the maintenance pass the daily appendPq/appendIvf
+    * cadence needs (every append adds a file set; scan open cost grows
+    * without bound). Content is unchanged; ParquetTableStore's tmp +
+    * atomic-swap means a reader never observes a torn table, and the
+    * frozen quantizer artifacts (centroids/codebooks — 1-file tables)
+    * are untouched. Works for all three flavors (pq/ivf/ivfpq — they
+    * share the `codes` layout).
+    */
+  def compactCodes(spark: SparkSession, path: String,
+      targetSplits: Int = 32): Unit = {
+    val store = new graft.etl.ParquetTableStore(spark, path)
+    store.overwrite("codes", store.read("codes").coalesce(targetSplits))
+  }
+
   // ───── build-if-absent cache (the registry's deployment surface) ─────
   //
   // ann4/ann5 run against the index a deployment would keep warm; the

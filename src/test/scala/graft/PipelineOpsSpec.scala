@@ -559,6 +559,16 @@ class PipelineOpsSpec extends SparkTestBase {
     val inline = PqIndex.pqTopKIndexed(q, PqIndex.buildIndex(emb, cb), cb, k = 3)
       .as[(Long, Long, Double)].collect().toSet
     assert(viaStore == inline && viaStore.nonEmpty)
+    // compaction: append-accumulated code files rewrite to <= targetSplits,
+    // stored-index query unchanged (atomic swap — content untouched)
+    val filesBefore = spark.read.parquet(s"$dir/pq/codes").inputFiles.length
+    VectorIndexStore.compactCodes(spark, s"$dir/pq", targetSplits = 1)
+    val filesAfter = spark.read.parquet(s"$dir/pq/codes").inputFiles.length
+    assert(filesAfter == 1 && filesAfter < filesBefore,
+      s"compaction: $filesBefore -> $filesAfter")
+    val viaCompacted = VectorIndexStore.pqTopK(spark, s"$dir/pq", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaCompacted == inline)
   }
 
   test("IVF index store: append-after-train equals batch build, queries match inline") {
