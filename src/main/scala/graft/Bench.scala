@@ -54,6 +54,8 @@ object Bench {
     val shuffleWriteMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spillMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .sortBy(_._1).map { case (name, fn) =>
@@ -90,15 +92,28 @@ object Bench {
           }
         }
       }
-      name -> (if (times.isEmpty) Double.NaN else times.min)
+      name -> times
     }
-    val qs = results.map { case (k, v) =>
+    val mins = results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) Double.NaN else ts.min) }
+    val qs = mins.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "null" else f"$v%.3f")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filterNot(_.isNaN).sum
+    // self-diagnosis: per-query spread (|run2 − run1|) + system load. A
+    // loaded-box sweep shows up as large spreads and a high load average
+    // — detectable from the artifact alone, no re-run needed to tell a
+    // real regression from machine noise.
+    val spread = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.size < 2) "null" else f"${ts.max - ts.min}%.3f")
+    }.mkString("{", ",", "}")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadEnd = osBean.getSystemLoadAverage
+    val total = mins.map(_._2).filterNot(_.isNaN).sum
     def mb(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""spread":$spread,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,""" +
+      f""""cpus":${Runtime.getRuntime.availableProcessors},""" +
       f""""shuffle_read_mb":${mb(shuffleReadMb)},"shuffle_write_mb":${mb(shuffleWriteMb)},""" +
       f""""spill_mb":${mb(spillMb)},"sf":"$sfDir"}"""
     println(line)

@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Central SparkSession factory — every entry point (Verify, Bench, tests)
   * builds its session here so the engine-critical confs are applied once:
   *
-  *  - shuffle.partitions=32: matches local[32]; on a real cluster this is
-  *    overridden by AQE coalescing (adaptive.enabled=true).
+  *  - shuffle.partitions: defaults to the local core count (32) but is
+  *    an env knob (SPARK_GRAFT_SHUFFLE_PARTITIONS) — a cluster deployment
+  *    sets it to ~2-3× total cores (or leaves AQE coalescing to shrink
+  *    from a higher initial value); nothing in the engine assumes 32.
   *  - AQE on: runtime re-plan (broadcast promotion, skew-join splitting,
   *    partition coalescing) — the 100 TB safety net.
   *  - ansi=false: the reference engine's coercion contract is
@@ -25,7 +27,9 @@ object GraftSession {
       .appName("graft")
       // native engine expressions (graft_dot, …) available from SQL
       .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

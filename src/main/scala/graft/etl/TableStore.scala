@@ -225,7 +225,11 @@ final class ParquetTableStore(spark: SparkSession, root: String) extends TableSt
     // 1:1 with the writer's bucket hash.
     stageBucketed(name, read(name), bucketCols, numBuckets)
     commitStaged(Seq(name))
-    spark.catalog.refreshTable(bucketTable(name))
+    // re-register + refresh via readBucketed: in a fresh session (e.g. the
+    // standalone `dedupidx compact` CLI) the catalog entry doesn't exist yet
+    // and a bare refreshTable throws TABLE_OR_VIEW_NOT_FOUND
+    readBucketed(name, bucketCols, numBuckets)
+    ()
   }
 
   /** Overwrite with Hilbert clustering on two keys: each written file

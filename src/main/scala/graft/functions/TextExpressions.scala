@@ -18,26 +18,56 @@ import org.apache.spark.unsafe.types.UTF8String
   * Eval-only (CodegenFallback): a single virtual call per row is already
   * off the per-element hot path; the loops inside are plain JVM code.
   *
-  * Hash: FNV-1a 64 over UTF-8 bytes — deterministic across runs/executors;
-  * sketches are engine-internal (no cross-engine oracle depends on them).
+  * Hash: md5-derived — a string's 16 digest bytes split into two
+  * big-endian 64-bit halves (h1, h2); component p of a signature is the
+  * Kirsch–Mitzenmacher combination (h1 + p·h2) masked to 63 bits
+  * (Kirsch & Mitzenmacher, ESA 2006 — two hashes simulate k independent
+  * ones with no loss for sketching). Deterministic across runs AND
+  * across engines: DuckDB reproduces h1/h2 from the md5 hex string
+  * (`CAST(concat('0x', substr(md5(s),1,16)) AS UBIGINT)`) and the
+  * combination in HUGEINT-mod-2^63 arithmetic, so the whole
+  * MinHash/SimHash family is hash-green against a SQL oracle instead of
+  * rows-only. The 63-bit mask makes signed-long comparison = unsigned
+  * (BIGINT-safe on both engines) at the cost of one sketch bit.
   */
 object TextHash {
-  final val FnvOffset = -3750763034362895579L // 0xcbf29ce484222325
-  final val FnvPrime = 1099511628211L
+  final val NumHashes = 64
 
-  def fnv1a(bytes: Array[Byte]): Long = {
-    var h = FnvOffset
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** (bytes 0-7, bytes 8-15) of md5(s), big-endian signed longs — the
+    * same two values DuckDB reads from hex chars [1,16] and [17,32].
+    */
+  def md5Pair(s: String): (Long, Long) = {
+    val d = md.get().digest(s.getBytes("UTF-8"))
+    var h1 = 0L; var h2 = 0L
     var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
+    while (i < 8) {
+      h1 = (h1 << 8) | (d(i) & 0xffL)
+      h2 = (h2 << 8) | (d(i + 8) & 0xffL)
+      i += 1
+    }
+    (h1, h2)
+  }
+
+  /** md5 bytes 0-7 as one big-endian signed long (SimHash token hash). */
+  def md5Long(s: String): Long = {
+    val d = md.get().digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h
   }
 
-  /** MinHash affine permutation coefficients, seeded (odd multipliers). */
-  val NumHashes = 64
-  val perms: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-  }
+  /** Component p: (h1 + p·h2) mod 2^63. Java's wrapping arithmetic keeps
+    * the low 64 bits; the mask keeps the low 63 = what DuckDB computes
+    * exactly as (h1 + p·h2) % 9223372036854775808 in HUGEINT.
+    */
+  def component(h1: Long, h2: Long, p: Int): Long =
+    (h1 + p * h2) & Long.MaxValue
 
   def tokenize(text: String): Array[String] =
     text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
@@ -91,10 +121,10 @@ case class MinHashSig(child: Expression, n: Int)
         while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
         val s = sb.toString
         if (seen.add(s)) {
-          val base = fnv1a(s.getBytes("UTF-8"))
+          val (h1, h2) = md5Pair(s)
           var p = 0
           while (p < NumHashes) {
-            val v = base * perms(p)._1 + perms(p)._2
+            val v = component(h1, h2, p)
             if (v < mins(p)) mins(p) = v
             p += 1
           }
@@ -120,7 +150,7 @@ case class SimHash64(child: Expression)
     val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = fnv1a(toks(i).getBytes("UTF-8"))
+      val h = md5Long(toks(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -162,10 +192,10 @@ case class BBitMinHashSig(child: Expression, n: Int)
         while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
         val s = sb.toString
         if (seen.add(s)) {
-          val base = fnv1a(s.getBytes("UTF-8"))
+          val (h1, h2) = md5Pair(s)
           var p = 0
           while (p < NumHashes) {
-            val v = base * perms(p)._1 + perms(p)._2
+            val v = component(h1, h2, p)
             if (v < mins(p)) mins(p) = v
             p += 1
           }

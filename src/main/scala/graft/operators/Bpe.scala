@@ -174,17 +174,26 @@ object Bpe {
     * distributed pass, then — because that table is vocabulary-sized,
     * not corpus-sized, at ANY corpus scale — collect it once and run the
     * merge loop in memory with incremental pair-count maintenance.
-    * `maxVocabRows` guards the collect (2 M words ≈ tens of MB, the
-    * benchmark-literal / centroid collect doctrine); an over-bound vocab
-    * falls back to the distributed loop. Output is IDENTICAL to
-    * `trainMergesList` (same counts, same count-desc/(l, r)-asc
-    * tie-break — parity spec), ~100× faster at nMerges=1000 (NOTES.md).
+    * `maxVocabRows` + `maxVocabChars` guard the collect (the
+    * benchmark-literal / centroid collect doctrine). The CHAR gate is the
+    * real memory proxy: the trainer's footprint is per-symbol references
+    * plus pair-index entries, both linear in total characters, not rows —
+    * with single-char interning ≈ 60-100 bytes/char worst case, so the
+    * 20 M default stays under ~2 GB of driver heap even on a
+    * pathological corpus. An over-bound vocab falls back to the
+    * distributed loop. Output is IDENTICAL to `trainMergesList` (same
+    * counts, same count-desc/(l, r)-asc tie-break in UTF-8 byte order —
+    * parity spec), ~100× faster at nMerges=1000 (NOTES.md).
     */
   def trainMergesAuto(docs: DataFrame, nMerges: Int,
-      maxVocabRows: Long = 2000000L): Seq[(Long, String, String, Long)] = {
+      maxVocabRows: Long = 2000000L,
+      maxVocabChars: Long = 20000000L): Seq[(Long, String, String, Long)] = {
     val wf = wordFreq(docs).localCheckpoint(true)
+    val stats = wf.agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
+      .head()
+    val (rows, chars) = (stats.getLong(0), stats.getLong(1))
     val out =
-      if (wf.count() <= maxVocabRows)
+      if (rows <= maxVocabRows && chars <= maxVocabChars)
         trainMergesInMemory(
           wf.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
       else trainMergesList(docs, nMerges)
@@ -192,19 +201,61 @@ object Bpe {
     out
   }
 
+  /** Word → code-point symbol strings — the in-memory twin of `charSyms`
+    * (Java's regex engine is code-point aware, so `split(w, "")` on the
+    * distributed side keeps surrogate pairs whole; splitting by UTF-16
+    * code unit here would break parity on supplementary characters).
+    * Single-code-point strings are interned through `cache` so a vocab's
+    * symbol buffers share one String per distinct character.
+    */
+  private def codePointSyms(w: String,
+      cache: scala.collection.mutable.HashMap[Int, String]): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += cache.getOrElseUpdate(cp, w.substring(i, i + n))
+      i += n
+    }
+    out.toArray
+  }
+
+  /** UTF-8 byte-order string comparison — Spark (UTF8String) and DuckDB
+    * both compare strings bytewise in UTF-8; Java's natural String order
+    * is UTF-16, which disagrees for supplementary characters (surrogates
+    * 0xD800+ sort below 0xE000-0xFFFF chars in UTF-16 but encode ABOVE
+    * all of the BMP in UTF-8). The in-memory tie-break must match the
+    * engines' order or non-ASCII corpora diverge from the parity spec.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The in-memory merge loop over a collected (word, freq) vocabulary.
     * Incremental maintenance: pair counts and a pair → words index update
     * only for the words that actually CONTAIN the merged pair, so a merge
     * costs O(affected words), not O(vocab) — the HF-tokenizers shape.
     * Tie-break matches the distributed loop: count desc, then (l, r)
-    * ascending (ASCII-safe; both engines compare bytewise on this
-    * corpus's normalized lowercase text).
+    * ascending in UTF-8 BYTE order (`utf8Less` — what Spark and DuckDB
+    * both compare by), over code-point symbols (`codePointSyms` — what
+    * the distributed `charSyms` splits into).
     */
   private[graft] def trainMergesInMemory(vocab: Array[(String, Long)],
       nMerges: Int): Seq[(Long, String, String, Long)] = {
     import scala.collection.mutable
+    val interned = mutable.HashMap.empty[Int, String]
     val syms = vocab.map { case (w, _) =>
-      mutable.ArrayBuffer.from(w.map(_.toString))
+      mutable.ArrayBuffer.from(codePointSyms(w, interned))
     }
     val freq = vocab.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
@@ -225,7 +276,8 @@ object Bpe {
       var best: ((String, String), Long) = null
       pairCount.foreach { e =>
         if (best == null || e._2 > best._2 || (e._2 == best._2 &&
-            (e._1._1 < best._1._1 || (e._1._1 == best._1._1 && e._1._2 < best._1._2))))
+            (utf8Less(e._1._1, best._1._1) || (e._1._1 == best._1._1 &&
+              utf8Less(e._1._2, best._1._2)))))
           best = e
       }
       val ((l, r), n) = best
@@ -287,11 +339,12 @@ object Bpe {
   def encodeVocabInMemory(words: Array[String],
       merges: Seq[(String, String)]): Map[String, Long] = {
     val lrs = merges.map { case (l, r) => (l, r, l + r) }
+    val interned = scala.collection.mutable.HashMap.empty[Int, String]
     words.iterator.map { w =>
       var syms: Array[String] = null // lazily split only if some merge hits
       lrs.foreach { case (l, r, lr) =>
         if (w.contains(lr)) {
-          if (syms == null) syms = w.map(_.toString).toArray
+          if (syms == null) syms = codePointSyms(w, interned)
           if (syms.length >= 2) {
             val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
             syms.foreach { x =>
@@ -303,7 +356,8 @@ object Bpe {
           }
         }
       }
-      w -> (if (syms == null) w.length.toLong else syms.length.toLong)
+      w -> (if (syms == null) w.codePointCount(0, w.length).toLong
+            else syms.length.toLong)
     }.toMap
   }
 

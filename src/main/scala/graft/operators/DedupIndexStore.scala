@@ -105,10 +105,12 @@ object DedupIndexStore {
   /** The prune gate: batch ≤ 1/8 of the indexed corpus (row counts of
     * `sets` are metadata-cheap). Deployment batches (daily slice vs a
     * 100 TB corpus) always pass; the registered bench queries feed a
-    * half-corpus "batch" and correctly skip.
+    * half-corpus "batch" and correctly skip. Callers hand in the batch
+    * row count they already have (the serve paths pin the batch with a
+    * localCheckpoint and count the cached blocks) — no extra batch job.
     */
-  private def smallBatch(store: ParquetTableStore, incoming: DataFrame): Boolean =
-    incoming.count() * 8L <= store.read("sets").count()
+  private def smallBatch(store: ParquetTableStore, batchRows: Long): Boolean =
+    batchRows * 8L <= store.read("sets").count()
 
   /** Under the prune gate, pin the candidate pairs (they are
     * batch-overlap-sized — KB) and Bloom-prune the stored `sets` table to
@@ -237,8 +239,12 @@ object DedupIndexStore {
   def pairsIncremental(store: ParquetTableStore, incoming: DataFrame,
       n: Int, minJaccard: Double): DataFrame = {
     requireParams(store, n, minJaccard, contSide = false)
-    val prune = smallBatch(store, incoming)
-    val shNew = TextDedup.shingleRows(incoming, n)
+    // pin the batch once: the gate's count, both shingle passes, and the
+    // verification's set build all read the cached blocks instead of
+    // re-running the batch's upstream plan
+    val inc = incoming.localCheckpoint(true)
+    val prune = smallBatch(store, inc.count())
+    val shNew = TextDedup.shingleRows(inc, n)
     val pNew = prefixFrozen(shNew, readB(store, "freq"), minJaccard)
     val a = pNew.as("a")
     // PPJoin length filter: J(A,B) ≥ t forces |A∩B| ≥ t·|A∪B|, and with
@@ -259,7 +265,7 @@ object DedupIndexStore {
     val cands0 = newNew.unionByName(newOld).dropDuplicates("id_a", "id_b")
     val (storedSets, cands) = verifyInputs(store, cands0, prune)
     TextDedup.verifyPairsSetsSplit(storedSets,
-      shingleSets(incoming, n), cands, minJaccard)
+      shingleSets(inc, n), cands, minJaccard)
   }
 
   /** Containment pair delta for an arriving batch vs the indexed corpus —
@@ -270,8 +276,9 @@ object DedupIndexStore {
   def containmentIncremental(store: ParquetTableStore, incoming: DataFrame,
       n: Int, minContainment: Double): DataFrame = {
     requireParams(store, n, minContainment, contSide = true)
-    val prune = smallBatch(store, incoming)
-    val shNew = TextDedup.shingleRows(incoming, n)
+    val inc = incoming.localCheckpoint(true)
+    val prune = smallBatch(store, inc.count())
+    val shNew = TextDedup.shingleRows(inc, n)
     val pNew = prefixFrozen(shNew, readB(store, "freq"), minContainment)
     // (no pair-level length filter here: containment only bounds the
     // container from BELOW — |B| ≥ t·|A| — and the posting side carries
@@ -295,7 +302,7 @@ object DedupIndexStore {
       .dropDuplicates("id_a", "id_b")
     val (storedSets, cands) = verifyInputs(store, cands0, prune)
     TextDedup.verifyContainmentSetsSplit(storedSets,
-      shingleSets(incoming, n), cands, minContainment)
+      shingleSets(inc, n), cands, minContainment)
   }
 
   // ───── mtime-keyed ensure (registered-query / bench serving surface) ─────

@@ -308,12 +308,16 @@ object PipelineQueries {
     // corpus whose labels are SERVED FROM STORED STATE (ensureClusters —
     // built once per corpus, read thereafter: the table a deployment
     // keeps between batches, exactly what `dedup --incremental` and
-    // Streams.dedupStream maintain); the odd-id batch arrives, d12
-    // yields the pair DELTA, and ccIncremental merges it by contracting
-    // old clusters to their canonical supernode — CC runs on a
-    // delta-sized reduced graph, never over the full historical pair set.
-    // The composed labels provably equal a from-scratch CC over the whole
-    // corpus, so d13 shares d7's recursive-CTE transitive-closure oracle;
+    // Streams.dedupStream maintain); the odd-id batch arrives, the pair
+    // DELTA is SERVED FROM THE PERSISTED PREFIX INDEX (DedupIndexStore
+    // — the same stored fabric d23 serves; batch-sized work, the corpus
+    // is never re-shingled per batch), and ccIncremental merges it by
+    // contracting old clusters to their canonical supernode — CC runs on
+    // a delta-sized reduced graph, never over the full historical pair
+    // set. Index-served delta pairs EQUAL the from-scratch incremental
+    // join (frozen-order recall + exact verification), so the composed
+    // labels provably equal a from-scratch CC over the whole corpus and
+    // d13 shares d7's recursive-CTE transitive-closure oracle;
     // PipelineOpsSpec pins incremental == batch through the DataFrame API
     // (and the from-scratch one-query composition) as well.
     "d13_incremental_clusters" -> Q(
@@ -323,8 +327,10 @@ object PipelineQueries {
         val incoming = docs.filter(col("doc_id") % 2 === 1)
         val prev = TextDedup.ensureClusters(s, d, existing,
           n = 3, minJaccard = 0.8, tag = "even")
+        val idx = graft.operators.DedupIndexStore.ensure(s, d, existing,
+          n = 3, tJac = 0.8, tCont = 0.8)
         TextDedup.ccIncremental(prev,
-            TextDedup.prefixFilterPairsIncremental(existing, incoming,
+            graft.operators.DedupIndexStore.pairsIncremental(idx, incoming,
               n = 3, minJaccard = 0.8))
           .orderBy(col("doc_id"))
       },
@@ -423,6 +429,40 @@ object PipelineQueries {
         FROM toks t LEFT JOIN reb r USING (doc_id)
         ORDER BY t.doc_id"""),
       "exact-substring removal: duplicated windows stripped, rebuilt text md5-pinned"),
+
+    // Exact-substring dedup via DISTRIBUTED SUFFIX GROUPING (Lee et al.
+    // 2022): per token position, the MAXIMAL duplicated-substring length
+    // (capped at 32 tokens), from one global suffix sort + neighbor-LCP
+    // scan — never per-length re-aggregation, never n² pairs. Positions
+    // with match_len >= 8 are EXACTLY d14's duplicated-window starts
+    // (SuffixSpec pins the superset/equality relation); the lengths are
+    // what the fixed windows can't see. Oracle replays the suffix sort
+    // with window lag/lead + list-LCP — the neighbor-max property makes
+    // the result independent of each engine's tie order.
+    "d25_suffix_spans" -> Q(
+      (s, d) => graft.operators.SuffixDedup.maxMatchSpans(
+          Tables.documents(s, d), minLen = 8, maxLen = 32)
+        .orderBy(col("doc_id"), col("p")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        suf AS (SELECT doc_id, p, w[p:least(p + 31, len(w))] AS key
+          FROM toks, UNNEST(range(1, len(w) + 1)) AS t(p)),
+        ord AS (SELECT doc_id, p, key,
+            lag(key) OVER (ORDER BY key) AS pk,
+            lead(key) OVER (ORDER BY key) AS nk
+          FROM suf),
+        l AS (SELECT doc_id, p, GREATEST(
+            COALESCE(CASE WHEN pk IS NULL THEN 0 ELSE
+              COALESCE(NULLIF(list_position(list_transform(
+                range(1, least(len(key), len(pk)) + 1), i -> key[i] = pk[i]),
+                false), 0) - 1, least(len(key), len(pk))) END, 0),
+            COALESCE(CASE WHEN nk IS NULL THEN 0 ELSE
+              COALESCE(NULLIF(list_position(list_transform(
+                range(1, least(len(key), len(nk)) + 1), i -> key[i] = nk[i]),
+                false), 0) - 1, least(len(key), len(nk))) END, 0)
+          ) AS match_len FROM ord)
+        SELECT doc_id, p, CAST(match_len AS BIGINT) AS match_len
+        FROM l WHERE match_len >= 8 ORDER BY doc_id, p"""),
+      "suffix-grouped exact-substring dedup: maximal duplicated span lengths"),
 
     // ASYMMETRIC containment C(A→B) = |A∩B|/|A|: the quote/excerpt
     // detector — a short doc embedded in a long one has near-zero
@@ -670,24 +710,104 @@ object PipelineQueries {
         FROM hist GROUP BY 1 ORDER BY cluster_size"""),
       "dedup report: cluster-size histogram incl. singletons — duplication mass by shape"),
 
-    // MinHash+LSH / SimHash are hash-seeded and not SQL-mirrorable:
-    // rows-only here, exactness asserted against d2 in DedupSpec.
+    // MinHash+LSH / SimHash signatures are md5-derived (TextHash: h1/h2 =
+    // the two 64-bit halves of md5(s), component p = (h1 + p·h2) mod 2^63
+    // — Kirsch–Mitzenmacher), so DuckDB replays the ENTIRE signature +
+    // banding + agreement computation from its own md5() in HUGEINT
+    // arithmetic and the family is hash-green, not rows-only. Band
+    // collision is rendered as equality of the underlying component
+    // tuple — identical to Spark's xxhash64 bucket up to 64-bit hash
+    // collisions (none on any tested corpus; a collision could only ADD
+    // a candidate, and est/hamming filters judge candidates exactly).
     "d3_minhash_lsh" -> Q(
       (s, d) => TextDedup.minhashPairs(Tables.documents(s, d), n = 3, minEst = 0.7)
         .orderBy(col("id_a"), col("id_b")),
-      None,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        hv AS (SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS HUGEINT) AS h1,
+            CAST(CAST(concat('0x', substr(md5(s), 17, 16)) AS UBIGINT) AS HUGEINT) AS h2
+          FROM sh),
+        comp AS (SELECT doc_id, p,
+            MIN(CAST((h1 + p * h2) % 9223372036854775808 AS BIGINT)) AS v
+          FROM hv, UNNEST(range(0, 64)) AS t(p) GROUP BY doc_id, p),
+        band AS (SELECT doc_id, p // 4 AS bd,
+            string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS bkey
+          FROM comp GROUP BY doc_id, p // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b
+            ON a.bd = b.bd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        agree AS (SELECT c.id_a, c.id_b,
+            SUM(CASE WHEN ca.v = cb.v THEN 1 ELSE 0 END) AS n_agree
+          FROM cand c JOIN comp ca ON ca.doc_id = c.id_a
+            JOIN comp cb ON cb.doc_id = c.id_b AND cb.p = ca.p
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(n_agree * 1000000 // 64 AS BIGINT) AS est_micro
+        FROM agree WHERE n_agree >= 45 ORDER BY id_a, id_b"""),
       "MinHash(64)+LSH(16×4) near-dup candidates — the 100 TB dedup path"),
 
     "d6_bbit_minhash" -> Q(
       (s, d) => TextDedup.bbitMinhashPairs(Tables.documents(s, d), n = 3, minEst = 0.7)
         .orderBy(col("id_a"), col("id_b")),
-      None,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        hv AS (SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS HUGEINT) AS h1,
+            CAST(CAST(concat('0x', substr(md5(s), 17, 16)) AS UBIGINT) AS HUGEINT) AS h2
+          FROM sh),
+        comp AS (SELECT doc_id, p,
+            MIN(CAST((h1 + p * h2) % 9223372036854775808 AS BIGINT)) AS v
+          FROM hv, UNNEST(range(0, 64)) AS t(p) GROUP BY doc_id, p),
+        byt AS (SELECT doc_id, p, v % 256 AS y FROM comp),
+        band AS (SELECT doc_id, p // 4 AS bd,
+            SUM(y * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+              WHEN 2 THEN 65536 ELSE 16777216 END)) AS bval
+          FROM byt GROUP BY doc_id, p // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b
+            ON a.bd = b.bd AND a.bval = b.bval AND a.doc_id < b.doc_id),
+        agree AS (SELECT c.id_a, c.id_b,
+            SUM(CASE WHEN ya.y = yb.y THEN 1 ELSE 0 END) AS n_agree
+          FROM cand c JOIN byt ya ON ya.doc_id = c.id_a
+            JOIN byt yb ON yb.doc_id = c.id_b AND yb.p = ya.p
+          GROUP BY 1, 2),
+        est AS (SELECT id_a, id_b,
+            (CAST(n_agree AS DOUBLE) / 64 - 1.0 / 256) / (1 - 1.0 / 256) AS est
+          FROM agree)
+        SELECT id_a, id_b, CAST(FLOOR(est * 1000000) AS BIGINT) AS est_micro
+        FROM est WHERE est >= 0.7 ORDER BY id_a, id_b"""),
       "b-bit (8-bit) MinHash near-dup candidates — signatures 8× smaller than d3"),
 
     "d4_simhash" -> Q(
       (s, d) => TextDedup.simhashPairs(Tables.documents(s, d), maxHamming = 7)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast(LongType).as("hamming"))
         .orderBy(col("id_a"), col("id_b")),
-      None,
+      Some("""WITH tok AS (SELECT doc_id, t AS tok
+          FROM (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> len(x) > 0) AS tk
+            FROM documents), UNNEST(tk) AS u(t)),
+        th AS (SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS HUGEINT) AS h
+          FROM tok),
+        bits AS (SELECT doc_id, b,
+            SUM(CASE WHEN (h >> CAST(b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+          FROM th, UNNEST(range(0, 64)) AS t(b) GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN cnt > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+              WHEN cnt > 0 AND b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+              ELSE 0 END) AS BIGINT) AS sh
+          FROM bits GROUP BY doc_id),
+        sig2 AS (SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+          FROM documents d LEFT JOIN sig s USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM sig2 a JOIN sig2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 7
+        ORDER BY id_a, id_b"""),
       "SimHash-64 near-dup pairs via 8-bit band join + popcount (exact ≤ 7)"),
 
     "d5_embedding_neardup" -> Q(
