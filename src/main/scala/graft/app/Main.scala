@@ -53,6 +53,7 @@ import graft.marts.Views
   *                                           materialize deterministic JSONL
   *                                           training shards + md5 manifest
   *   search build|append <docs> <idx>        persist / extend the inverted index
+  *   search compact <idx>                    rewrite postings to ~1 file/bucket
   *   search query <idx> <out> --terms a,b,c [--k K] [--mmr [--page P]]
   *                                           BM25 top-k from the stored
   *                                           index; --mmr reranks the pool
@@ -178,6 +179,9 @@ object Main {
         searchBuild(spark, docs, idx)
       case "search" :: "append" :: docs :: idx :: Nil =>
         searchAppend(spark, docs, idx)
+      case "search" :: "compact" :: idx :: Nil =>
+        graft.operators.TextIndexStore.compact(spark, idx)
+        println(s"[graft] search compact: postings buckets rewritten in $idx")
       case "search" :: "query" :: idx :: out :: rest =>
         searchQuery(spark, idx, out,
           opt(rest, "--terms").getOrElse(sys.error("--terms a,b,c required"))

@@ -5,21 +5,38 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Persistable inverted index for BM25 retrieval — the VectorIndexStore
-  * doctrine applied to text: build once (postings + corpus stats as
-  * parquet), append new batches without rebuilding, query many times.
+  * doctrine applied to text: build once (postings + corpus stats), append
+  * new batches without rebuilding, query many times.
   *
-  * Layout under `dir`:
-  *   postings/  (term, doc_id, tf, dl)  — partitioned write, term-filter
-  *                                        prunes via parquet pushdown
-  *   stats/     (n_docs, sum_dl)        — 1 row
+  * Layout under `dir` (a journaled ParquetTableStore):
+  *   postings  (term, doc_id, tf, dl) — BUCKET-ENCODED on term, 32
+  *             buckets (the DedupIndexStore layout applied to search):
+  *             the scan arrives pre-partitioned on term, so the per-term
+  *             document-frequency aggregate needs NO exchange on the
+  *             postings side, and the term IN-filter prunes whole
+  *             buckets before pushdown even sees a row group. A narrow
+  *             3-term query was already scan-pruned; the case that
+  *             matters at 100 TB is a HOT-VOCABULARY query (100-term OR
+  *             — decontamination benchmarks, topic probes) whose
+  *             shortlist is corpus-shaped: with the bucket layout its
+  *             only shuffle is the doc-grained score aggregation,
+  *             shortlist-sized by construction (PlanSpec pins the
+  *             no-exchange contract under a 100-term query).
+  *   stats     (n_docs, sum_dl)       — 1 row
   *
   * Document frequency is DERIVED at query time from the term-filtered
   * postings (a count over the shortlist, never the corpus), which keeps
-  * `append` a pure row-append + stats bump — no global recount, the
+  * `append` a pure bucket-append + stats bump — no global recount, the
   * abelian-delta doctrine (NB doc_ids must be disjoint across appended
   * batches, same contract as VectorIndexStore.append).
   */
 object TextIndexStore {
+
+  val nBuckets: Int = 32
+  private val bucketCols = Seq("term")
+
+  private def store(spark: SparkSession, dir: String) =
+    new graft.etl.ParquetTableStore(spark, dir)
 
   private def postings(docs: DataFrame): DataFrame =
     Par.fan(docs)
@@ -34,34 +51,47 @@ object TextIndexStore {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
   def write(dir: String, docs: DataFrame): Unit = {
-    postings(docs).write.mode("overwrite").parquet(s"$dir/postings")
-    stats(docs).write.mode("overwrite").parquet(s"$dir/stats")
+    val st = store(docs.sparkSession, dir)
+    st.stageBucketed("postings", postings(docs), bucketCols, nBuckets)
+    st.stage("stats", stats(docs))
+    st.commitStaged(Seq("postings", "stats"))
   }
 
-  /** Append a batch: new postings rows + an exact stats bump. */
+  /** Append a batch: new bucket files beside the old ones (the bucket
+    * contract holds per file) + an exact stats bump.
+    */
   def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-    postings(batch).write.mode("append").parquet(s"$dir/postings")
-    val merged = spark.read.parquet(s"$dir/stats")
+    val st = store(spark, dir)
+    st.appendBucketed("postings", postings(batch), bucketCols, nBuckets)
+    val merged = st.read("stats")
       .unionByName(stats(batch))
       .agg(sum(col("n_docs")).cast(LongType).as("n_docs"),
         sum(col("sum_dl")).cast(LongType).as("sum_dl"))
       .collect()(0)
     import spark.implicits._
     // rewrite AFTER collecting (1 row) — never read-and-overwrite lazily
-    Seq((merged.getLong(0), merged.getLong(1))).toDF("n_docs", "sum_dl")
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    st.overwrite("stats",
+      Seq((merged.getLong(0), merged.getLong(1))).toDF("n_docs", "sum_dl"))
   }
+
+  /** Compact the postings back to ~one file per bucket (the daily-append
+    * maintenance pass — same rationale as DedupIndexStore.compact).
+    */
+  def compact(spark: SparkSession, dir: String): Unit =
+    store(spark, dir).compactBucketed("postings", bucketCols, nBuckets)
 
   /** BM25 top-k from the stored index — identical op sequence to
     * TextQuality.bm25, so indexed == direct (QualitySpec pins it).
-    * The term filter reaches the parquet scan (PushedFilters), so the
-    * query cost tracks the shortlist, not the corpus.
+    * The postings scan carries the bucket layout (hashpartitioning on
+    * term), so the df aggregate runs exchange-free; the term IN-filter
+    * prunes buckets and row groups before any shuffle.
     */
   def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
       requireAll: Boolean = false): DataFrame = {
-    val tf = spark.read.parquet(s"$dir/postings")
+    val st = store(spark, dir)
+    val tf = st.readBucketed("postings", bucketCols, nBuckets)
       .filter(col("term").isin(terms: _*))
-    TextQuality.bm25Rank(tf, spark.read.parquet(s"$dir/stats"), k,
+    TextQuality.bm25Rank(tf, st.read("stats"), k,
       if (requireAll) Some(terms.size) else None)
   }
 
@@ -72,13 +102,16 @@ object TextIndexStore {
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft-index")
   private val ensureLock = new Object
 
-  /** Stored-index path for a corpus dir, building it on first use. */
+  /** Stored-index path for a corpus dir, building it on first use.
+    * "textb": layout version — postings now bucket-encoded; a key bump
+    * orphans (never corrupts) old plain-parquet caches.
+    */
   def ensure(corpusDir: String, docs: DataFrame): String = {
     val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
-    val path = s"$cacheRoot/text_" +
+    val path = s"$cacheRoot/textb_" +
       corpusDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + mtime
     ensureLock.synchronized {
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "stats")))
+      if (!store(docs.sparkSession, path).exists("stats"))
         write(path, docs)
     }
     path

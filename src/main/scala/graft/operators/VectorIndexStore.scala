@@ -155,11 +155,28 @@ object VectorIndexStore {
     * frozen quantizer artifacts (centroids/codebooks — 1-file tables)
     * are untouched. Works for all three flavors (pq/ivf/ivfpq — they
     * share the `codes` layout).
+    *
+    * IVF flavors (any codes table carrying a `cell` column) compact
+    * CLUSTERED BY CELL: rows repartition on cell and sort within files,
+    * so every written file covers few cells and the probe-time
+    * `cell IN (nprobe cells)` filter prunes whole files/row groups via
+    * parquet min/max stats — append order interleaves cells and defeats
+    * that pruning until the next compaction. Flat PQ has no cell; it
+    * coalesces.
     */
   def compactCodes(spark: SparkSession, path: String,
       targetSplits: Int = 32): Unit = {
     val store = new graft.etl.ParquetTableStore(spark, path)
-    store.overwrite("codes", store.read("codes").coalesce(targetSplits))
+    val codes = store.read("codes")
+    val rewritten =
+      if (codes.columns.contains("cell"))
+        // range partition: files cover DISJOINT contiguous cell ranges
+        // (hash partitioning would interleave cells across every file)
+        codes.repartitionByRange(targetSplits,
+            org.apache.spark.sql.functions.col("cell"))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col("cell"))
+      else codes.coalesce(targetSplits)
+    store.overwrite("codes", rewritten)
   }
 
   // ───── build-if-absent cache (the registry's deployment surface) ─────

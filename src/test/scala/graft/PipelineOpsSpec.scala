@@ -595,6 +595,34 @@ class PipelineOpsSpec extends SparkTestBase {
     val inline = IvfIndex.ivfTopKIndexed(q, IvfIndex.buildIndex(emb, cents), cents, k = 3)
       .as[(Long, Long, Double)].collect().toSet
     assert(viaStore == inline && viaStore.nonEmpty)
+    // compaction: append-accumulated files rewrite CLUSTERED BY CELL
+    // (each file covers few cells → nprobe filters prune row groups);
+    // file count bounded, stored-index query unchanged. Two more daily
+    // appends first so there are files to shrink (disjoint replay ids).
+    VectorIndexStore.appendIvf(spark, s"$dir/ivf",
+      neu.withColumn("vec_id", $"vec_id" + 1000000L))
+    VectorIndexStore.appendIvf(spark, s"$dir/ivf",
+      neu.withColumn("vec_id", $"vec_id" + 2000000L))
+    val filesBefore = spark.read.parquet(s"$dir/ivf/codes").inputFiles.length
+    val viaAugmented = VectorIndexStore.ivfTopK(spark, s"$dir/ivf", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    VectorIndexStore.compactCodes(spark, s"$dir/ivf", targetSplits = 2)
+    val filesAfter = spark.read.parquet(s"$dir/ivf/codes").inputFiles.length
+    assert(filesAfter <= 2 && filesAfter < filesBefore,
+      s"compaction: $filesBefore -> $filesAfter")
+    val viaCompacted = VectorIndexStore.ivfTopK(spark, s"$dir/ivf", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaCompacted == viaAugmented && viaCompacted.nonEmpty)
+    // the rewrite really clustered: each written file covers a disjoint
+    // contiguous cell range (max cell of one file < min cell of the next)
+    val ranges = spark.read.parquet(s"$dir/ivf/codes")
+      .select(input_file_name().as("f"), $"cell")
+      .groupBy($"f").agg(min($"cell").as("lo"), max($"cell").as("hi"))
+      .as[(String, Int, Int)].collect().sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"cell ranges overlap: $a vs $b")
+      case _ => ()
+    }
   }
 
   test("IVFPQ index store: append-after-train equals batch build, queries match inline") {

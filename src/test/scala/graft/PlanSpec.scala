@@ -260,6 +260,52 @@ class PlanSpec extends SparkTestBase {
     assert(p2.contains("TakeOrderedAndProject"), p2)
   }
 
+  test("srch2: 100-term hot-vocabulary query runs exchange-free on the postings side") {
+    // a wide OR query's shortlist is corpus-shaped, so the bucket layout
+    // is what keeps the serve cost flat: the postings scan must arrive
+    // pre-partitioned on term (bucketed scan engaged) and NO shuffle may
+    // sit between that scan and the per-term df aggregate that consumes
+    // it — the only exchange in the whole plan is the doc-grained score
+    // aggregation (shortlist-sized by construction).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.documents(spark, sfTiny)
+    val idx = graft.operators.TextIndexStore.ensure(sfTiny, docs)
+    // 100 most frequent tokens — the hot vocabulary
+    import org.apache.spark.sql.functions._
+    val hot = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).count().orderBy(col("count").desc).limit(100)
+      .collect().map(_.getString(0)).toSeq
+    val df = graft.operators.TextIndexStore.search(spark, idx, hot, k = 20)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(plan.toString.contains("SelectedBucketsCount"),
+      s"postings scan not bucketed\n$plan")
+    var found = 0
+    def walk(node: SparkPlan, pendingExchange: Boolean): Unit = node match {
+      case f: FileSourceScanExec =>
+        if (f.toString.contains("graft_bkt_postings")) {
+          found += 1
+          assert(!pendingExchange,
+            s"shuffle between the postings scan and its consumer\n$plan")
+        }
+      case e: ShuffleExchangeExec => e.children.foreach(walk(_, true))
+      // a shuffle ABOVE a join is the shortlist-sized score aggregation
+      // — legitimate; the contract is only scan-to-consumer
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.children.foreach(walk(_, false))
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        j.children.foreach(walk(_, false))
+      case other => other.children.foreach(walk(_, pendingExchange))
+    }
+    walk(plan, pendingExchange = false)
+    assert(found > 0, s"no bucketed postings scan in plan\n$plan")
+    assert(df.count() == 20)
+  }
+
   test("s9: weighted sampling is one narrow pass + TakeOrdered, zero joins") {
     val p = planOf(q("s9_weighted_sample"))
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -278,18 +324,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("d23/d24: every corpus-file scan in the indexed serve plan is batch-filtered") {
+  test("d23/d24: the indexed serve plan never reads the corpus — only the pinned batch") {
     // the whole point of DedupIndexStore: per-batch work is batch-sized.
-    // Structurally: every FileScan over documents.parquet carries the
-    // batch predicate pushed into the scan (the corpus as a whole is
-    // never read — only stored index tables are), and index-table scans
-    // are present.
+    // The serve path pins the arriving batch ONCE with a localCheckpoint
+    // (the filtered corpus read runs in that pin job, where the batch
+    // predicate is pushed into the scan), so the serve plan itself must
+    // contain ZERO documents.parquet FileScans — every batch read is the
+    // pinned ExistingRDD, every other scan a stored index table. A
+    // documents.parquet FileScan appearing here would mean a corpus-
+    // shaped re-read leaked back into the per-batch cost.
     // hermetic corpus dir: other suites cache Tables.documents(sfTiny)
-    // raw, and Spark's shared CacheManager would substitute that cache
-    // here — the printed InMemoryRelation build plan then contains an
-    // unfiltered full-width FileScan line that is NOT a real read (the
-    // suite-order flake this guards against). A private copy of the
-    // file keeps the plan file-backed and the assertion meaningful.
+    // raw, and Spark's shared CacheManager could otherwise substitute
+    // that cache here and change the printed plan with suite order.
     val dir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfTiny/documents.parquet"),
@@ -298,10 +344,9 @@ class PlanSpec extends SparkTestBase {
       val p = planOf(SparkEntry.registry(name).fn(spark, dir))
       val docScanLines = p.split("\n").filter(l =>
         l.contains("FileScan") && l.contains("documents.parquet"))
-      assert(docScanLines.nonEmpty, s"$name:\n$p")
-      docScanLines.foreach { l =>
-        assert(l.contains("% 2) = 1"), s"$name: unfiltered corpus scan:\n$l")
-      }
+      assert(docScanLines.isEmpty,
+        s"$name: corpus re-read leaked into the serve plan:\n${docScanLines.mkString("\n")}")
+      assert(p.contains("ExistingRDD"), s"$name: no pinned batch scan\n$p")
       assert(p.contains("graft-dedup-state"), s"$name: no index-table scan\n$p")
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }

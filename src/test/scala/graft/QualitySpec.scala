@@ -152,6 +152,12 @@ class QualitySpec extends SparkTestBase {
     val appended = graft.operators.TextIndexStore.search(spark, s"$tmp/idx2", terms, 10)
       .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
     assert(appended == direct)
+    // compact: append-accumulated bucket files rewrite to ~1/bucket in a
+    // fresh-session-safe pass; the query is unchanged
+    graft.app.Main.route(spark, List("search", "compact", s"$tmp/idx2"))
+    val compacted = graft.operators.TextIndexStore.search(spark, s"$tmp/idx2", terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(compacted == direct)
 
     // --mmr: the diversified page draws from the BM25 pool, leads with
     // its top hit, never repeats a doc, and is deterministic
