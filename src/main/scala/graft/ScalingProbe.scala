@@ -73,8 +73,15 @@ object ScalingProbe {
           graft.operators.Graph.personalizedPageRankMicro(und, seeds, 5))),
         "d12_pairs" -> (() => noop(
           TextDedup.prefixFilterPairsIncremental(corpus, batch, 3, 0.8))),
-        "d13_clusters" -> (() => noop(TextDedup.ccIncremental(prevLabels,
+        // recompute contrast: the pre-index cluster-maintenance path
+        // (corpus re-shingle per batch — its ratio documents WHY the
+        // registered d13 now serves from the index instead)
+        "d13_recompute_clusters" -> (() => noop(TextDedup.ccIncremental(prevLabels,
           TextDedup.prefixFilterPairsIncremental(corpus, batch, 3, 0.8)))),
+        // deployment path: the registered d13 — delta pairs from the
+        // bucketed index, then delta-graph CC; must stay ~flat at 12x
+        "d13_indexed_clusters" -> (() => noop(TextDedup.ccIncremental(prevLabels,
+          graft.operators.DedupIndexStore.pairsIncremental(idx, batch, 3, 0.8)))),
         "d21_d22_containment" -> (() => noop(
           TextDedup.containmentKeepIncremental(prevCont, corpus, batch, 3, 0.8))),
         "d23_indexed_pairs" -> (() => noop(
