@@ -54,6 +54,9 @@ object ScalingProbe {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_probe_idx").toString
       val idx = new graft.etl.ParquetTableStore(spark, idxDir)
       graft.operators.DedupIndexStore.build(idx, corpus, 3, 0.8, 0.8)
+      val sfxDir = java.nio.file.Files.createTempDirectory("graft_probe_sfx").toString
+      val sfx = new graft.etl.ParquetTableStore(spark, sfxDir)
+      graft.operators.SuffixIndexStore.build(sfx, corpus, 8, 32)
       // graph fabric (g1/g2's shape) over the corpus near-dup pairs —
       // NOT per-batch: PageRank carries node-sized per-iteration state,
       // so its cost is EXPECTED to grow with the corpus (documented
@@ -87,7 +90,15 @@ object ScalingProbe {
         "d23_indexed_pairs" -> (() => noop(
           graft.operators.DedupIndexStore.pairsIncremental(idx, batch, 3, 0.8))),
         "d24_indexed_cont" -> (() => noop(
-          graft.operators.DedupIndexStore.containmentIncremental(idx, batch, 3, 0.8))))
+          graft.operators.DedupIndexStore.containmentIncremental(idx, batch, 3, 0.8))),
+        // exact-substring family: per-batch recompute re-sorts the whole
+        // corpus suffix table (its growth term); the indexed serve reads
+        // only batch-touched prefix groups from the stored state
+        "d25_recompute_spans" -> (() => noop(
+          graft.operators.SuffixDedup.maxMatchSpans(
+            corpus.unionByName(batch), 8, 32))),
+        "d26_indexed_suffix" -> (() => noop(
+          graft.operators.SuffixIndexStore.servedSpans(sfx, batch))))
       val out = stages.map { case (name, f) =>
         f() // warmup
         name -> (1 to 2).map(_ => time(f())).min

@@ -39,6 +39,14 @@ import graft.marts.Views
   *                                           containment) pair delta from
   *                                           the stored index; --append
   *                                           absorbs the batch afterwards
+  *   suffixidx build <docs> <idx> [--min N] [--max M]
+  *                                           persist the suffix-key state
+  *                                           for exact-substring dedup
+  *   suffixidx serve <batch> <idx> <out> [--append]
+  *                                           batch's maximal duplicated-
+  *                                           span lengths vs corpus∪batch;
+  *                                           --append absorbs the batch
+  *   suffixidx compact <idx>                 rewrite suffix buckets to ~1 file each
   *   index build <emb> <out> [--ivf|--ivfpq] train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
   *   index compact <idx> [--splits N]        rewrite append-accumulated code files
@@ -99,6 +107,15 @@ object Main {
           opt(rest, "--merges").map(_.toInt).getOrElse(1000))
       case "bpe" :: "encode" :: docs :: merges :: out :: Nil =>
         bpeEncode(spark, docs, merges, out)
+      case "suffixidx" :: "build" :: docs :: idx :: rest =>
+        suffixIdxBuild(spark, docs, idx,
+          opt(rest, "--min").map(_.toInt).getOrElse(8),
+          opt(rest, "--max").map(_.toInt).getOrElse(32))
+      case "suffixidx" :: "serve" :: batch :: idx :: out :: rest =>
+        suffixIdxServe(spark, batch, idx, out, rest.contains("--append"))
+      case "suffixidx" :: "compact" :: idx :: Nil =>
+        graft.operators.SuffixIndexStore.compact(new ParquetTableStore(spark, idx))
+        println(s"[graft] suffixidx compact: suffix buckets rewritten in $idx")
       case "dedupidx" :: "serve" :: batch :: idx :: out :: rest =>
         dedupIdxServe(spark, batch, idx, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
@@ -780,6 +797,41 @@ object Main {
     println(s"[graft] dedupidx serve: ${batch.count()} batch docs -> " +
       s"$nPairs $kind pair deltas" + (if (append) " (batch absorbed)" else ""))
     nPairs
+  }
+
+  /** Persist the suffix-key state for incremental exact-substring dedup
+    * (SuffixIndexStore): build once over the corpus, then every arriving
+    * batch's maximal duplicated-span report is batch-shaped work.
+    */
+  def suffixIdxBuild(spark: SparkSession, docsPath: String, idx: String,
+      minLen: Int, maxLen: Int): Long = {
+    import graft.operators.SuffixIndexStore
+    val store = new ParquetTableStore(spark, idx)
+    SuffixIndexStore.build(store, spark.read.parquet(docsPath), minLen, maxLen)
+    val nKeys = store.read("suffix").count()
+    println(s"[graft] suffixidx build: $nKeys distinct suffix keys " +
+      s"(minLen=$minLen, maxLen=$maxLen)")
+    nKeys
+  }
+
+  /** Serve a batch's maximal duplicated-span lengths from the stored
+    * suffix state and optionally absorb the batch — the per-batch loop
+    * of an exact-substring dedup deployment (caps come from the store's
+    * frozen meta, never from the caller).
+    */
+  def suffixIdxServe(spark: SparkSession, batchPath: String, idx: String,
+      out: String, append: Boolean): Long = {
+    import graft.operators.SuffixIndexStore
+    val store = new ParquetTableStore(spark, idx)
+    val outStore = new ParquetTableStore(spark, out)
+    val batch = spark.read.parquet(batchPath)
+    outStore.overwrite("spans", SuffixIndexStore.servedSpans(store, batch))
+    if (append) SuffixIndexStore.append(store, batch)
+    val nSpans = outStore.read("spans").count()
+    println(s"[graft] suffixidx serve: ${batch.count()} batch docs -> " +
+      s"$nSpans duplicated-span positions" +
+      (if (append) " (batch absorbed)" else ""))
+    nSpans
   }
 
   /** Semantic dedup as a product command (SemDeDup over an embedding

@@ -42,7 +42,7 @@ import org.apache.spark.sql.types._
 object SuffixDedup {
 
   /** Longest common prefix, in tokens, of two token sequences. */
-  private def lcp(a: IndexedSeq[String], b: IndexedSeq[String]): Int = {
+  private[operators] def lcp(a: IndexedSeq[String], b: IndexedSeq[String]): Int = {
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n && a(i) == b(i)) i += 1

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.ParquetTableStore
+
+/** Persisted suffix-key state for INCREMENTAL exact-substring dedup —
+  * the DedupIndexStore doctrine applied to `SuffixDedup` (Lee et al.
+  * 2022): `maxMatchSpans` re-sorts the ENTIRE corpus suffix table for
+  * every run, a full corpus-sized shuffle per daily batch at 100 TB.
+  * This store persists the corpus's capped suffix keys ONCE and serves
+  * each arriving batch with batch-shaped work: the only corpus rows
+  * that ever leave the stored-side scan are those sharing a `minLen`-
+  * token prefix with some batch suffix.
+  *
+  * Layout under the store (journaled ParquetTableStore):
+  *   suffix  (prefix, key) — DISTINCT capped suffix keys of the corpus,
+  *           `prefix` = the first `minLen` tokens space-joined,
+  *           BUCKET-ENCODED on prefix (32 buckets, files sorted by
+  *           prefix): the serve union arrives groupable on prefix and
+  *           the batch-prefix semi-join filters before any exchange.
+  *   meta    (min_len, max_len) — 1 row, frozen at build; serve/append
+  *           read the parameters from here (a batch indexed under
+  *           different caps would silently corrupt match lengths).
+  *
+  * Why equality on the `minLen`-prefix loses nothing: a batch position
+  * is emitted only when its maximal match is ≥ `minLen` tokens, and any
+  * occurrence witnessing such a match shares the first `minLen` tokens
+  * EXACTLY — so grouping by that prefix partitions the candidate space
+  * with guaranteed recall (the pigeonhole is trivial here: the prefix
+  * IS the first minLen tokens of both sides). Within a prefix group the
+  * suffix-array adjacency property applies unchanged: sort the group's
+  * keys, every key's best match is a sorted neighbor. Groups are
+  * hash-complete within a partition, so — unlike the batch operator —
+  * NO cross-partition boundary patching is needed.
+  *
+  * Why DISTINCT corpus keys suffice: match lengths against a SET of
+  * keys depend only on which keys are present (LCP is insensitive to
+  * multiplicity), and corpus rows are never emitted — only batch rows
+  * are. The same argument makes `append` idempotent up to wasted
+  * space: replaying a batch duplicates stored keys but cannot change
+  * any future match length.
+  *
+  * Scale shape: serve cost = batch suffix rows (~batch tokens × 1,
+  * positions kept) + stored rows in batch-touched prefix groups
+  * (posting-list-shaped; hot-prefix skew is the documented growth term,
+  * same caveat as DedupIndexStore postings) + ONE batch-shaped shuffle
+  * to co-group them. The corpus-sized range sort of `maxMatchSpans` is
+  * gone from the per-batch path entirely; the stored side is touched by
+  * a columnar scan + semi-join filter, never a shuffle.
+  *
+  * Reference anchor: the reference dedups rows on exact content hash at
+  * load (`main.py:142-163`); this pushes that exact-identity doctrine
+  * below document grain incrementally, as DedupIndexStore does for
+  * near-dup identity.
+  */
+object SuffixIndexStore {
+
+  val tables: Seq[String] = Seq("meta", "suffix")
+  val nBuckets: Int = 32
+  private val bucketCols = Seq("prefix")
+
+  private def readSuffix(store: ParquetTableStore): DataFrame =
+    store.readBucketed("suffix", bucketCols, nBuckets)
+
+  /** Capped suffix keys of a doc set — `SuffixDedup`'s suffix table plus
+    * the minLen-prefix string. Keys shorter than `minLen` can never
+    * witness or receive a reportable match and are dropped at the
+    * source.
+    */
+  private def suffixKeys(docs: DataFrame, minLen: Int, maxLen: Int): DataFrame = {
+    val w = split(TextDedup.normalizeText(col("text")), " ")
+    Par.fan(docs)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w)), p -> slice(w, p, $maxLen))")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"),
+        col("col").as("key"))
+      .filter(size(col("key")) >= minLen)
+      .withColumn("prefix", concat_ws(" ", slice(col("key"), 1, minLen)))
+  }
+
+  /** Build over a corpus, publish atomically (one journaled group
+    * commit). The caps are frozen into `meta`.
+    */
+  def build(store: ParquetTableStore, corpus: DataFrame,
+      minLen: Int, maxLen: Int): Unit = {
+    require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
+    store.stageBucketed("suffix",
+      suffixKeys(corpus, minLen, maxLen).select(col("prefix"), col("key"))
+        .dropDuplicates("prefix", "key"),
+      bucketCols, nBuckets)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    store.stage("meta", Seq((minLen, maxLen)).toDF("min_len", "max_len"))
+    store.commitStaged(tables)
+  }
+
+  /** Append a batch's keys under the frozen caps — a pure bucket-append
+    * (new files beside the old; the bucket contract holds per file).
+    * Distinct within the batch; overlap with already-stored keys is
+    * harmless duplication (see object doc), reclaimed by `compact`-time
+    * rewrites being distinct-preserving scans — not deduplicated here,
+    * because a corpus-sized anti-join per append is exactly the cost
+    * this store exists to avoid.
+    */
+  def append(store: ParquetTableStore, batch: DataFrame): Unit = {
+    val m = store.read("meta").head()
+    store.appendBucketed("suffix",
+      suffixKeys(batch, m.getInt(0), m.getInt(1))
+        .select(col("prefix"), col("key")).dropDuplicates("prefix", "key"),
+      bucketCols, nBuckets)
+  }
+
+  /** Rewrite the suffix table back to ~one file per bucket (the daily-
+    * append maintenance pass — DedupIndexStore.compact's rationale).
+    */
+  def compact(store: ParquetTableStore): Unit =
+    store.compactBucketed("suffix", bucketCols, nBuckets)
+
+  /** Maximal duplicated-span lengths for an arriving batch vs
+    * (indexed corpus ∪ batch) — `SuffixDedup.maxMatchSpans` over the
+    * union, restricted to the batch's positions, with zero corpus-sized
+    * shuffles: output rows (doc_id, p, match_len ≥ minLen) EQUAL the
+    * batch operator's rows for those doc_ids (SuffixSpec pins it).
+    */
+  def servedSpans(store: ParquetTableStore, incoming: DataFrame): DataFrame = {
+    val m = store.read("meta").head()
+    val minLen = m.getInt(0)
+    val spark = incoming.sparkSession
+    val parted = serveUnion(store, incoming)
+    val schema = parted.schema
+    val pfxIdx = schema.fieldIndex("prefix")
+    val keyIdx = schema.fieldIndex("key")
+    val docIdx = schema.fieldIndex("doc_id")
+    val pIdx = schema.fieldIndex("p")
+    val out = parted.rdd.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        private var prevPfx: String = null
+        private var prevKey: IndexedSeq[String] = null
+        private var ready: Row = null
+        private def advance(): Unit = {
+          while (ready == null && buf.hasNext) {
+            val r = buf.next()
+            val pfx = r.getString(pfxIdx)
+            val k = r.getSeq[String](keyIdx).toIndexedSeq
+            val mPrev =
+              if (prevPfx != null && prevPfx == pfx) SuffixDedup.lcp(k, prevKey)
+              else 0
+            val mNext =
+              if (buf.hasNext && buf.head.getString(pfxIdx) == pfx)
+                SuffixDedup.lcp(k, buf.head.getSeq[String](keyIdx).toIndexedSeq)
+              else 0
+            prevPfx = pfx; prevKey = k
+            val best = math.max(mPrev, mNext)
+            if (r.getLong(docIdx) >= 0L && best >= minLen)
+              ready = Row(r.getLong(docIdx), r.getLong(pIdx), best.toLong)
+          }
+        }
+        override def hasNext: Boolean = { advance(); ready != null }
+        override def next(): Row = { advance(); val r = ready; ready = null; r }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType), StructField("p", LongType),
+      StructField("match_len", LongType))))
+  }
+
+  /** The serve path's relational stage — everything before the neighbor
+    * scan. Package-visible so PlanSpec can pin its contract (zero
+    * corpus FileScans: the batch is pinned, the stored side is the only
+    * table read; the scan that consumes this is pure RDD lineage).
+    */
+  private[graft] def serveUnion(store: ParquetTableStore,
+      incoming: DataFrame): DataFrame = {
+    val m = store.read("meta").head()
+    val (minLen, maxLen) = (m.getInt(0), m.getInt(1))
+    val spark = incoming.sparkSession
+    // pin the batch suffixes once: the touched-prefix build, the union,
+    // and the scan all read cached blocks (the serve-path doctrine)
+    val inc = suffixKeys(incoming, minLen, maxLen)
+      .select(col("doc_id"), col("p"), col("prefix"), col("key"))
+      .localCheckpoint(true)
+    val touched = inc.select(col("prefix")).distinct()
+    // batch-touched corpus keys: broadcast semi-join (touched is
+    // batch-sized) — the stored side is scanned columnar and filtered,
+    // never shuffled
+    val stored = readSuffix(store).join(touched, Seq("prefix"), "left_semi")
+      .select(col("prefix"), col("key"),
+        lit(-1L).as("doc_id"), lit(-1L).as("p"))
+    val union = stored.unionByName(
+      inc.select(col("prefix"), col("key"), col("doc_id"), col("p")))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // hash-partition by prefix: groups land whole, so the neighbor scan
+    // needs no boundary patching; sort within partitions gives sorted
+    // groups back-to-back
+    union.repartition(nPart, col("prefix"))
+      .sortWithinPartitions(col("prefix"), col("key"))
+  }
+
+  // ───── mtime-keyed ensure (registered-query / bench serving surface) ─────
+
+  private val cacheRoot =
+    sys.env.getOrElse("SPARK_GRAFT_DEDUP_STATE_DIR", "target/graft-dedup-state")
+  private val ensureLock = new Object
+
+  /** Store for a corpus dir, built on first use per (dir, mtime, caps) —
+    * later invocations (bench timed runs included) only read, which is
+    * the deployment cost model.
+    */
+  def ensure(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+      minLen: Int, maxLen: Int): ParquetTableStore = {
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$cacheRoot/sufx1_${minLen}_${maxLen}_${key}_$mtime"
+    ensureLock.synchronized {
+      val store = new ParquetTableStore(spark, path)
+      if (!tables.forall(store.exists)) build(store, corpus, minLen, maxLen)
+      store
+    }
+  }
+}

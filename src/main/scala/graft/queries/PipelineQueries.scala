@@ -464,6 +464,45 @@ object PipelineQueries {
         FROM l WHERE match_len >= 8 ORDER BY doc_id, p"""),
       "suffix-grouped exact-substring dedup: maximal duplicated span lengths"),
 
+    // d25 SERVED INCREMENTALLY from persisted suffix-key state (even ids
+    // = indexed corpus, odd ids = arriving batch, the d13/d23 split
+    // convention): the batch's maximal duplicated-span lengths vs
+    // (corpus ∪ batch), with the corpus-sized suffix re-sort replaced by
+    // a prefix-bucketed stored table — only corpus suffixes sharing a
+    // batch minLen-prefix ever leave the scan (equality on the first
+    // minLen tokens has trivially guaranteed recall for matches ≥
+    // minLen). Oracle = d25's over ALL docs, restricted to batch ids:
+    // served == batch-restricted recompute, exactly.
+    "d26_indexed_suffix_spans" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = graft.operators.SuffixIndexStore.ensure(s, d,
+          docs.filter(col("doc_id") % 2 === 0), minLen = 8, maxLen = 32)
+        graft.operators.SuffixIndexStore.servedSpans(idx,
+            docs.filter(col("doc_id") % 2 === 1))
+          .orderBy(col("doc_id"), col("p"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        suf AS (SELECT doc_id, p, w[p:least(p + 31, len(w))] AS key
+          FROM toks, UNNEST(range(1, len(w) + 1)) AS t(p)),
+        ord AS (SELECT doc_id, p, key,
+            lag(key) OVER (ORDER BY key) AS pk,
+            lead(key) OVER (ORDER BY key) AS nk
+          FROM suf),
+        l AS (SELECT doc_id, p, GREATEST(
+            COALESCE(CASE WHEN pk IS NULL THEN 0 ELSE
+              COALESCE(NULLIF(list_position(list_transform(
+                range(1, least(len(key), len(pk)) + 1), i -> key[i] = pk[i]),
+                false), 0) - 1, least(len(key), len(pk))) END, 0),
+            COALESCE(CASE WHEN nk IS NULL THEN 0 ELSE
+              COALESCE(NULLIF(list_position(list_transform(
+                range(1, least(len(key), len(nk)) + 1), i -> key[i] = nk[i]),
+                false), 0) - 1, least(len(key), len(nk))) END, 0)
+          ) AS match_len FROM ord)
+        SELECT doc_id, p, CAST(match_len AS BIGINT) AS match_len
+        FROM l WHERE match_len >= 8 AND doc_id % 2 = 1 ORDER BY doc_id, p"""),
+      "suffix-span dedup served from prefix-bucketed stored state — batch-shaped work"),
+
     // ASYMMETRIC containment C(A→B) = |A∩B|/|A|: the quote/excerpt
     // detector — a short doc embedded in a long one has near-zero
     // Jaccard (union is long-doc-sized) but containment ≈ 1. Candidates

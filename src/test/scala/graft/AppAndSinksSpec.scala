@@ -820,6 +820,33 @@ class AppAndSinksSpec extends SparkTestBase {
     }
   }
 
+  test("CLI suffixidx build/serve/append: two-batch lifecycle equals the batch operator") {
+    import graft.operators.SuffixDedup
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val tmp = Files.createTempDirectory("graft_sidx").toString
+    docs.filter($"doc_id" % 4 === 0).write.parquet(s"$tmp/b0")
+    docs.filter($"doc_id" % 4 === 2).write.parquet(s"$tmp/b1")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$tmp/b2")
+    graft.app.Main.route(spark,
+      List("suffixidx", "build", s"$tmp/b0", s"$tmp/idx"))
+    // serve b1 vs b0∪b1 and absorb it, then serve b2 vs the grown state
+    graft.app.Main.route(spark, List("suffixidx", "serve", s"$tmp/b1",
+      s"$tmp/idx", s"$tmp/out1", "--append"))
+    graft.app.Main.route(spark, List("suffixidx", "serve", s"$tmp/b2",
+      s"$tmp/idx", s"$tmp/out2"))
+    val got1 = spark.read.parquet(s"$tmp/out1/spans")
+      .as[(Long, Long, Long)].collect().toSet
+    val exp1 = SuffixDedup.maxMatchSpans(
+        docs.filter($"doc_id" % 2 === 0), minLen = 8, maxLen = 32)
+      .filter($"doc_id" % 4 === 2).as[(Long, Long, Long)].collect().toSet
+    assert(got1 == exp1 && got1.nonEmpty, "CLI serve drifted from the batch operator")
+    val got2 = spark.read.parquet(s"$tmp/out2/spans")
+      .as[(Long, Long, Long)].collect().toSet
+    val exp2 = SuffixDedup.maxMatchSpans(docs, minLen = 8, maxLen = 32)
+      .filter($"doc_id" % 2 === 1).as[(Long, Long, Long)].collect().toSet
+    assert(got2 == exp2 && got2.nonEmpty, "post-append serve drifted")
+  }
+
   test("sketch error gates at sf0.01: HLL distinct and quantile sketch vs exact") {
     // the a7/a13 twin of the ANN recall gates: a silent sketch-parameter
     // regression (rsd, accuracy) must trip a pinned numeric bound, not

@@ -352,6 +352,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("d26: the suffix serve stage never reads the corpus — pinned batch + stored suffix table only") {
+    // same contract as d23/d24 for the suffix store: the relational
+    // stage feeding the neighbor scan (serveUnion — the scan itself is
+    // RDD lineage) must read ONLY the pinned batch (ExistingRDD) and the
+    // stored suffix table; a documents.parquet FileScan here would be a
+    // corpus re-read leaking into the per-batch cost.
+    val dir = java.nio.file.Files.createTempDirectory("graft-planspec-sfx").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val idx = graft.operators.SuffixIndexStore.ensure(spark, dir,
+      docs.filter(col("doc_id") % 2 === 0), minLen = 8, maxLen = 32)
+    val p = planOf(graft.operators.SuffixIndexStore.serveUnion(idx,
+      docs.filter(col("doc_id") % 2 === 1)))
+    val docScanLines = p.split("\n").filter(l =>
+      l.contains("FileScan") && l.contains("documents.parquet"))
+    assert(docScanLines.isEmpty,
+      s"corpus re-read leaked into the serve stage:\n${docScanLines.mkString("\n")}")
+    assert(p.contains("ExistingRDD"), s"no pinned batch scan\n$p")
+    assert(p.contains("graft-dedup-state"), s"no stored suffix-table scan\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d23/d24: stored index tables join from their bucket layout — no exchange on the stored side") {
     // the r7 scaling probe's one growth term: the serve join re-shuffled
     // the corpus-sized stored postings every batch. With the tables

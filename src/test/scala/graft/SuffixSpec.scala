@@ -89,4 +89,62 @@ class SuffixSpec extends SparkTestBase {
     }
     toks.unpersist(); spans.unpersist()
   }
+
+  // ───── SuffixIndexStore (d26): served == batch-restricted recompute ─────
+
+  test("indexed serve equals batch-restricted recompute on sf0.001 (even/odd split)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sufidx").toString
+    val store = new graft.etl.ParquetTableStore(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    graft.operators.SuffixIndexStore.build(store, corpus, minLen = 8, maxLen = 32)
+    val served = graft.operators.SuffixIndexStore.servedSpans(store, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = SuffixDedup.maxMatchSpans(docs, minLen = 8, maxLen = 32)
+      .filter(col("doc_id") % 2 === 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full.nonEmpty, "vacuous: no batch spans at sf0.001")
+    assert(served == full,
+      s"served != recompute: extra ${served.diff(full)} missing ${full.diff(served)}")
+  }
+
+  test("planted cross-boundary + batch-internal spans; append == one-shot build; compact inert") {
+    // corpus doc 2 shares an 8-run with BATCH doc 11 (cross-boundary);
+    // batch doc 13 repeats its own 9-run (batch-internal, corpus blind)
+    val corpusA = Seq((2L, "aa bb cc dd ee ff gg hh xx yy zz qq")).toDF("doc_id", "text")
+    val corpusB = Seq((4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "pp aa bb cc dd ee ff gg hh rr ss tt"),
+      (13L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 kk m1 m2 m3 m4 m5 m6 m7 m8 m9")
+    ).toDF("doc_id", "text")
+    val oneShot = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sufidx1").toString)
+    graft.operators.SuffixIndexStore.build(oneShot,
+      corpusA.unionByName(corpusB), minLen = 8, maxLen = 32)
+    val appended = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sufidx2").toString)
+    graft.operators.SuffixIndexStore.build(appended, corpusA, minLen = 8, maxLen = 32)
+    graft.operators.SuffixIndexStore.append(appended, corpusB)
+    val a = graft.operators.SuffixIndexStore.servedSpans(oneShot, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = graft.operators.SuffixIndexStore.servedSpans(appended, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b, s"append-after-build diverged: ${a.diff(b)} / ${b.diff(a)}")
+    // cross-boundary: batch 11's 8-run against corpus 2 found, maximal
+    assert(a.contains((11L, 2L, 8L)), s"cross-boundary span missing from $a")
+    // batch-internal: doc 13's 9-run found with the corpus blind to it
+    assert(a.contains((13L, 1L, 9L)), s"batch-internal span missing from $a")
+    // corpus rows never emitted; every span is a batch doc
+    assert(a.forall { case (d, _, _) => d == 11L || d == 13L })
+    // equality with the recompute over the union, restricted to batch
+    val full = SuffixDedup.maxMatchSpans(
+        corpusA.unionByName(corpusB).unionByName(batch), minLen = 8, maxLen = 32)
+      .filter(col("doc_id") >= 10L).as[(Long, Long, Long)].collect().toSet
+    assert(a == full, s"served != union recompute: ${a.diff(full)} / ${full.diff(a)}")
+    // compact: file count shrinks to <= nBuckets, serve unchanged
+    graft.operators.SuffixIndexStore.compact(appended)
+    val c = graft.operators.SuffixIndexStore.servedSpans(appended, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(c == a)
+  }
 }
