@@ -16,11 +16,19 @@ import graft.etl.ParquetTableStore
   * token prefix with some batch suffix.
   *
   * Layout under the store (journaled ParquetTableStore):
-  *   suffix  (prefix, key) — DISTINCT capped suffix keys of the corpus,
-  *           `prefix` = the first `minLen` tokens space-joined,
-  *           BUCKET-ENCODED on prefix (32 buckets, files sorted by
-  *           prefix): the serve union arrives groupable on prefix and
-  *           the batch-prefix semi-join filters before any exchange.
+  *   suffix  (prefix, key, doc_id) — per-doc-DISTINCT capped suffix
+  *           keys of the corpus, `prefix` = the first `minLen` tokens
+  *           space-joined, BUCKET-ENCODED on prefix (32 buckets, files
+  *           sorted by prefix): the serve union arrives groupable on
+  *           prefix and the batch-prefix semi-join filters before any
+  *           exchange. `doc_id` carries occurrence IDENTITY: serve
+  *           anti-joins the arriving batch's ids out of the stored
+  *           side, so re-serving an already-absorbed batch excludes its
+  *           own stored copies instead of self-matching every position
+  *           — which makes serve idempotent across `append` and the
+  *           streaming twin replay-safe with NO guard table (doc_ids
+  *           must be unique corpus-wide, the VectorIndexStore disjoint-
+  *           ids contract).
   *   meta    (min_len, max_len) — 1 row, frozen at build; serve/append
   *           read the parameters from here (a batch indexed under
   *           different caps would silently corrupt match lengths).
@@ -36,12 +44,13 @@ import graft.etl.ParquetTableStore
   * hash-complete within a partition, so — unlike the batch operator —
   * NO cross-partition boundary patching is needed.
   *
-  * Why DISTINCT corpus keys suffice: match lengths against a SET of
-  * keys depend only on which keys are present (LCP is insensitive to
-  * multiplicity), and corpus rows are never emitted — only batch rows
-  * are. The same argument makes `append` idempotent up to wasted
-  * space: replaying a batch duplicates stored keys but cannot change
-  * any future match length.
+  * Why per-doc-DISTINCT corpus keys suffice: match lengths against a
+  * SET of keys depend only on which keys are present (LCP is
+  * insensitive to multiplicity), and corpus rows are never emitted —
+  * only batch rows are. The same argument makes `append` idempotent up
+  * to wasted space: replaying a batch duplicates stored rows, but a
+  * duplicate can change no future match length, and the rows' own
+  * doc_ids exclude them from any re-serve of that batch.
   *
   * Scale shape: serve cost = batch suffix rows (~batch tokens × 1,
   * positions kept) + stored rows in batch-touched prefix groups
@@ -89,8 +98,9 @@ object SuffixIndexStore {
       minLen: Int, maxLen: Int): Unit = {
     require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
     store.stageBucketed("suffix",
-      suffixKeys(corpus, minLen, maxLen).select(col("prefix"), col("key"))
-        .dropDuplicates("prefix", "key"),
+      suffixKeys(corpus, minLen, maxLen)
+        .select(col("prefix"), col("key"), col("doc_id"))
+        .dropDuplicates("prefix", "key", "doc_id"),
       bucketCols, nBuckets)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -100,17 +110,17 @@ object SuffixIndexStore {
 
   /** Append a batch's keys under the frozen caps — a pure bucket-append
     * (new files beside the old; the bucket contract holds per file).
-    * Distinct within the batch; overlap with already-stored keys is
-    * harmless duplication (see object doc), reclaimed by `compact`-time
-    * rewrites being distinct-preserving scans — not deduplicated here,
-    * because a corpus-sized anti-join per append is exactly the cost
-    * this store exists to avoid.
+    * Per-doc distinct within the batch; a replayed append duplicates
+    * rows harmlessly (see object doc) — not deduplicated here, because
+    * a corpus-sized anti-join per append is exactly the cost this store
+    * exists to avoid.
     */
   def append(store: ParquetTableStore, batch: DataFrame): Unit = {
     val m = store.read("meta").head()
     store.appendBucketed("suffix",
       suffixKeys(batch, m.getInt(0), m.getInt(1))
-        .select(col("prefix"), col("key")).dropDuplicates("prefix", "key"),
+        .select(col("prefix"), col("key"), col("doc_id"))
+        .dropDuplicates("prefix", "key", "doc_id"),
       bucketCols, nBuckets)
   }
 
@@ -187,8 +197,12 @@ object SuffixIndexStore {
     val touched = inc.select(col("prefix")).distinct()
     // batch-touched corpus keys: broadcast semi-join (touched is
     // batch-sized) — the stored side is scanned columnar and filtered,
-    // never shuffled
+    // never shuffled. The anti-join on the batch's OWN ids (also
+    // broadcast-sized) is the re-serve/replay guard: an absorbed
+    // batch's stored copies must not self-match.
+    val incIds = inc.select(col("doc_id")).distinct()
     val stored = readSuffix(store).join(touched, Seq("prefix"), "left_semi")
+      .join(incIds, Seq("doc_id"), "left_anti")
       .select(col("prefix"), col("key"),
         lit(-1L).as("doc_id"), lit(-1L).as("p"))
     val union = stored.unionByName(

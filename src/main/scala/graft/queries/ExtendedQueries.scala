@@ -1195,6 +1195,52 @@ object ExtendedQueries {
         FROM documents GROUP BY 1 ORDER BY split"""),
       "deterministic content-hash train/val/test split"),
 
+    // LEAKAGE-SAFE split: s7 assigns per DOCUMENT, so near-duplicates of
+    // a train doc can land in val/test and inflate eval (the
+    // train-test-contamination failure mode dedup papers warn about).
+    // Here the split unit is the NEAR-DUP CLUSTER: hash the cluster's
+    // canonical label, so every member — and every future member, since
+    // the label is the min doc_id, stable under growth for existing
+    // clusters — lands on the same side. Singletons are their own
+    // cluster. Split is a per-cluster decision; the only corpus-sized
+    // work is the label join every member needs anyway.
+    "s10_cluster_safe_split" -> Q(
+      (s, d) => {
+        import graft.operators.TextDedup
+        val docs = Tables.documents(s, d)
+        val labels = TextDedup.connectedComponents(
+          TextDedup.jaccardPairs(docs, n = 3, minJaccard = 0.8))
+        val lab = docs.select(col("doc_id"))
+          .join(labels.withColumnRenamed("cluster_id", "cc"), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cc"), col("doc_id")))
+        val h = md5(col("cluster_id").cast(StringType))
+        lab.select(col("doc_id"), col("cluster_id"),
+            when(h < "c0", "train").when(h < "e0", "val")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        labels AS (SELECT u AS doc_id, MIN(v) AS cc FROM reach GROUP BY u)
+        SELECT d.doc_id, COALESCE(l.cc, d.doc_id) AS cluster_id,
+          CASE WHEN md5(CAST(COALESCE(l.cc, d.doc_id) AS VARCHAR)) < 'c0' THEN 'train'
+            WHEN md5(CAST(COALESCE(l.cc, d.doc_id) AS VARCHAR)) < 'e0' THEN 'val'
+            ELSE 'test' END AS split
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      "leakage-safe split: near-dup clusters assigned whole, no train/test straddle"),
+
     // ntile fold assignment over a deterministic content order — k-fold
     // cross-validation splits. NOT the ntile window function (an
     // unpartitioned window is one task): global rank comes from the

@@ -352,6 +352,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of the suffix-span serve (d26): document batches
+    * arrive as parquet files; each batch's maximal duplicated-span
+    * lengths vs (everything absorbed so far ∪ batch) land at
+    * `outDir/batch=<id>` and the batch is absorbed into the stored
+    * suffix state. Exactly-once WITHOUT a guard table: the batch-id
+    * overwrite makes the span write idempotent, and serve excludes the
+    * batch's own stored copies by doc_id (SuffixIndexStore's re-serve
+    * guard), so a replay after a completed absorb re-serves the
+    * identical pre-absorb answer; a replayed absorb only duplicates
+    * rows that can change no future match length.
+    */
+  def suffixIndexStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      store: graft.etl.ParquetTableStore, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SuffixIndexStore
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.dropDuplicates("doc_id").localCheckpoint(true)
+        if (!b.isEmpty) {
+          SuffixIndexStore.servedSpans(store, b)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          SuffixIndexStore.append(store, b)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of the quality gate: document batches arrive as
     * parquet files and are scored under the stored FROZEN trigram LM
     * (Main.qualityTrain's artifact) — training never re-runs, the

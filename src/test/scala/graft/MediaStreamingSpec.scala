@@ -236,6 +236,44 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(store.read("sets").count() == docs.count())
   }
 
+  test("suffix index stream: each wave's spans equal the as-of recompute; replay is a no-op") {
+    import graft.operators.{SuffixDedup, SuffixIndexStore}
+    val docs = Tables.documents(spark, sfTiny)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sfxs").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/idx")
+    SuffixIndexStore.build(store, docs.filter($"doc_id" % 4 === 0),
+      minLen = 8, maxLen = 32)
+    val docsDir = s"$tmp/arrivals"
+    docs.filter($"doc_id" % 4 === 2).write.mode("append").parquet(docsDir)
+    Streams.suffixIndexStream(spark, docsDir, store, s"$tmp/spans", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(docsDir)
+    Streams.suffixIndexStream(spark, docsDir, store, s"$tmp/spans", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    // wave 1 was served vs (bootstrap ∪ wave1); wave 2 vs everything
+    val wave1 = spark.read.parquet(s"$tmp/spans/batch=0")
+      .as[(Long, Long, Long)].collect().toSet
+    val exp1 = SuffixDedup.maxMatchSpans(
+        docs.filter($"doc_id" % 2 === 0), minLen = 8, maxLen = 32)
+      .filter($"doc_id" % 4 === 2).as[(Long, Long, Long)].collect().toSet
+    assert(wave1 == exp1 && wave1.nonEmpty, "wave-1 spans drifted from as-of recompute")
+    val wave2 = spark.read.parquet(s"$tmp/spans/batch=0")
+      .unionByName(spark.read.parquet(s"$tmp/spans/batch=1")) // hive-less dirs
+    val w2 = spark.read.parquet(s"$tmp/spans/batch=1")
+      .as[(Long, Long, Long)].collect().toSet
+    val exp2 = SuffixDedup.maxMatchSpans(docs, minLen = 8, maxLen = 32)
+      .filter($"doc_id" % 2 === 1).as[(Long, Long, Long)].collect().toSet
+    assert(w2 == exp2 && w2.nonEmpty, "wave-2 spans drifted from as-of recompute")
+    assert(wave2.count() == (wave1.size + w2.size).toLong)
+    // replay with no new files: outputs and state undisturbed
+    val keysBefore = store.read("suffix").count()
+    Streams.suffixIndexStream(spark, docsDir, store, s"$tmp/spans", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    assert(spark.read.parquet(s"$tmp/spans/batch=1")
+      .as[(Long, Long, Long)].collect().toSet == exp2)
+    assert(store.read("suffix").count() == keysBefore)
+  }
+
   test("dedup index stream --containment: served deltas union to the one-shot containment set") {
     import graft.operators.{DedupIndexStore, TextDedup}
     val docs = Tables.documents(spark, sfTiny)

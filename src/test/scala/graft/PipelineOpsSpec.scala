@@ -1120,4 +1120,24 @@ class PipelineOpsSpec extends SparkTestBase {
     // the prune is selective: ~1% fpp on the 99% non-matching side
     assert(kept.size < 200 + 20000 / 20, s"bloom kept ${kept.size} of 20000")
   }
+
+  test("s10 leakage-safe split: no near-dup pair straddles splits, all docs assigned") {
+    val res = SparkEntry.registry("s10_cluster_safe_split").fn(spark, sfTiny)
+      .as[(Long, Long, String)].collect()
+    assert(res.length == docs.count(), "every doc gets a split")
+    val splitOf = res.map { case (d, _, s) => d -> s }.toMap
+    // the invariant s7 cannot give: every near-dup pair co-splits
+    val pairs = graft.operators.TextDedup
+      .jaccardPairs(docs, n = 3, minJaccard = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "vacuous: no near-dup pairs at sf0.001")
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles ${splitOf(a)}/${splitOf(b)}")
+    }
+    // clusters are split units: one split value per cluster_id
+    val byCluster = res.groupBy(_._2).values
+    assert(byCluster.forall(_.map(_._3).toSet.size == 1))
+    // and the split actually partitions (all three sides non-empty here)
+    assert(res.map(_._3).toSet == Set("train", "val", "test"))
+  }
 }

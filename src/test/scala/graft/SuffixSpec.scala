@@ -146,5 +146,13 @@ class SuffixSpec extends SparkTestBase {
     val c = graft.operators.SuffixIndexStore.servedSpans(appended, batch)
       .as[(Long, Long, Long)].collect().toSet
     assert(c == a)
+    // re-serve guard: after absorbing the batch, serving it AGAIN must
+    // exclude its own stored copies (doc_id anti-join) and reproduce the
+    // pre-absorb answer — not self-match every position at full length
+    graft.operators.SuffixIndexStore.append(appended, batch)
+    val reServed = graft.operators.SuffixIndexStore.servedSpans(appended, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reServed == a,
+      s"re-serve after absorb drifted: extra ${reServed.diff(a)} missing ${a.diff(reServed)}")
   }
 }
