@@ -42,10 +42,12 @@ import graft.marts.Views
   *   suffixidx build <docs> <idx> [--min N] [--max M]
   *                                           persist the suffix-key state
   *                                           for exact-substring dedup
-  *   suffixidx serve <batch> <idx> <out> [--append]
+  *   suffixidx serve <batch> <idx> <out> [--scrub] [--append]
   *                                           batch's maximal duplicated-
-  *                                           span lengths vs corpus∪batch;
-  *                                           --append absorbs the batch
+  *                                           span lengths vs corpus∪batch
+  *                                           (--scrub: rebuilt clean text
+  *                                           instead); --append absorbs
+  *                                           the batch
   *   suffixidx compact <idx>                 rewrite suffix buckets to ~1 file each
   *   index build <emb> <out> [--ivf|--ivfpq] train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
@@ -112,7 +114,8 @@ object Main {
           opt(rest, "--min").map(_.toInt).getOrElse(8),
           opt(rest, "--max").map(_.toInt).getOrElse(32))
       case "suffixidx" :: "serve" :: batch :: idx :: out :: rest =>
-        suffixIdxServe(spark, batch, idx, out, rest.contains("--append"))
+        suffixIdxServe(spark, batch, idx, out, rest.contains("--scrub"),
+          rest.contains("--append"))
       case "suffixidx" :: "compact" :: idx :: Nil =>
         graft.operators.SuffixIndexStore.compact(new ParquetTableStore(spark, idx))
         println(s"[graft] suffixidx compact: suffix buckets rewritten in $idx")
@@ -820,18 +823,21 @@ object Main {
     * frozen meta, never from the caller).
     */
   def suffixIdxServe(spark: SparkSession, batchPath: String, idx: String,
-      out: String, append: Boolean): Long = {
+      out: String, scrub: Boolean, append: Boolean): Long = {
     import graft.operators.SuffixIndexStore
     val store = new ParquetTableStore(spark, idx)
     val outStore = new ParquetTableStore(spark, out)
     val batch = spark.read.parquet(batchPath)
-    outStore.overwrite("spans", SuffixIndexStore.servedSpans(store, batch))
+    val (table, df) =
+      if (scrub) ("clean", SuffixIndexStore.scrubServed(store, batch))
+      else ("spans", SuffixIndexStore.servedSpans(store, batch))
+    outStore.overwrite(table, df)
     if (append) SuffixIndexStore.append(store, batch)
-    val nSpans = outStore.read("spans").count()
+    val n = outStore.read(table).count()
     println(s"[graft] suffixidx serve: ${batch.count()} batch docs -> " +
-      s"$nSpans duplicated-span positions" +
+      (if (scrub) s"$n scrubbed docs" else s"$n duplicated-span positions") +
       (if (append) " (batch absorbed)" else ""))
-    nSpans
+    n
   }
 
   /** Semantic dedup as a product command (SemDeDup over an embedding

@@ -179,6 +179,31 @@ object SuffixIndexStore {
       StructField("match_len", LongType))))
   }
 
+  /** Scrub an arriving batch against the indexed corpus: served spans →
+    * covered positions → rebuilt text, md5-pinned. Output contract =
+    * `TextDedup.scrubDuplicatedSpans(corpus ∪ batch, n = minLen)`
+    * restricted to the batch: a position is inside some maximal
+    * duplicated span iff it is inside some duplicated minLen-window
+    * (cover either direction by sliding a minLen-window inside the
+    * span / extending the window to its maximal span), and the maxLen
+    * cap preserves this because every in-run start still reports —
+    * so the two covered sets coincide exactly (SuffixSpec pins it).
+    * This is the "clean the incoming batch" deployment verb: the
+    * corpus is assumed already scrubbed and is never rewritten.
+    */
+  def scrubServed(store: ParquetTableStore, incoming: DataFrame): DataFrame = {
+    val spans = servedSpans(store, incoming)
+    val covered = spans.select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + col("match_len") - 1)).as("p"))
+      .distinct()
+    val w = split(TextDedup.normalizeText(col("text")), " ")
+    val toks = Par.fan(incoming).select(col("doc_id"), w.as("w"))
+    val tokRows = toks.select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"),
+        col("col").as("tok"))
+    TextDedup.rebuildExcluding(toks, tokRows, covered)
+  }
+
   /** The serve path's relational stage — everything before the neighbor
     * scan. Package-visible so PlanSpec can pin its contract (zero
     * corpus FileScans: the batch is pinned, the stored side is the only
@@ -229,7 +254,9 @@ object SuffixIndexStore {
       minLen: Int, maxLen: Int): ParquetTableStore = {
     val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
     val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"$cacheRoot/sufx1_${minLen}_${maxLen}_${key}_$mtime"
+    // "sufx2": layout version — suffix rows carry doc_id since the
+    // re-serve guard; a key bump orphans (never corrupts) old caches
+    val path = s"$cacheRoot/sufx2_${minLen}_${maxLen}_${key}_$mtime"
     ensureLock.synchronized {
       val store = new ParquetTableStore(spark, path)
       if (!tables.forall(store.exists)) build(store, corpus, minLen, maxLen)

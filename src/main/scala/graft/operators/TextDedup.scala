@@ -377,6 +377,16 @@ object TextDedup {
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(n - 1))).as("p"))
       .distinct()
+    rebuildExcluding(toks, tokRows, covered)
+  }
+
+  /** Rebuild docs with `covered` (doc_id, p) token positions stripped —
+    * the shared tail of every scrub flavor (d16's window scrub, the
+    * suffix-index serve scrub). The rebuild is a per-doc collect_list
+    * bounded by doc length; fully-covered docs survive as empty text.
+    */
+  private[operators] def rebuildExcluding(toks: DataFrame, tokRows: DataFrame,
+      covered: DataFrame): DataFrame = {
     val kept = tokRows.join(covered, Seq("doc_id", "p"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),

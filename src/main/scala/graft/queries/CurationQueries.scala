@@ -230,6 +230,51 @@ object CurationQueries {
         FROM n WHERE copies > 0 GROUP BY source ORDER BY source"""),
       "deterministic upsampling to a >1x target mix, replicas materialized"),
 
+    // Cross-source duplication matrix: for every (source, source) pair,
+    // how many near-dup pairs straddle it — the report that tells a
+    // curator WHICH sources to dedup against each other (the
+    // corpus-overlap tables dataset papers publish). The pair set is
+    // near-dup-sized (tiny vs the corpus), so the source lookup prunes
+    // the corpus side to pair endpoints with a KB Bloom (the j8 runtime-
+    // filter doctrine) before the join — the corpus never fully shuffles
+    // for a KB-scale report.
+    "mx6_cross_source_dup" -> Q(
+      (s, d) => {
+        import graft.operators.{RuntimeFilter, TextDedup}
+        val docs = Tables.documents(s, d)
+        val pairs = TextDedup.jaccardPairs(docs, n = 3, minJaccard = 0.8)
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        val ids = pairs.select(col("id_a").as("id"))
+          .unionByName(pairs.select(col("id_b").as("id")))
+        val src = RuntimeFilter.bloomPruneLong(
+          docs.select(col("doc_id"), col("source")), ids, "doc_id", "id",
+          expectedKeys = 1L << 16, fpp = 0.01)
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8)
+        SELECT LEAST(da.source, db.source) AS source_a,
+          GREATEST(da.source, db.source) AS source_b,
+          COUNT(*) AS n_pairs
+        FROM pairs JOIN documents da ON da.doc_id = id_a
+          JOIN documents db ON db.doc_id = id_b
+        GROUP BY 1, 2 ORDER BY source_a, source_b"""),
+      "cross-source near-dup matrix: which sources duplicate each other"),
+
     // Temperature-scaled language rebalancing (the multilingual training
     // mix: rare languages upsampled toward p^α, α = 0.5): per-lang rate
     // = ⌊1000·√(c_max/c_l)⌋ permille, DERIVED FROM THE CORPUS COUNTS

@@ -503,6 +503,44 @@ object PipelineQueries {
         FROM l WHERE match_len >= 8 AND doc_id % 2 = 1 ORDER BY doc_id, p"""),
       "suffix-span dedup served from prefix-bucketed stored state — batch-shaped work"),
 
+    // The ACTION on d26's signal: scrub the arriving batch's duplicated
+    // substrings against the indexed corpus and rebuild its text,
+    // md5-pinned — "clean the incoming batch" as a deployment verb (the
+    // corpus is already scrubbed and is never rewritten). Covered
+    // positions from maximal spans provably coincide with d16's
+    // duplicated-window cover at n = minLen, so the oracle is d16's
+    // scrub SQL over ALL docs restricted to batch ids.
+    "d27_indexed_scrub" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = graft.operators.SuffixIndexStore.ensure(s, d,
+          docs.filter(col("doc_id") % 2 === 0), minLen = 8, maxLen = 32)
+        graft.operators.SuffixIndexStore.scrubServed(idx,
+            docs.filter(col("doc_id") % 2 === 1))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        wins AS (SELECT doc_id, i AS start, array_to_string(w[i:i+7], ' ') AS g
+          FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i) WHERE len(w) >= 8),
+        dup AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+        cov AS (SELECT DISTINCT w.doc_id, w.start + j AS p
+          FROM wins w JOIN dup USING (g), UNNEST(range(0, 8)) AS t2(j)),
+        tk AS (SELECT doc_id, i AS p, w[i] AS tok
+          FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+          WHERE NOT EXISTS (SELECT 1 FROM cov
+            WHERE cov.doc_id = tk.doc_id AND cov.p = tk.p)),
+        reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+            string_agg(tok, ' ' ORDER BY p) AS clean
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+          md5(COALESCE(r.clean, '')) AS clean_hash
+        FROM toks t LEFT JOIN reb r USING (doc_id)
+        WHERE t.doc_id % 2 = 1
+        ORDER BY t.doc_id"""),
+      "indexed scrub: arriving batch rebuilt with corpus-duplicated substrings stripped"),
+
     // ASYMMETRIC containment C(A→B) = |A∩B|/|A|: the quote/excerpt
     // detector — a short doc embedded in a long one has near-zero
     // Jaccard (union is long-doc-sized) but containment ≈ 1. Candidates

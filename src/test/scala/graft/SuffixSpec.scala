@@ -155,4 +155,34 @@ class SuffixSpec extends SparkTestBase {
     assert(reServed == a,
       s"re-serve after absorb drifted: extra ${reServed.diff(a)} missing ${a.diff(reServed)}")
   }
+
+  test("indexed scrub equals the window scrub restricted to the batch (sf0.001 + planted)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sufscrub").toString
+    val store = new graft.etl.ParquetTableStore(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    graft.operators.SuffixIndexStore.build(store, corpus, minLen = 8, maxLen = 32)
+    val served = graft.operators.SuffixIndexStore.scrubServed(store, batch)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val full = TextDedup.scrubDuplicatedSpans(docs, n = 8)
+      .filter(col("doc_id") % 2 === 1)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(served == full && served.nonEmpty,
+      s"scrub drifted: extra ${served.diff(full)} missing ${full.diff(served)}")
+    // some doc actually lost tokens (non-vacuous scrub)
+    assert(served.exists { case (_, n, k, _) => k < n })
+    // planted long-run check: the maxLen cap must not leave mid-run
+    // tokens unscrubbed (a 40-token shared run ≫ maxLen 16)
+    val long = (1 to 40).map(i => s"t$i").mkString(" ")
+    val st2 = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sufscrub2").toString)
+    graft.operators.SuffixIndexStore.build(st2,
+      Seq((1L, long)).toDF("doc_id", "text"), minLen = 8, maxLen = 16)
+    val scrubbed = graft.operators.SuffixIndexStore.scrubServed(st2,
+        Seq((11L, long)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // md5("") — the fully-scrubbed sentinel
+    assert(scrubbed == Seq((11L, 40L, 0L, "d41d8cd98f00b204e9800998ecf8427e")),
+      s"capped spans left tokens behind: $scrubbed")
+  }
 }
