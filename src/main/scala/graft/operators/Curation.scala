@@ -166,6 +166,47 @@ object Curation {
   def hashBucket(c: Column, buckets: Int = 1000): Column =
     pmod(conv(substring(md5(c), 1, 4), 16, 10).cast(LongType), lit(buckets.toLong))
 
+  /** Hex-threshold split of a cluster label — s10/s11's assignment rule
+    * (md5 of the label's decimal rendering; 'c0'/'e0' ≈ 75/12.5/12.5).
+    */
+  def splitOfLabel(c: Column): Column = {
+    val h = md5(c.cast(org.apache.spark.sql.types.StringType))
+    when(h < "c0", "train").when(h < "e0", "val").otherwise("test")
+  }
+
+  /** The s11 DECISION step: given the corpus's frozen cluster labels
+    * (`prev` — corpus-only clustering, singletons implicit) and the
+    * post-batch labels (`newLab` — ccIncremental over the delta pairs),
+    * assign every batch doc a split. Corpus splits are FROZEN at first
+    * assignment; a batch doc adopts its component's frozen split when
+    * unambiguous, hashes a fresh label when it touches no corpus doc,
+    * and surfaces 'conflict' when it bridges clusters frozen to
+    * different splits (no assignment avoids leakage there — quarantine,
+    * don't hash it away). The per-cluster split census is semi-filtered
+    * to batch-touched clusters, so per-batch cost tracks the batch.
+    */
+  def incrementalSplit(corpusIds: DataFrame, batchIds: DataFrame,
+      prev: DataFrame, newLab: DataFrame): DataFrame = {
+    def labOf(ids: DataFrame): DataFrame =
+      ids.join(newLab, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val frozen = corpusIds
+      .join(prev.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitOfLabel(coalesce(col("pc"), col("doc_id"))).as("fs"))
+    val batchLab = labOf(batchIds).localCheckpoint(true)
+    val touched = batchLab.select(col("cluster_id")).distinct()
+    val census = labOf(corpusIds)
+      .join(touched, Seq("cluster_id"), "left_semi")
+      .join(frozen, Seq("doc_id"))
+      .groupBy(col("cluster_id")).agg(collect_set(col("fs")).as("ss"))
+    batchLab.join(census, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        when(size(col("ss")) === 1, element_at(col("ss"), 1))
+          .when(size(col("ss")) >= 2, lit("conflict"))
+          .otherwise(splitOfLabel(col("cluster_id"))).as("split"))
+  }
+
   def mixSample(docs: DataFrame, ratePermille: Column,
       textCol: String = "text"): DataFrame =
     docs.where(hashBucket(col(textCol)) < ratePermille)

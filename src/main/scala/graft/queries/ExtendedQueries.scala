@@ -1241,6 +1241,74 @@ object ExtendedQueries {
         ORDER BY d.doc_id"""),
       "leakage-safe split: near-dup clusters assigned whole, no train/test straddle"),
 
+    // s10 AS A SERVICE: assign ARRIVING docs to splits without
+    // re-clustering the corpus, never creating leakage silently. Corpus
+    // splits are FROZEN at first assignment (s10 over the corpus-only
+    // clusters); an arriving doc adopts its component's frozen split
+    // when that is unambiguous, lands in a fresh hash-assigned cluster
+    // when it touches no corpus doc, and is flagged 'conflict' when it
+    // BRIDGES corpus clusters frozen to different splits — the one case
+    // where no assignment avoids leakage, so it must surface, not be
+    // hashed away (a deployment quarantines conflicts). Delta pairs come
+    // from the persisted dedup index (d23's fabric), labels from
+    // ccIncremental — per-batch work is batch-shaped; the per-cluster
+    // split census is semi-filtered to batch-touched clusters.
+    "s11_incremental_split" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, DedupIndexStore, TextDedup}
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        val prev = TextDedup.ensureClusters(s, d, corpus,
+          n = 3, minJaccard = 0.8, tag = "even")
+        val idx = DedupIndexStore.ensure(s, d, corpus, n = 3, tJac = 0.8, tCont = 0.8)
+        val newLab = TextDedup.ccIncremental(prev,
+          DedupIndexStore.pairsIncremental(idx, batch, n = 3, minJaccard = 0.8))
+        Curation.incrementalSplit(corpus.select(col("doc_id")),
+            batch.select(col("doc_id")), prev, newLab)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und_a AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach_a(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und_a)
+          UNION SELECT r.u, e.v FROM reach_a r JOIN und_a e ON r.v = e.u),
+        lab_a AS (SELECT u AS doc_id, MIN(v) AS cc FROM reach_a GROUP BY u),
+        und_e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            WHERE id_a % 2 = 0 AND id_b % 2 = 0
+          UNION SELECT id_b, id_a FROM pairs
+            WHERE id_a % 2 = 0 AND id_b % 2 = 0),
+        reach_e(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und_e)
+          UNION SELECT r.u, e.v FROM reach_e r JOIN und_e e ON r.v = e.u),
+        lab_e AS (SELECT u AS doc_id, MIN(v) AS cc FROM reach_e GROUP BY u),
+        frozen AS (SELECT d.doc_id,
+            CASE WHEN md5(CAST(COALESCE(le.cc, d.doc_id) AS VARCHAR)) < 'c0' THEN 'train'
+              WHEN md5(CAST(COALESCE(le.cc, d.doc_id) AS VARCHAR)) < 'e0' THEN 'val'
+              ELSE 'test' END AS fs
+          FROM documents d LEFT JOIN lab_e le ON le.doc_id = d.doc_id
+          WHERE d.doc_id % 2 = 0),
+        lab AS (SELECT d.doc_id, COALESCE(la.cc, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN lab_a la ON la.doc_id = d.doc_id),
+        agg AS (SELECT l.cluster_id, COUNT(DISTINCT f.fs) AS n, MIN(f.fs) AS one
+          FROM lab l JOIN frozen f ON f.doc_id = l.doc_id GROUP BY 1)
+        SELECT b.doc_id, b.cluster_id,
+          CASE WHEN a.n = 1 THEN a.one
+            WHEN a.n >= 2 THEN 'conflict'
+            WHEN md5(CAST(b.cluster_id AS VARCHAR)) < 'c0' THEN 'train'
+            WHEN md5(CAST(b.cluster_id AS VARCHAR)) < 'e0' THEN 'val'
+            ELSE 'test' END AS split
+        FROM lab b LEFT JOIN agg a ON a.cluster_id = b.cluster_id
+        WHERE b.doc_id % 2 = 1 ORDER BY b.doc_id"""),
+      "split assignment as a service: adopt frozen split, hash fresh clusters, flag bridges"),
+
     // ntile fold assignment over a deterministic content order — k-fold
     // cross-validation splits. NOT the ntile window function (an
     // unpartitioned window is one task): global rank comes from the

@@ -1140,4 +1140,34 @@ class PipelineOpsSpec extends SparkTestBase {
     // and the split actually partitions (all three sides non-empty here)
     assert(res.map(_._3).toSet == Set("train", "val", "test"))
   }
+
+  test("s11 planted: adopt unambiguous frozen split, hash fresh clusters, flag bridges as conflict") {
+    import graft.operators.{Curation, TextDedup}
+    // md5("2")=c8..→val  md5("4")=a8..→train  md5("6")=16..→train
+    // md5("15")=9b..→train — cluster 2 and 4 freeze to DIFFERENT splits
+    val t = (1 to 20).map(i => s"t$i").mkString(" ")   // shared 18-shingle core
+    val u = (1 to 20).map(i => s"u$i").mkString(" ")
+    val corpus = Seq(
+      (2L, s"$t x1 x2 x3 x4"),   // J(2,4)=18/26 < 0.8: separate clusters
+      (4L, s"$t y1 y2 y3 y4"),
+      (6L, s"$u z1 z2 z3 z4")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, t),                   // J=18/22 ≥ 0.8 with BOTH 2 and 4: bridge
+      (13L, u),                   // near-dup of 6 only: adopt its split
+      (15L, (1 to 20).map(i => s"v$i").mkString(" ")) // fresh cluster
+    ).toDF("doc_id", "text")
+    val prev = TextDedup.connectedComponents(
+      TextDedup.prefixFilterPairs(corpus, 3, 0.8))
+    val newLab = TextDedup.ccIncremental(prev,
+      TextDedup.prefixFilterPairsIncremental(corpus, batch, 3, 0.8))
+    val got = Curation.incrementalSplit(corpus.select($"doc_id"),
+        batch.select($"doc_id"), prev, newLab)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (11L, 2L, "conflict"),   // bridges val-frozen 2 and train-frozen 4
+      (13L, 6L, "train"),      // adopts cluster 6's frozen split
+      (15L, 15L, "train")      // fresh label, hash-assigned
+    ), s"got $got")
+  }
 }
