@@ -49,6 +49,13 @@ import graft.marts.Views
   *                                           instead); --append absorbs
   *                                           the batch
   *   suffixidx compact <idx>                 rewrite suffix buckets to ~1 file each
+  *   mediaidx build <docs> <idx> [--hamming H]
+  *                                           persist the perceptual-hash
+  *                                           band index over media files
+  *   mediaidx serve <batch> <idx> <out> [--append]
+  *                                           batch's near-dup pair delta
+  *                                           vs corpus∪batch
+  *   mediaidx compact <idx>                  rewrite band buckets to ~1 file each
   *   index build <emb> <out> [--ivf|--ivfpq] train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
   *   index compact <idx> [--splits N]        rewrite append-accumulated code files
@@ -119,6 +126,14 @@ object Main {
       case "suffixidx" :: "compact" :: idx :: Nil =>
         graft.operators.SuffixIndexStore.compact(new ParquetTableStore(spark, idx))
         println(s"[graft] suffixidx compact: suffix buckets rewritten in $idx")
+      case "mediaidx" :: "build" :: docs :: idx :: rest =>
+        mediaIdxBuild(spark, docs, idx,
+          opt(rest, "--hamming").map(_.toInt).getOrElse(7))
+      case "mediaidx" :: "serve" :: batch :: idx :: out :: rest =>
+        mediaIdxServe(spark, batch, idx, out, rest.contains("--append"))
+      case "mediaidx" :: "compact" :: idx :: Nil =>
+        graft.multimodal.MediaIndexStore.compact(new ParquetTableStore(spark, idx))
+        println(s"[graft] mediaidx compact: band buckets rewritten in $idx")
       case "dedupidx" :: "serve" :: batch :: idx :: out :: rest =>
         dedupIdxServe(spark, batch, idx, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
@@ -836,6 +851,41 @@ object Main {
     val n = outStore.read(table).count()
     println(s"[graft] suffixidx serve: ${batch.count()} batch docs -> " +
       (if (scrub) s"$n scrubbed docs" else s"$n duplicated-span positions") +
+      (if (append) " (batch absorbed)" else ""))
+    n
+  }
+
+  /** Persist the perceptual-hash band index over a media corpus (docs
+    * parquet read as opaque payloads) — incremental media near-dup's
+    * stored state (MediaIndexStore).
+    */
+  def mediaIdxBuild(spark: SparkSession, docsPath: String, idx: String,
+      maxHamming: Int): Long = {
+    import graft.multimodal.{Media, MediaIndexStore}
+    val store = new ParquetTableStore(spark, idx)
+    val sig = Media.perceptualHash(
+      Media.documentsAsMedia(spark, spark.read.parquet(docsPath))).toDF()
+    MediaIndexStore.build(store, sig, maxHamming)
+    val n = store.read("bands").count() / 8
+    println(s"[graft] mediaidx build: $n media files indexed (hamming <= $maxHamming)")
+    n
+  }
+
+  /** Serve a media batch's near-dup pair delta from the stored band
+    * index; --append absorbs the batch (re-serve stays idempotent via
+    * the media_id guard).
+    */
+  def mediaIdxServe(spark: SparkSession, batchPath: String, idx: String,
+      out: String, append: Boolean): Long = {
+    import graft.multimodal.{Media, MediaIndexStore}
+    val store = new ParquetTableStore(spark, idx)
+    val outStore = new ParquetTableStore(spark, out)
+    val sig = Media.perceptualHash(
+      Media.documentsAsMedia(spark, spark.read.parquet(batchPath))).toDF()
+    outStore.overwrite("pairs", MediaIndexStore.pairsIncremental(store, sig))
+    if (append) MediaIndexStore.append(store, sig)
+    val n = outStore.read("pairs").count()
+    println(s"[graft] mediaidx serve: -> $n near-dup pair deltas" +
       (if (append) " (batch absorbed)" else ""))
     n
   }

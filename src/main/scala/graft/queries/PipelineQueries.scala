@@ -1805,6 +1805,43 @@ object PipelineQueries {
         ORDER BY id_a, id_b"""),
       "perceptual-hash near-dup over binary media — banded, oracle is brute force"),
 
+    // mm3 SERVED from a persisted band index (even ids = indexed corpus,
+    // odd = arriving batch): batch bands join the stored 8-rows-per-file
+    // band table; phash rides in the band rows so verification is an
+    // inline xor — no corpus re-band, no second join. Oracle = mm3's
+    // brute force restricted to pairs touching the batch.
+    "mm4_indexed_phash" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def sig(df: org.apache.spark.sql.DataFrame) =
+          Media.perceptualHash(Media.documentsAsMedia(s, df)).toDF()
+        val idx = graft.multimodal.MediaIndexStore.ensure(s, d,
+          sig(docs.filter(col("doc_id") % 2 === 0)), maxHamming = 7)
+        graft.multimodal.MediaIndexStore.pairsIncremental(idx,
+            sig(docs.filter(col("doc_id") % 2 === 1)))
+          .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, i,
+            ord(substr(text, CAST(i * (length(text) - 1) // 63 AS BIGINT) + 1, 1)) AS p
+          FROM documents, UNNEST(range(0, 64)) AS t(i)),
+        h AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN p > avg_p AND i < 63 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+              WHEN p > avg_p AND i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+              ELSE 0 END) AS BIGINT) AS phash
+          FROM (SELECT doc_id, i, p,
+              CAST(SUM(p) OVER (PARTITION BY doc_id) AS BIGINT) // 64 AS avg_p FROM px)
+          GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 7
+          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        ORDER BY id_a, id_b"""),
+      "indexed perceptual-hash near-dup: batch bands vs the persisted band table"),
+
     // ───── sessionization (batch flavor of the streaming operator) ─────
 
     "st2_sessionization" -> Q(

@@ -847,6 +847,30 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(got2 == exp2 && got2.nonEmpty, "post-append serve drifted")
   }
 
+  test("CLI mediaidx build/serve/append: lifecycle equals the direct operators") {
+    import graft.multimodal.{Media, MediaIndexStore}
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val tmp = Files.createTempDirectory("graft_midx").toString
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$tmp/b0")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$tmp/b1")
+    graft.app.Main.route(spark,
+      List("mediaidx", "build", s"$tmp/b0", s"$tmp/idx"))
+    graft.app.Main.route(spark, List("mediaidx", "serve", s"$tmp/b1",
+      s"$tmp/idx", s"$tmp/out", "--append"))
+    val got = spark.read.parquet(s"$tmp/out/pairs")
+      .as[(Long, Long, Int)].collect().toSet
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/idx2")
+    MediaIndexStore.build(store, Media.perceptualHash(
+      Media.documentsAsMedia(spark, docs.filter($"doc_id" % 2 === 0))).toDF(), 7)
+    val exp = MediaIndexStore.pairsIncremental(store, Media.perceptualHash(
+      Media.documentsAsMedia(spark, docs.filter($"doc_id" % 2 === 1))).toDF())
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exp, "CLI mediaidx drifted from the direct operators")
+    // absorbed: the band table now covers the whole corpus
+    assert(new graft.etl.ParquetTableStore(spark, s"$tmp/idx")
+      .read("bands").count() == docs.count() * 8)
+  }
+
   test("sketch error gates at sf0.01: HLL distinct and quantile sketch vs exact") {
     // the a7/a13 twin of the ANN recall gates: a silent sketch-parameter
     // regression (rsd, accuracy) must trip a pinned numeric bound, not

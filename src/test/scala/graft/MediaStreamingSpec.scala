@@ -47,6 +47,48 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(h.head.phash == h2.head.phash)
   }
 
+  test("media band index: served pairs == recompute restricted; append == one-shot; re-serve guard") {
+    import graft.multimodal.MediaIndexStore
+    import graft.operators.TextDedup
+    def sig(rows: Seq[(Long, String)]) =
+      Media.perceptualHash(Media.documentsAsMedia(spark,
+        rows.map { case (id, t) => (id, t, "planted") }
+          .toDF("doc_id", "text", "source"))).toDF()
+    val a = "the same payload bytes in every respect for this media file"
+    val b = "completely different content with other characters entirely xyz"
+    val c = "a third unique payload that matches nothing else in the corpus"
+    val corpus1 = Seq(2L -> a); val corpus2 = Seq(4L -> b)
+    val batch = Seq(11L -> a, 13L -> c) // 11 duplicates corpus 2 exactly
+    val oneShot = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-midx1").toString)
+    MediaIndexStore.build(oneShot, sig(corpus1 ++ corpus2), maxHamming = 7)
+    val appended = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-midx2").toString)
+    MediaIndexStore.build(appended, sig(corpus1), maxHamming = 7)
+    MediaIndexStore.append(appended, sig(corpus2))
+    val p1 = MediaIndexStore.pairsIncremental(oneShot, sig(batch))
+      .as[(Long, Long, Int)].collect().toSet
+    val p2 = MediaIndexStore.pairsIncremental(appended, sig(batch))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p1 == p2, s"append-after-build diverged: $p1 vs $p2")
+    // recompute twin restricted to batch-touching pairs
+    val full = TextDedup.hammingBandPairs(
+        sig(corpus1 ++ corpus2 ++ batch)
+          .select($"media_id".as("doc_id"), $"phash".as("simhash")), 7)
+      .filter($"id_a" >= 10L || $"id_b" >= 10L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p1 == full && p1.contains((2L, 11L, 0)), s"served $p1 != recompute $full")
+    // re-serve guard: absorb the batch, serve it again — same answer
+    MediaIndexStore.append(appended, sig(batch))
+    val p3 = MediaIndexStore.pairsIncremental(appended, sig(batch))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p3 == p1, s"re-serve after absorb drifted: $p3 vs $p1")
+    // compact: serve unchanged
+    MediaIndexStore.compact(appended)
+    assert(MediaIndexStore.pairsIncremental(appended, sig(batch))
+      .as[(Long, Long, Int)].collect().toSet == p1)
+  }
+
   test("dedup stream: per-batch delta pairs + label merge equal batch dedup") {
     import graft.operators.TextDedup
     val docsDir = java.nio.file.Files.createTempDirectory("graft_dd_docs").toString
