@@ -1011,6 +1011,30 @@ object PipelineQueries {
         ORDER BY query_id, cos DESC, neighbor_id"""),
       "brute-force cosine top-k, query side broadcast — exact ANN baseline"),
 
+    // FILTERED vector search (the vector-DB "metadata filter" verb):
+    // top-k among candidates satisfying a relational predicate. The
+    // filter applies BEFORE any distance work — it reaches the parquet
+    // scan (PushedFilters), so at 100 TB the distance pass reads only
+    // the qualifying stripe, and k never starves (no post-filter
+    // over-fetch heuristics, which is why the exact path is the right
+    // default until selectivity makes an index worth it).
+    "ann7_filtered_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+            emb.filter(col("label") < 5), k = 3)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(CAST(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS DECIMAL(18,6)) AS DOUBLE) AS cos
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 5 AND c.vec_id != q.vec_id AND c.label < 5
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+          c.vec_id) <= 3
+        ORDER BY query_id, cos DESC, neighbor_id"""),
+      "filtered ANN: metadata predicate below the distance pass, exact top-k"),
+
     "ann2_lsh_topk" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)

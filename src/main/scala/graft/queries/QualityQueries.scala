@@ -198,6 +198,79 @@ object QualityQueries {
         FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""),
       "BM25 top-20 docs for a 3-term query (k1=1.2, b=0.75)"),
 
+    // HYBRID retrieval: BM25 lexical leg + brute-force cosine vector leg
+    // fused by reciprocal-rank fusion (RRF, the standard hybrid-search
+    // combiner): score = Σ_legs ⌊1e6/(60+rank)⌋, integer micro-units so
+    // the fusion is engine-exact. Rank keys are the ROUNDED leg scores
+    // (the DECIMAL(18,6) doubles srch1/ann1's hash-green matches prove
+    // identical across engines) with doc_id tiebreak — fully
+    // deterministic end to end. The query is doc 0: its embedding drives
+    // the vector leg, a fixed 3-term query the lexical leg (documents
+    // and embeddings share the id space).
+    "srch6_hybrid_rrf" -> Q(
+      (s, d) => {
+        import graft.operators.Similarity
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val lex = TextQuality.bm25(docs, Seq("vector", "hash", "spark"), k = 20)
+          .withColumn("lr", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))))
+          .select(col("doc_id"), col("lr"))
+        val vec = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") === 0), emb, k = 20)
+          .withColumn("vr", row_number().over(
+            Window.orderBy(col("cos").desc, col("neighbor_id"))))
+          .select(col("neighbor_id").as("doc_id"), col("vr"))
+        val contrib = (r: org.apache.spark.sql.Column) =>
+          when(r.isNull, 0L).otherwise(
+            floor(lit(1000000.0) / (lit(60) + r)).cast(LongType))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("lr"), lit(0)).cast(LongType).as("lex_rank"),
+            coalesce(col("vr"), lit(0)).cast(LongType).as("vec_rank"),
+            (contrib(col("lr")) + contrib(col("vr"))).as("rrf_micro"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        tf AS (SELECT d.doc_id, dl.dl, t.term, COUNT(*) AS tf
+          FROM d JOIN dl USING (doc_id), UNNEST(d.w) AS t(term)
+          WHERE t.term IN ('vector', 'hash', 'spark') GROUP BY 1, 2, 3),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            ln(1.0 + (CAST(st.n_docs - dft.df AS DOUBLE) + 0.5)
+                     / (CAST(dft.df AS DOUBLE) + 0.5))
+            * ((CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                  * (CAST(tf.dl AS DOUBLE)
+                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))) AS sc
+          FROM tf JOIN dft USING (term) CROSS JOIN st),
+        lex AS (SELECT doc_id, CAST(SUM(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+          FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+        lexr AS (SELECT doc_id,
+            row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr FROM lex),
+        vec AS (SELECT c.vec_id AS doc_id,
+            CAST(CAST(list_cosine_similarity(q.embedding::DOUBLE[],
+              c.embedding::DOUBLE[]) AS DECIMAL(18,6)) AS DOUBLE) AS cos
+          FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id != 0
+          QUALIFY row_number() OVER (ORDER BY
+            list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+            c.vec_id) <= 20),
+        vecr AS (SELECT doc_id,
+            row_number() OVER (ORDER BY cos DESC, doc_id) AS vr FROM vec),
+        f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+            CAST(COALESCE(l.lr, 0) AS BIGINT) AS lex_rank,
+            CAST(COALESCE(v.vr, 0) AS BIGINT) AS vec_rank,
+            CAST(CASE WHEN l.lr IS NULL THEN 0 ELSE 1000000 // (60 + l.lr) END
+              + CASE WHEN v.vr IS NULL THEN 0 ELSE 1000000 // (60 + v.vr) END
+              AS BIGINT) AS rrf_micro
+          FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+        SELECT doc_id, lex_rank, vec_rank, rrf_micro FROM f
+        ORDER BY rrf_micro DESC, doc_id LIMIT 10"""),
+      "hybrid search: BM25 + cosine legs fused by reciprocal-rank fusion"),
+
     // Same ranking served from the STORED inverted index (postings +
     // stats artifacts, built once per corpus): shares srch1's oracle
     // because indexed == direct by construction (one shared scorer,

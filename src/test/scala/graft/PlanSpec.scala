@@ -250,6 +250,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("ann7: the metadata filter is pushed into the candidate parquet scan") {
+    val p = planOf(q("ann7_filtered_topk"))
+    // the filtered-ANN contract: the label predicate prunes BELOW the
+    // distance pass — PushedFilters on the embeddings scan, so at scale
+    // the distance pass reads only the qualifying stripe
+    assert(p.contains("LessThan(label,5)"), s"label filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("srch1/srch2: query terms filter before any shuffle; top-k is TakeOrdered") {
     val p1 = planOf(q("srch1_bm25"))
     assert(p1.contains("TakeOrderedAndProject"), p1)
