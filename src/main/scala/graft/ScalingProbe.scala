@@ -57,6 +57,12 @@ object ScalingProbe {
       val sfxDir = java.nio.file.Files.createTempDirectory("graft_probe_sfx").toString
       val sfx = new graft.etl.ParquetTableStore(spark, sfxDir)
       graft.operators.SuffixIndexStore.build(sfx, corpus, 8, 32)
+      val mediaDir = java.nio.file.Files.createTempDirectory("graft_probe_media").toString
+      val media = new graft.etl.ParquetTableStore(spark, mediaDir)
+      def phashOf(df: DataFrame) = graft.multimodal.Media.perceptualHash(
+        graft.multimodal.Media.documentsAsMedia(spark, df)).toDF()
+      graft.multimodal.MediaIndexStore.build(media, phashOf(corpus), 7)
+      val batchSig = phashOf(batch).cache(); batchSig.count()
       // graph fabric (g1/g2's shape) over the corpus near-dup pairs —
       // NOT per-batch: PageRank carries node-sized per-iteration state,
       // so its cost is EXPECTED to grow with the corpus (documented
@@ -98,7 +104,15 @@ object ScalingProbe {
           graft.operators.SuffixDedup.maxMatchSpans(
             corpus.unionByName(batch), 8, 32))),
         "d26_indexed_suffix" -> (() => noop(
-          graft.operators.SuffixIndexStore.servedSpans(sfx, batch))))
+          graft.operators.SuffixIndexStore.servedSpans(sfx, batch))),
+        // media family: recompute re-bands the whole corpus per run;
+        // the band index serves batch-shaped
+        "mm3_recompute_phash" -> (() => noop(
+          TextDedup.hammingBandPairs(
+            phashOf(docs).select(col("media_id").as("doc_id"),
+              col("phash").as("simhash")), 7))),
+        "mm4_indexed_phash" -> (() => noop(
+          graft.multimodal.MediaIndexStore.pairsIncremental(media, batchSig))))
       val out = stages.map { case (name, f) =>
         f() // warmup
         name -> (1 to 2).map(_ => time(f())).min

@@ -18,13 +18,55 @@ import graft.operators.{Similarity, TextDedup, TextStats}
   *  - cosine outputs round through DECIMAL(18,6) then render as DOUBLE
   *    (both engines agree to ~1e-15; the decimal stage kills float-tail
   *    ties, the double rendering survives every parquet reader);
-  *  - hash-derived operators (MinHash/SimHash/LSH) can't be mirrored in
-  *    SQL → no oracle (rows-only check); their correctness is asserted
-  *    against the exact operators in DedupSpec instead.
+  *  - hash-derived operators replay in SQL when their randomness is a
+  *    deterministic artifact: md5-derived signatures re-derive in DuckDB
+  *    (d3/d4/d6), seeded plane/quantizer constants render as literals in
+  *    BOTH plans (ann2/ann6). Only genuinely float-iterative training
+  *    (Lloyd/Jacobi — ann3-5, cl1, emb1) stays rows-only, gated by
+  *    recall/orthonormality specs instead.
   */
 object PipelineQueries {
 
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** DuckDB replay of ann2's LSH stage. The 8×4 seeded gaussian planes
+    * are the SAME deterministic artifact both engines consume: Spark
+    * ships them as `typedLit` arrays inside the plan, the oracle renders
+    * them here as `%.17e` literals (18 significant digits round-trip any
+    * double exactly, and E-notation parses as DOUBLE in DuckDB — no
+    * DECIMAL-literal detour). Bucket bits are the identical sign tests;
+    * a sign can only disagree across engines if |dot| falls inside the
+    * summation-order tail (~1e-15 relative), which gaussian planes
+    * against real data never produce — so the candidate sets replay
+    * exactly, and the rescoring reuses ann1's proven DECIMAL(18,6)
+    * cosine protocol. This is the ann6 frozen-quantizer doctrine applied
+    * to the one ANN family member whose "training" is pure seeded
+    * randomness rather than float iteration.
+    */
+  private def ann2OracleSql: String = {
+    val planes = Similarity.hyperplanes(64, 8, 4)
+    def arr(p: Array[Double]): String =
+      p.map(x => f"$x%.17e").mkString("[", ", ", "]")
+    val legs = planes.zipWithIndex.map { case (table, t) =>
+      val bits = table.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_inner_product(v, ${arr(p)}) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n        + ")
+      s"SELECT vec_id, $t AS tbl,\n        $bits AS bucket FROM b"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      bu AS ($legs),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bu q JOIN bu c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+      SELECT query_id, neighbor_id,
+        CAST(CAST(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS DECIMAL(18,6)) AS DOUBLE) AS cos
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC, neighbor_id) <= 3
+      ORDER BY query_id, cos DESC, neighbor_id"""
+  }
 
   /** DuckDB replay of the BPE training chain (bpe3/bpe4 oracles): the
     * word-frequency state as symbol LISTS, then per merge step j —
@@ -1041,7 +1083,7 @@ object PipelineQueries {
         Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
           .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       },
-      None,
+      Some(ann2OracleSql),
       "random-hyperplane LSH top-k (8 tables × 4 bits) — approximate scale path"),
 
     // ann3 serves from the persisted IVF index like ann4/ann5: first
