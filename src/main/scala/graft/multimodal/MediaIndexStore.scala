@@ -4,100 +4,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.ParquetTableStore
-import graft.operators.TextDedup
+import graft.operators.HammingIndexStore
 
 /** Persisted perceptual-hash band index for INCREMENTAL media near-dup —
-  * the DedupIndexStore doctrine applied to the multimodal family:
-  * `TextDedup.hammingBandPairs` re-bands the whole corpus per run; this
-  * store persists each absorbed file's 8 band rows once and serves an
-  * arriving batch with batch-shaped work (batch bands join the stored
-  * bands on (band, band_val); only colliding stored rows leave the
-  * scan). Recall is the same pigeonhole: hamming ≤ 7 over 8 bands forces
-  * ≥ 1 identical band, and banding is a pure function of the hash — no
-  * frozen-order subtlety at all.
-  *
-  * Layout (journaled ParquetTableStore):
-  *   bands  (band, band_val, media_id, phash) — 8 rows per absorbed
-  *          file, BUCKET-ENCODED on (band, band_val); phash rides along
-  *          so candidate verification is an inline xor/bit_count, never
-  *          a second corpus join. media_id is the re-serve guard (the
-  *          SuffixIndexStore doctrine): serve anti-joins the batch's own
-  *          ids out of the stored side, so re-serving an absorbed batch
-  *          reproduces the pre-absorb answer — append idempotent up to
-  *          harmless duplicate rows (candidates are dropDuplicates'd),
-  *          streaming replay exactly-once with no guard table.
-  *   meta   (max_hamming) — 1 row, frozen at build.
+  * the multimodal face of `HammingIndexStore` (where the banding,
+  * bucketed layout, re-serve guard, and pigeonhole-recall argument
+  * live): input rows are (media_id, phash), output pairs are
+  * (id_a, id_b, hamming) — identical to the batch
+  * `TextDedup.hammingBandPairs` path mm3 measures.
   */
 object MediaIndexStore {
 
-  val tables: Seq[String] = Seq("meta", "bands")
-  val nBuckets: Int = 32
-  private val bucketCols = Seq("band", "band_val")
+  val tables: Seq[String] = HammingIndexStore.tables
+  val nBuckets: Int = HammingIndexStore.nBuckets
 
-  /** 8 × 8-bit band rows per signature — identical banding to
-    * `TextDedup.hammingBandPairs` (the pigeonhole contract both sides
-    * of every served pair rely on).
-    */
-  private def banded(sig: DataFrame): DataFrame =
-    sig.select(col("media_id"), col("phash"),
-        posexplode(array((0 until 8).map(k =>
-          shiftright(col("phash"), k * 8).bitwiseAND(0xFFL)): _*)))
-      .select(col("media_id"), col("phash"),
-        col("pos").as("band"), col("col").as("band_val"))
+  private def asGeneric(sig: DataFrame): DataFrame =
+    sig.select(col("media_id").as("doc_id"), col("phash").as("hash64"))
 
-  def build(store: ParquetTableStore, sig: DataFrame, maxHamming: Int): Unit = {
-    require(maxHamming <= 7, "band recall is exact only for hamming <= 7")
-    store.stageBucketed("bands", banded(sig), bucketCols, nBuckets)
-    val spark = sig.sparkSession
-    import spark.implicits._
-    store.stage("meta", Seq(maxHamming).toDF("max_hamming"))
-    store.commitStaged(tables)
-  }
+  def build(store: ParquetTableStore, sig: DataFrame, maxHamming: Int): Unit =
+    HammingIndexStore.build(store, asGeneric(sig), maxHamming)
 
   def append(store: ParquetTableStore, sig: DataFrame): Unit =
-    store.appendBucketed("bands", banded(sig), bucketCols, nBuckets)
+    HammingIndexStore.append(store, asGeneric(sig))
 
   def compact(store: ParquetTableStore): Unit =
-    store.compactBucketed("bands", bucketCols, nBuckets)
+    HammingIndexStore.compact(store)
 
-  /** Near-dup pair delta for an arriving batch of signatures vs
-    * (indexed corpus ∪ batch): output = `hammingBandPairs` over the
-    * union, restricted to pairs touching the batch (spec-pinned).
-    */
-  def pairsIncremental(store: ParquetTableStore, sig: DataFrame): DataFrame = {
-    val maxHamming = store.read("meta").head().getInt(0)
-    val inc = sig.localCheckpoint(true)
-    val bInc = banded(inc)
-    val stored = store.readBucketed("bands", bucketCols, nBuckets)
-      .join(inc.select(col("media_id")).distinct(), Seq("media_id"), "left_anti")
-    val newOld = bInc.as("a").join(stored.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val"))
-      .select(least(col("a.media_id"), col("b.media_id")).as("id_a"),
-        greatest(col("a.media_id"), col("b.media_id")).as("id_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    val newNew = TextDedup.hammingBandPairs(
-        inc.select(col("media_id").as("doc_id"), col("phash").as("simhash")),
-        maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-    newOld.unionByName(newNew).dropDuplicates("id_a", "id_b")
-  }
-
-  // ───── mtime-keyed ensure (registered-query / bench serving surface) ─────
-
-  private val cacheRoot =
-    sys.env.getOrElse("SPARK_GRAFT_DEDUP_STATE_DIR", "target/graft-dedup-state")
-  private val ensureLock = new Object
+  def pairsIncremental(store: ParquetTableStore, sig: DataFrame): DataFrame =
+    HammingIndexStore.pairsIncremental(store, asGeneric(sig))
 
   def ensure(spark: SparkSession, corpusDir: String, sig: DataFrame,
-      maxHamming: Int): ParquetTableStore = {
-    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
-    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"$cacheRoot/mhash1_${maxHamming}_${key}_$mtime"
-    ensureLock.synchronized {
-      val store = new ParquetTableStore(spark, path)
-      if (!tables.forall(store.exists)) build(store, sig, maxHamming)
-      store
-    }
-  }
+      maxHamming: Int): ParquetTableStore =
+    HammingIndexStore.ensure(spark, corpusDir, asGeneric(sig), maxHamming,
+      tag = "phash")
 }

@@ -778,6 +778,54 @@ object PipelineQueries {
         ORDER BY id_a, id_b"""),
       "indexed incremental containment: served from the stored prefix index"),
 
+    // INDEXED incremental SimHash near-dup — d4's semantics served from
+    // the persisted HammingIndexStore (the same band store mm4 uses for
+    // perceptual hashes, under its own ensure tag): the even-id corpus's
+    // 8 band rows per doc are stored once; the odd-id batch re-bands
+    // ONLY itself and joins the stored bands on (band, band_val).
+    // Banding is a pure function of the hash, so there is no frozen-
+    // order subtlety — output = d4's pairs restricted to pairs touching
+    // the batch, which is exactly d4's oracle with the batch predicate.
+    "d28_indexed_simhash" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def sig(df: org.apache.spark.sql.DataFrame) =
+          TextDedup.simhash(df).select(col("doc_id"), col("simhash").as("hash64"))
+        val idx = graft.operators.HammingIndexStore.ensure(s, d,
+          sig(docs.filter(col("doc_id") % 2 === 0)), maxHamming = 7,
+          tag = "simhash")
+        graft.operators.HammingIndexStore.pairsIncremental(idx,
+            sig(docs.filter(col("doc_id") % 2 === 1)))
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast(LongType).as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, t AS tok
+          FROM (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> len(x) > 0) AS tk
+            FROM documents), UNNEST(tk) AS u(t)),
+        th AS (SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS HUGEINT) AS h
+          FROM tok),
+        bits AS (SELECT doc_id, b,
+            SUM(CASE WHEN (h >> CAST(b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+          FROM th, UNNEST(range(0, 64)) AS t(b) GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN cnt > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+              WHEN cnt > 0 AND b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+              ELSE 0 END) AS BIGINT) AS sh
+          FROM bits GROUP BY doc_id),
+        sig2 AS (SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+          FROM documents d LEFT JOIN sig s USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM sig2 a JOIN sig2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 7
+          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        ORDER BY id_a, id_b"""),
+      "indexed SimHash near-dup: batch bands vs the persisted band table"),
+
     // Duplication REPORT: the cluster-size histogram (how much of the
     // corpus is duplication mass, and in what shapes — many pairs vs a
     // few giant boilerplate clusters drive different curation choices).

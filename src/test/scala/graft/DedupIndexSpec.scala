@@ -106,6 +106,29 @@ class DedupIndexSpec extends SparkTestBase {
     assert(servedAfter.nonEmpty && contAfter.nonEmpty, "vacuous")
   }
 
+  test("simhash band index: served pairs == batch simhashPairs restricted to the batch") {
+    // the SimHash face of HammingIndexStore (d28): banding is a pure
+    // function of the hash, so serve == recompute needs no frozen-order
+    // argument — only that the stored bands and the batch bands slice
+    // the same 64 bits the same way.
+    def sig(df: DataFrame) = TextDedup.simhash(df)
+      .select(col("doc_id"), col("simhash").as("hash64"))
+    val store = freshStore()
+    graft.operators.HammingIndexStore.build(store, sig(even), maxHamming = 7)
+    val served = graft.operators.HammingIndexStore.pairsIncremental(store, sig(odd))
+      .as[(Long, Long, Int)].collect().toSet
+    val full = TextDedup.simhashPairs(docs, maxHamming = 7)
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == full, s"served $served != recompute $full")
+    assert(served.nonEmpty, "vacuous")
+    // re-serve guard: absorbing the batch must not change its answer
+    graft.operators.HammingIndexStore.append(store, sig(odd))
+    val reServed = graft.operators.HammingIndexStore.pairsIncremental(store, sig(odd))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(reServed == served, s"re-serve drifted: $reServed vs $served")
+  }
+
   test("crash between appends degrades to duplicate candidates, never wrong pairs") {
     // simulate dying after the candidate-side tables appended but BEFORE
     // `sets` (the commit point): replaying the append must restore a
