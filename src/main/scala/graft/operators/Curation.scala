@@ -230,6 +230,50 @@ object Curation {
       .drop("__copies")
   }
 
+  /** Stride-scheduled curriculum interleave — the data-ORDER side of the
+    * mix family (mx1-mx5 decide how much of each source; this decides
+    * WHEN): source s with integer weight w_s emits its r-th document at
+    * virtual time (2r−1)/2w_s, so the global reading order interleaves
+    * sources proportionally to weight with bounded burstiness (classic
+    * stride scheduling). Weights are ⌊1000·√n_s⌋ — temperature-τ=2
+    * source shares, the mx3 doctrine — and within-source order is the
+    * md5(seed:id) shuffle, so the whole schedule is reproducible across
+    * engines, reruns and cluster sizes.
+    *
+    * Scale: within-source rank AND global position both come from
+    * GlobalOrder.cumSum (range repartition + broadcast offsets), never a
+    * per-source or global single-task window — a corpus-sized source
+    * costs the same as a corpus of small ones. The per-source
+    * offset/weight table is source-count-sized and broadcast. Virtual
+    * keys are exact integers ((2r−1)·10^8 DIV w_milli), so there is no
+    * float ordering to disagree on; key ties break by (source, id).
+    */
+  def curriculumInterleave(docs: DataFrame, idCol: String, srcCol: String,
+      seed: String): DataFrame = {
+    val keyed = docs.select(col(idCol), col(srcCol),
+      md5(concat(lit(seed), lit(":"), col(idCol).cast(StringType))).as("skey"))
+    val counts = keyed.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
+    // source-count-sized: the unpartitioned window runs over one row per
+    // source, not the corpus
+    val wSrc = org.apache.spark.sql.expressions.Window.orderBy(col(srcCol))
+      .rowsBetween(Long.MinValue, -1)
+    val weights = counts
+      .withColumn("offset", coalesce(sum(col("n_s")).over(wSrc), lit(0L)))
+      .withColumn("w_milli",
+        floor(sqrt(col("n_s").cast(DoubleType)) * 1000d).cast(LongType))
+      .select(col(srcCol), col("offset"), col("w_milli"))
+    val ranked = GlobalOrder.cumSum(keyed,
+        struct(col(srcCol), col("skey"), col(idCol)), lit(1))
+      .join(broadcast(weights), Seq(srcCol))
+      .withColumn("src_rank", col("cum") - col("offset"))
+      .withColumn("vkey", expr("((2 * src_rank - 1) * 100000000) DIV w_milli"))
+      .drop("cum")
+    GlobalOrder.cumSum(ranked,
+        struct(col("vkey"), col(srcCol), col(idCol)), lit(1))
+      .select(col(idCol), col(srcCol), col("src_rank"), col("vkey"),
+        col("cum").as("pos"))
+  }
+
   /** Token-window chunking: split each document into fixed-size word
     * windows with overlap (stride < size), the standard pre-training
     * sequence-preparation step. One narrow explode per doc — no shuffle;

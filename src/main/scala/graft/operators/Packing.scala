@@ -54,4 +54,33 @@ object Packing {
       }
       .toDF("doc_id", "n_tokens", "seq_range", "seq_in_range")
   }
+
+  /** Deterministic global training shuffle: every doc gets a reproducible
+    * pseudo-random position (rank of md5(seed || ':' || id) — new seed,
+    * new permutation, same engine-independent answer), and shards are
+    * CONTIGUOUS chunks of that shuffled order — so each shard is an
+    * unbiased 1/numShards sample AND a reader consuming shards in order
+    * replays the full permutation (the shuffle-then-split shape every
+    * pretraining export uses).
+    *
+    * Scale: the rank is GlobalOrder.cumSum over the hash key — range
+    * repartition + per-partition prefix + broadcast offsets, never a
+    * single-task global window; the total count rides in as a 1-row
+    * broadcast. Hash-order ranking also means adjacent input rows land in
+    * random ranges, so the range exchange is skew-free by construction.
+    * (BIGINT headroom: (pos-1)·numShards needs pos·shards < 2^63 —
+    * fine past 10^15 docs.)
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: String, seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0)
+    val keyed = docs.select(col(idCol),
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("skey"))
+    val total = keyed.agg(count(lit(1)).as("n"))
+    GlobalOrder.cumSum(keyed, struct(col("skey"), col(idCol)), lit(1))
+      .withColumnRenamed("cum", "pos")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("pos"),
+        expr(s"((pos - 1) * $numShards) DIV n").cast(LongType).as("shard"))
+  }
 }

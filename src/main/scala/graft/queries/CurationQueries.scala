@@ -275,6 +275,32 @@ object CurationQueries {
         GROUP BY 1, 2 ORDER BY source_a, source_b"""),
       "cross-source near-dup matrix: which sources duplicate each other"),
 
+    // Curriculum interleave: the data-ORDER half of the mix family —
+    // stride scheduling emits source s's r-th doc at virtual time
+    // (2r−1)/2w_s with w_s = ⌊1000·√n_s⌋ (temperature-2 shares, mx3
+    // doctrine), so sources interleave proportionally with bounded
+    // burstiness and small sources surface early and evenly instead of
+    // clumping wherever a hash happens to land them. Exact integer
+    // virtual keys, distributed ranks (GlobalOrder) — no global window.
+    "mx7_curriculum_interleave" -> Q(
+      (s, d) => graft.operators.Curation.curriculumInterleave(
+          Tables.documents(s, d), "doc_id", "source", seed = "42")
+        .orderBy(col("pos")),
+      Some("""WITH rk AS (SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
+          FROM documents),
+        w AS (SELECT source,
+            CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT) AS w_milli
+          FROM documents GROUP BY source),
+        k AS (SELECT rk.doc_id, rk.source, CAST(rk.src_rank AS BIGINT) AS src_rank,
+            (2 * rk.src_rank - 1) * 100000000 // w.w_milli AS vkey
+          FROM rk JOIN w USING (source))
+        SELECT doc_id, source, src_rank, vkey,
+          ROW_NUMBER() OVER (ORDER BY vkey, source, doc_id) AS pos
+        FROM k ORDER BY pos"""),
+      "stride-scheduled source interleave: proportional, bursty-free, reproducible"),
+
     // Temperature-scaled language rebalancing (the multilingual training
     // mix: rare languages upsampled toward p^α, α = 0.5): per-lang rate
     // = ⌊1000·√(c_max/c_l)⌋ permille, DERIVED FROM THE CORPUS COUNTS

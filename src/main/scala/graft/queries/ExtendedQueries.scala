@@ -1309,6 +1309,27 @@ object ExtendedQueries {
         WHERE b.doc_id % 2 = 1 ORDER BY b.doc_id"""),
       "split assignment as a service: adopt frozen split, hash fresh clusters, flag bridges"),
 
+    // Deterministic global training shuffle: reproducible pseudo-random
+    // position per doc (rank of md5(seed:id) — new seed, new
+    // permutation) and CONTIGUOUS shard chunks of that order, so each
+    // shard is an unbiased sample and readers replay the permutation by
+    // consuming shards in order — the shuffle-then-split shape of every
+    // pretraining export. Rank = GlobalOrder.cumSum (range repartition +
+    // broadcast offsets), never a single-task global window; hash-order
+    // keys make the range exchange skew-free by construction.
+    "s12_deterministic_shuffle" -> Q(
+      (s, d) => graft.operators.Packing.deterministicShuffle(
+          Tables.documents(s, d), "doc_id", seed = "42", numShards = 8)
+        .orderBy(col("pos")),
+      Some("""WITH k AS (SELECT doc_id,
+            md5('42:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        r AS (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS pos,
+            COUNT(*) OVER () AS n FROM k)
+        SELECT doc_id, pos, CAST((pos - 1) * 8 // n AS BIGINT) AS shard
+        FROM r ORDER BY pos"""),
+      "deterministic global shuffle + contiguous shards (distributed rank, no global window)"),
+
     // ntile fold assignment over a deterministic content order — k-fold
     // cross-validation splits. NOT the ntile window function (an
     // unpartitioned window is one task): global rank comes from the

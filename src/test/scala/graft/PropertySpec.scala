@@ -129,6 +129,80 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("deterministic shuffle: bijective positions, balanced contiguous shards") {
+    import graft.operators.Packing
+    (1 to 3).foreach { trial =>
+      val n = 100 + rnd.nextInt(400)
+      val shards = 1 + rnd.nextInt(12)
+      val ids = (1 to n).map(i => (i * 7L + trial, s"payload $i"))
+      val df = ids.toDF("doc_id", "text").repartition(5)
+      val out = Packing.deterministicShuffle(df, "doc_id", s"seed$trial", shards)
+        .as[(Long, Long, Long)].collect()
+      // bijection onto 1..n
+      assert(out.map(_._2).sorted.toSeq == (1L to n.toLong), s"trial $trial: pos not a permutation")
+      assert(out.map(_._1).toSet == ids.map(_._1).toSet)
+      // shards are contiguous chunks of the position order, sizes within 1
+      val byShard = out.groupBy(_._3)
+      assert(byShard.keySet == (0L until shards.toLong).toSet)
+      val sizes = byShard.values.map(_.length).toSeq
+      assert(sizes.max - sizes.min <= 1, s"trial $trial: shard skew $sizes")
+      byShard.foreach { case (s, rows) =>
+        val ps = rows.map(_._2).sorted
+        assert(ps.last - ps.head == ps.length - 1, s"trial $trial: shard $s not contiguous")
+      }
+      // a different seed is a different permutation (overwhelming probability)
+      val out2 = Packing.deterministicShuffle(df, "doc_id", s"other$trial", shards)
+        .as[(Long, Long, Long)].collect()
+      assert(out2.sortBy(_._1).map(_._2).toSeq != out.sortBy(_._1).map(_._2).toSeq)
+      // and the same seed replays bit-identically
+      val out3 = Packing.deterministicShuffle(df, "doc_id", s"seed$trial", shards)
+        .as[(Long, Long, Long)].collect()
+      assert(out3.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    }
+  }
+
+  test("curriculum interleave: stride schedule is proportional in every prefix") {
+    import graft.operators.Curation
+    val docs = (1 to 300).map { i =>
+      val src = if (i % 10 == 0) "small" else if (i % 3 == 0) "mid" else "big"
+      (i.toLong, src, s"text $i")
+    }
+    val df = docs.toDF("doc_id", "source", "text").repartition(5)
+    val out = Curation.curriculumInterleave(df, "doc_id", "source", "s")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._5)
+    assert(out.map(_._5).toSeq == (1L to docs.length.toLong), "pos not a permutation")
+    // within-source ranks appear in order (the schedule never reorders a source)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val ranks = rows.sortBy(_._5).map(_._3)
+      assert(ranks.toSeq == (1L to ranks.length.toLong), s"$src ranks out of order")
+    }
+    // stride property: in every prefix, each source's emitted count stays
+    // within 1 of its weight share of the prefix (bounded burstiness) —
+    // the property round-robin hashing does NOT give
+    val weights = out.groupBy(_._2).map { case (s, rows) =>
+      s -> math.floor(math.sqrt(rows.length.toDouble) * 1000).toLong
+    }
+    val wTot = weights.values.sum.toDouble
+    val totals = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var allLive = true
+    out.zipWithIndex.foreach { case (row, idx) =>
+      counts(row._2) += 1
+      val k = idx + 1
+      // once any source exhausts, the remaining schedule redistributes its
+      // share — the proportionality claim only holds while all are live
+      if (allLive) {
+        weights.foreach { case (s, w) =>
+          val expected = k * (w / wTot)
+          assert(math.abs(counts(s) - expected) <= 2.0,
+            s"prefix $k: source $s count ${counts(s)} vs share $expected")
+        }
+        if (counts(row._2) == totals(row._2)) allLive = false
+      }
+    }
+    assert(!allLive, "vacuous: no source exhausted — enlarge the corpus skew")
+  }
+
   test("rank filter plans a partial WindowGroupLimit below the exchange") {
     // the ANN shortlist pattern relies on Spark pruning the ranking
     // shuffle's input: row_number().over(w) + filter(rn <= k) must plan a
