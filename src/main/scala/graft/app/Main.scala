@@ -75,6 +75,12 @@ import graft.marts.Views
   *                                           BM25 top-k from the stored
   *                                           index; --mmr reranks the pool
   *                                           into a diversified page
+  *   split serve <batch> <state> <out> [--threshold T]
+  *                                           leakage-safe train/val/test
+  *                                           labels for a batch: adopt its
+  *                                           cluster's frozen split, hash
+  *                                           fresh clusters, flag bridges
+  *                                           as conflicts; state absorbed
   *   bpe train <docs> <out> [--merges N]     train + persist a BPE merge
   *                                           list (driver-bounded loop)
   *   bpe encode <docs> <mergesDir> <out>     per-doc token counts +
@@ -111,6 +117,9 @@ object Main {
           opt(rest, "--cthreshold").map(_.toDouble).getOrElse(0.8))
       case "dedupidx" :: "compact" :: idx :: Nil =>
         dedupIdxCompact(spark, idx)
+      case "split" :: "serve" :: batch :: state :: out :: rest =>
+        splitServe(spark, batch, state, out,
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
       case "bpe" :: "train" :: docs :: out :: rest =>
         bpeTrain(spark, docs, out,
           opt(rest, "--merges").map(_.toInt).getOrElse(1000))
@@ -815,6 +824,24 @@ object Main {
     println(s"[graft] dedupidx serve: ${batch.count()} batch docs -> " +
       s"$nPairs $kind pair deltas" + (if (append) " (batch absorbed)" else ""))
     nPairs
+  }
+
+  /** One wave of the split-assignment service (Curation.splitServe) as a
+    * product command: assignments land at <out>/assignments, the state
+    * store absorbs the batch. Re-running on an absorbed batch is a no-op
+    * (prints 0 assigned) — the stream twin's exactly-once contract.
+    */
+  def splitServe(spark: SparkSession, batchPath: String, state: String,
+      out: String, threshold: Double): Long = {
+    val store = new ParquetTableStore(spark, state)
+    val outStore = new ParquetTableStore(spark, out)
+    val n = graft.operators.Curation.splitServe(store,
+        spark.read.parquet(batchPath), threshold) { assigned =>
+      outStore.overwrite("assignments", assigned)
+    }
+    println(s"[graft] split serve: $n docs assigned" +
+      (if (n == 0) " (batch already absorbed)" else ""))
+    n
   }
 
   /** Persist the suffix-key state for incremental exact-substring dedup

@@ -186,17 +186,31 @@ object Curation {
     * to batch-touched clusters, so per-batch cost tracks the batch.
     */
   def incrementalSplit(corpusIds: DataFrame, batchIds: DataFrame,
-      prev: DataFrame, newLab: DataFrame): DataFrame = {
+      prev: DataFrame, newLab: DataFrame): DataFrame =
+    incrementalSplitFrom(corpusIds
+        .join(prev.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          splitOfLabel(coalesce(col("pc"), col("doc_id"))).as("fs")),
+      batchIds, newLab)
+
+  /** The decision core of `incrementalSplit`, taking the frozen splits
+    * EXPLICITLY as (doc_id, fs) rows — the streaming service passes what
+    * it actually ASSIGNED historically (its stored table), which is the
+    * true freeze contract once assignments span multiple waves; the batch
+    * wrapper above derives them from the corpus-only clustering (the
+    * s10-of-the-corpus definition the s11 oracle replays). A stored
+    * 'conflict' participates in the census like any split value, so a
+    * cluster that ever produced a conflict keeps quarantining its future
+    * members (census size ≥ 2) instead of silently resolving.
+    */
+  def incrementalSplitFrom(frozen: DataFrame, batchIds: DataFrame,
+      newLab: DataFrame): DataFrame = {
     def labOf(ids: DataFrame): DataFrame =
       ids.join(newLab, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-    val frozen = corpusIds
-      .join(prev.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        splitOfLabel(coalesce(col("pc"), col("doc_id"))).as("fs"))
     val batchLab = labOf(batchIds).localCheckpoint(true)
     val touched = batchLab.select(col("cluster_id")).distinct()
-    val census = labOf(corpusIds)
+    val census = labOf(frozen.select(col("doc_id")))
       .join(touched, Seq("cluster_id"), "left_semi")
       .join(frozen, Seq("doc_id"))
       .groupBy(col("cluster_id")).agg(collect_set(col("fs")).as("ss"))
@@ -205,6 +219,64 @@ object Curation {
         when(size(col("ss")) === 1, element_at(col("ss"), 1))
           .when(size(col("ss")) >= 2, lit("conflict"))
           .otherwise(splitOfLabel(col("cluster_id"))).as("split"))
+  }
+
+  /** One wave of the split-assignment service — the shared core of
+    * `Streams.splitStream` and the `split serve` CLI. Assigns
+    * leakage-safe splits to `batch` against the state in `store`
+    * (DedupIndexStore tables + `clusters` + `splits`), hands the
+    * assignment to `write` (the caller's idempotent output — a
+    * batch-keyed parquet overwrite), then commits the state: clusters
+    * swap, splits append (anti-joined), index mutation LAST so the
+    * index's `sets` table is the replay guard. Before the first wave no
+    * index exists: the wave clusters itself and BUILDS the index (a
+    * parquet table can't be created empty — no schema to infer back).
+    * Returns the number of docs assigned (0 = replay of an absorbed
+    * batch, nothing written).
+    *
+    * Replay safety, step by step: a crash before the index mutation
+    * leaves `fresh` non-empty on replay, and every earlier step
+    * re-derives identically — the assignment is self-consistent under
+    * its own frozen rows (a batch doc's prior assignment only adds its
+    * OWN split to its cluster's census), `write` is idempotent by
+    * contract, the clusters swap is a pure function of merged state,
+    * and the splits append anti-joins docs already assigned. A crash
+    * inside the index mutation degrades per DedupIndexStore's own
+    * append guard (duplicate candidates, never wrong pairs).
+    */
+  def splitServe(store: graft.etl.ParquetTableStore, batch: DataFrame,
+      threshold: Double = 0.8)(write: DataFrame => Unit): Long = {
+    val hasIdx = DedupIndexStore.tables.forall(store.exists)
+    val fresh0 = batch.dropDuplicates("doc_id")
+    val fresh = (if (hasIdx)
+        fresh0.join(store.read("sets").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else fresh0).localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0) {
+      val ids = fresh.select(col("doc_id"))
+      val frozen =
+        if (store.exists("splits"))
+          store.read("splits").select(col("doc_id"), col("split").as("fs"))
+        else ids.select(col("doc_id"), col("doc_id").cast(StringType).as("fs")).limit(0)
+      val newLab = (if (hasIdx)
+          TextDedup.ccIncremental(store.read("clusters"),
+            DedupIndexStore.pairsIncremental(store, fresh, n = 3, threshold))
+        else TextDedup.connectedComponents(
+          TextDedup.prefixFilterPairs(fresh, n = 3, threshold)))
+        .localCheckpoint(true)
+      val assigned = incrementalSplitFrom(frozen, ids, newLab)
+        .localCheckpoint(true)
+      write(assigned)
+      store.overwrite("clusters", newLab)
+      store.append("splits",
+        assigned.select(col("doc_id"), col("split"))
+          .join(frozen.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      if (hasIdx) DedupIndexStore.append(store, fresh)
+      else DedupIndexStore.build(store, fresh, n = 3,
+        tJac = threshold, tCont = threshold)
+    }
+    n
   }
 
   def mixSample(docs: DataFrame, ratePermille: Column,

@@ -352,6 +352,48 @@ object Streams {
       .start()
   }
 
+  /** The split-assignment service (s11) as a stream: document batches
+    * arrive as parquet files; each batch gets leakage-safe train/val/test
+    * labels — adopt the batch doc's cluster's FROZEN split when
+    * unambiguous, hash a fresh label for clusters touching nothing
+    * assigned before, flag 'conflict' when the batch bridges clusters
+    * frozen to different splits — and the assignments land at
+    * `outDir/batch=<id>` AND append to the standing `splits` table (the
+    * freeze: a doc's split never changes after assignment). Delta pairs
+    * come from the shared DedupIndexStore tables in the same store
+    * (batch-shaped serve, d23's fabric); labels merge by contraction
+    * into the `clusters` table.
+    *
+    * Exactly-once across replays: the serve guard is the index's `sets`
+    * table (a fully-absorbed batch shrinks to empty), the index append
+    * commits LAST, and every earlier step is idempotent on replay — the
+    * re-derived assignment equals the stored one because a batch doc's
+    * own frozen row only ever adds its OWN split to its cluster's census
+    * (self-consistent), and the splits append anti-joins docs already
+    * assigned.
+    */
+  def splitStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      store: graft.etl.ParquetTableStore, outDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Curation
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // serve + commit in Curation.splitServe (the CLI shares it);
+        // the batch-keyed overwrite is the idempotent `write` the
+        // replay argument needs
+        Curation.splitServe(store, batch, threshold) { assigned =>
+          assigned.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of the suffix-span serve (d26): document batches
     * arrive as parquet files; each batch's maximal duplicated-span
     * lengths vs (everything absorbed so far ∪ batch) land at

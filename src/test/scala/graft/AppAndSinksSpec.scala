@@ -871,6 +871,42 @@ class AppAndSinksSpec extends SparkTestBase {
       .read("bands").count() == docs.count() * 8)
   }
 
+  test("CLI split serve: two-wave lifecycle equals s10 then s11; re-serve is a no-op") {
+    import graft.operators.{Curation, TextDedup}
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val tmp = Files.createTempDirectory("graft_split_cli").toString
+    even.write.parquet(s"$tmp/b0"); odd.write.parquet(s"$tmp/b1")
+    graft.app.Main.route(spark,
+      List("split", "serve", s"$tmp/b0", s"$tmp/state", s"$tmp/out0"))
+    graft.app.Main.route(spark,
+      List("split", "serve", s"$tmp/b1", s"$tmp/state", s"$tmp/out1"))
+    val w1 = spark.read.parquet(s"$tmp/out0/assignments")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val evenLab = TextDedup.connectedComponents(
+      TextDedup.jaccardPairs(even, 3, 0.8))
+    val s10 = even.select($"doc_id")
+      .join(evenLab.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
+      .select($"doc_id", Curation.splitOfLabel(coalesce($"pc", $"doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(w1 == s10, "wave-1 CLI assignments != s10 over wave 1")
+    val w2 = spark.read.parquet(s"$tmp/out1/assignments")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val idx2 = new graft.etl.ParquetTableStore(spark, s"$tmp/idx2")
+    graft.operators.DedupIndexStore.build(idx2, even, n = 3, tJac = 0.8, tCont = 0.8)
+    val newLab = TextDedup.ccIncremental(evenLab,
+      graft.operators.DedupIndexStore.pairsIncremental(idx2, odd, n = 3, minJaccard = 0.8))
+    val s11 = Curation.incrementalSplit(even.select($"doc_id"),
+        odd.select($"doc_id"), evenLab, newLab)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(w2 == s11 && w2.nonEmpty, "wave-2 CLI assignments != batch s11")
+    // absorbed batch re-serves as a no-op (state unchanged, 0 assigned)
+    val n = graft.app.Main.splitServe(spark, s"$tmp/b1", s"$tmp/state",
+      s"$tmp/out_replay", threshold = 0.8)
+    assert(n == 0, "re-serve of an absorbed batch assigned docs")
+  }
+
   test("sketch error gates at sf0.01: HLL distinct and quantile sketch vs exact") {
     // the a7/a13 twin of the ANN recall gates: a silent sketch-parameter
     // regression (rsd, accuracy) must trip a pinned numeric bound, not

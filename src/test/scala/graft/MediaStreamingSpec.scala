@@ -278,6 +278,60 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(store.read("sets").count() == docs.count())
   }
 
+  test("split stream: wave-2 assignments equal batch s11; freeze holds; replay no-op") {
+    import graft.operators.{Curation, DedupIndexStore, TextDedup}
+    val docs = Tables.documents(spark, sfTiny)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_splits").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+    val docsDir = s"$tmp/arrivals"
+    // wave 1: the even half — all clusters are fresh, so assignments must
+    // equal s10 over the even half alone
+    even.write.mode("append").parquet(docsDir)
+    Streams.splitStream(spark, docsDir, store, s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    val w1 = spark.read.parquet(s"$tmp/out/batch=0")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val evenLab = TextDedup.connectedComponents(
+      TextDedup.jaccardPairs(even, 3, 0.8))
+    val s10 = even.select($"doc_id")
+      .join(evenLab.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        Curation.splitOfLabel(coalesce($"pc", $"doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(w1 == s10, "wave-1 stream assignments != s10 over wave 1")
+    // wave 2: the odd half — must equal the registered s11 computation
+    // (corpus = even, batch = odd), because wave 1 froze exactly s10
+    odd.write.mode("append").parquet(docsDir)
+    Streams.splitStream(spark, docsDir, store, s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    val w2 = spark.read.parquet(s"$tmp/out/batch=1")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val idx = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_splits_idx").toString)
+    DedupIndexStore.build(idx, even, n = 3, tJac = 0.8, tCont = 0.8)
+    val newLab = TextDedup.ccIncremental(evenLab,
+      DedupIndexStore.pairsIncremental(idx, odd, n = 3, minJaccard = 0.8))
+    val s11 = Curation.incrementalSplit(even.select($"doc_id"),
+        odd.select($"doc_id"), evenLab, newLab)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(w2 == s11, "wave-2 stream assignments != batch s11")
+    assert(w2.nonEmpty && w1.nonEmpty, "vacuous")
+    // the freeze: wave-1 docs keep their wave-1 split in the stored table
+    val frozenNow = store.read("splits")
+      .as[(Long, String)].collect().toMap
+    w1.foreach { case (id, s) =>
+      assert(frozenNow(id) == s, s"doc $id split drifted after wave 2")
+    }
+    // replay: re-running over the same arrivals serves nothing new
+    val splitsBefore = store.read("splits").count()
+    Streams.splitStream(spark, docsDir, store, s"$tmp/out", s"$tmp/ckpt2")
+      .awaitTermination(120000)
+    assert(store.read("splits").count() == splitsBefore,
+      "replay appended duplicate assignments")
+  }
+
   test("suffix index stream: each wave's spans equal the as-of recompute; replay is a no-op") {
     import graft.operators.{SuffixDedup, SuffixIndexStore}
     val docs = Tables.documents(spark, sfTiny)
