@@ -173,6 +173,35 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
 
+  /** Embedding-distribution drift monitor (the dq family's
+    * embedding-space member): per label, the cosine between the EXISTING
+    * cohort's centroid and the INCOMING cohort's — a semantic-shift
+    * alarm for an arriving batch (topic drift, encoder version skew,
+    * upstream corruption) that length/score monitors (dq3/dq4) cannot
+    * see. Centroids are the emb2 decimal-exact means, cosine rounds
+    * through the proven DECIMAL(18,6) protocol, so the whole monitor is
+    * hash-checkable. Cost: one per-(label, dim) partial aggregation per
+    * side (map-side combine absorbs the corpus; k×64 rows emerge) and a
+    * k-row join — no shuffle carries vectors.
+    */
+  def embeddingDrift(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    def cents(e: DataFrame): DataFrame = e
+      .select(col("label"), posexplode(asDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast(DecimalType(18, 6))).as("s6"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("s6").cast(DoubleType) / col("n")).as("c"), col("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"), max(col("n")).as("n"))
+    cents(existing).select(col("label"), col("cent").as("co"), col("n").as("n_old"))
+      .join(cents(incoming).select(col("label"), col("cent").as("cn"),
+        col("n").as("n_new")), Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        (dot(col("co"), col("cn")) / sqrt(norm2(col("co")) * norm2(col("cn"))))
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("cos_drift"))
+  }
+
   /** Cell assignment: per-row argmax cosine over the centroid literals —
     * zero shuffle; ties break to the smallest cell id via struct
     * ordering. Output (vec_id, cell, emb, n2).

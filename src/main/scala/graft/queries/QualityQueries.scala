@@ -619,6 +619,38 @@ object QualityQueries {
         ORDER BY w.event_type, day_idx"""),
       "two-sided integer CUSUM: frozen baseline, accumulated-drift changepoints"),
 
+    // Embedding-space drift: per label, cosine between the existing
+    // cohort's centroid and the incoming cohort's — the semantic-shift
+    // alarm dq3/dq4's scalar distributions can't see (encoder version
+    // skew, topic drift). Decimal-exact centroids (emb2), DECIMAL(18,6)
+    // cosine; per-(label,dim) partials — vectors never ride a shuffle.
+    "dq6_embedding_drift" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.Similarity.embeddingDrift(
+            emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+          FROM embeddings),
+        co AS (SELECT label, list(c ORDER BY i) AS cent, MAX(n) AS n_old FROM (
+            SELECT label, i,
+              CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c,
+              COUNT(*) AS n
+            FROM e, UNNEST(range(1, 65)) AS t(i)
+            WHERE vec_id % 2 = 0 GROUP BY label, i) GROUP BY label),
+        cn AS (SELECT label, list(c ORDER BY i) AS cent, MAX(n) AS n_new FROM (
+            SELECT label, i,
+              CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c,
+              COUNT(*) AS n
+            FROM e, UNNEST(range(1, 65)) AS t(i)
+            WHERE vec_id % 2 = 1 GROUP BY label, i) GROUP BY label)
+        SELECT co.label, co.n_old, cn.n_new,
+          CAST(CAST(list_cosine_similarity(co.cent, cn.cent) AS DECIMAL(18,6)) AS DOUBLE) AS cos_drift
+        FROM co JOIN cn USING (label) ORDER BY label"""),
+      "per-label centroid cosine between cohorts: embedding-space drift monitor"),
+
     "dq5_volume_anomaly" -> Q(
       (s, d) => {
         val daily = Tables.events(s, d)

@@ -322,6 +322,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("s12/mx7: global order comes from the prefix-sum fabric, no corpus-sized window") {
+    // both ranks are cumSum (RDD mapPartitions) — zero WindowExec in the
+    // executed plan. mx7's one real window (per-source offsets) runs over
+    // the source-count AGGREGATE inside the cumSum lineage, never a
+    // document scan (PropertySpec drives the semantics).
+    for (name <- Seq("s12_deterministic_shuffle", "mx7_curriculum_interleave")) {
+      val p = planOf(q(name))
+      assert(!p.contains("Window"), s"$name:\n$p")
+    }
+  }
+
   test("t15/t16: LM scoring has no cartesian and no data-sized window") {
     for (name <- Seq("t15_lm_score", "t16_lm_frozen")) {
       val p = planOf(q(name))
