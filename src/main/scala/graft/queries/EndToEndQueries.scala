@@ -481,6 +481,93 @@ object EndToEndQueries {
         FROM sh GROUP BY 1 ORDER BY shard_id"""),
       "training-shard manifest: packed sequences -> shards, md5-pinned contents"),
 
+    // The COMPLETE pretraining export front-door, one hash-checked plan:
+    // Gopher quality gate (t22's conjunction) → near-dup dedup to the
+    // min-id canonical (d8, clustered on the survivors) → leakage-safe
+    // split on the cluster label (s10) → keep train → deterministic
+    // shuffle + token packing fused into ONE prefix-sum pass (cumSum of
+    // n_tokens over the md5(seed:id) order — s12's permutation and
+    // e2e11's packing share the range exchange) → shard manifest with
+    // md5-pinned contents. Every stage is an operator already proven
+    // hash-green in isolation; this pins their COMPOSITION, which is
+    // what a user actually ships.
+    "e2e12_pretrain_export" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, GlobalOrder, Par, TextDedup, TextStats, TextQuality}
+        val docs = Tables.documents(s, d)
+        val kept = docs.join(TextQuality.gopherRules(docs)
+          .filter(col("passes") === 1).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val clusters = TextDedup.connectedComponents(
+          TextDedup.jaccardPairs(kept, n = 3, minJaccard = 0.8))
+        val canonical = kept.join(clusters
+          .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        val train = canonical
+          .join(clusters.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
+          .filter(Curation.splitOfLabel(coalesce(col("pc"), col("doc_id"))) === "train")
+        val toks = Par.fan(train).select(col("doc_id"),
+          md5(concat(lit("42:"), col("doc_id").cast(StringType))).as("skey"),
+          TextStats.wsTokenCount(col("text")).cast(LongType).as("n_tokens"))
+        GlobalOrder.cumSum(toks, struct(col("skey"), col("doc_id")), col("n_tokens"))
+          .withColumn("seq_id", expr("(cum - n_tokens) DIV 1024"))
+          .withColumn("shard_id", expr("seq_id DIV 4"))
+          .groupBy(col("shard_id"))
+          .agg(countDistinct(col("seq_id")).as("n_seqs"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast(StringType)))).as("content_md5"))
+          .orderBy(col("shard_id"))
+      },
+      Some("""WITH RECURSIVE m AS (SELECT doc_id, text,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        g AS (SELECT doc_id FROM (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(FLOOR(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              * 1000 / len(toks)) AS BIGINT) AS mwl,
+            CAST(FLOOR(CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+              * 1000 / len(toks)) AS BIGINT) AS sym,
+            CAST(FLOOR(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              * 1000 / len(toks)) AS BIGINT) AS alpha,
+            CAST(len(list_filter(toks, x -> list_contains(
+              ['the','a','and','of','to','in','is','on'], x))) AS BIGINT) AS nstop
+            FROM m)
+          WHERE n_words >= 50 AND n_words <= 100000 AND mwl >= 3000 AND mwl <= 10000
+            AND sym < 100 AND alpha >= 800 AND nstop >= 2),
+        kt AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+          FROM documents d JOIN g USING (doc_id)),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM kt, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        clus AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+        train AS (SELECT g.doc_id FROM g LEFT JOIN clus USING (doc_id)
+          WHERE (clus.cluster_id IS NULL OR clus.cluster_id = g.doc_id)
+            AND md5(CAST(COALESCE(clus.cluster_id, g.doc_id) AS VARCHAR)) < 'c0'),
+        tk AS (SELECT d.doc_id, md5('42:' || CAST(d.doc_id AS VARCHAR)) AS skey,
+            CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents d JOIN train USING (doc_id)),
+        cum AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER
+            (ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tk),
+        p AS (SELECT doc_id, n_tokens,
+            CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id FROM cum),
+        shd AS (SELECT doc_id, n_tokens, seq_id,
+            CAST(seq_id // 4 AS BIGINT) AS shard_id FROM p)
+        SELECT shard_id, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_md5
+        FROM shd GROUP BY 1 ORDER BY shard_id"""),
+      "full pretraining export: gate -> dedup -> split -> shuffle+pack -> shards"),
+
     "e2e9_retrieval_eval" -> Q(
       (s, d) => {
         import graft.operators.{Similarity, TextDedup}

@@ -114,6 +114,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of the 64-bit band-index serve (mm4/d28): signature
+    * batches (doc_id, hash64) arrive as parquet files; each batch's
+    * near-dup pair delta vs (everything absorbed so far ∪ batch) lands
+    * at `outDir/batch=<id>` and the batch's 8 band rows are absorbed.
+    * Exactly-once with NO guard table — the SuffixIndexStore doctrine:
+    * the batch-id overwrite makes the pair write idempotent, serve
+    * anti-joins the batch's own ids out of the stored side (so a replay
+    * after a completed absorb re-serves the identical pre-absorb
+    * answer), and a replayed absorb only duplicates band rows, which
+    * candidates' dropDuplicates makes harmless.
+    */
+  def bandIndexStream(spark: org.apache.spark.sql.SparkSession, sigDir: String,
+      store: graft.etl.ParquetTableStore, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.HammingIndexStore
+    val schema = spark.read.parquet(sigDir).schema
+    spark.readStream.schema(schema).parquet(sigDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.dropDuplicates("doc_id").localCheckpoint(true)
+        if (!b.isEmpty) {
+          HammingIndexStore.pairsIncremental(store, b)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          HammingIndexStore.append(store, b)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of INCREMENTAL DEDUP (the cdcIngest pattern applied
     * to curation): documents arrive as parquet files; each micro-batch
     * generates only its delta pairs against the accumulated corpus
