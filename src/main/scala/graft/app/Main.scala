@@ -39,6 +39,11 @@ import graft.marts.Views
   *                                           containment) pair delta from
   *                                           the stored index; --append
   *                                           absorbs the batch afterwards
+  *   dedupidx refreeze <idx>                 re-rank prefixes under the
+  *                                           CURRENT corpus frequencies
+  *                                           (heals frozen-df staleness;
+  *                                           derives from stored sets,
+  *                                           no corpus re-read)
   *   suffixidx build <docs> <idx> [--min N] [--max M]
   *                                           persist the suffix-key state
   *                                           for exact-substring dedup
@@ -117,6 +122,9 @@ object Main {
           opt(rest, "--cthreshold").map(_.toDouble).getOrElse(0.8))
       case "dedupidx" :: "compact" :: idx :: Nil =>
         dedupIdxCompact(spark, idx)
+      case "dedupidx" :: "refreeze" :: idx :: Nil =>
+        graft.operators.DedupIndexStore.refreeze(new ParquetTableStore(spark, idx))
+        println(s"[graft] dedupidx refreeze: prefix order re-frozen from current frequencies in $idx")
       case "split" :: "serve" :: batch :: state :: out :: rest =>
         splitServe(spark, batch, state, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))

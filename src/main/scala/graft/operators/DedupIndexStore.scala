@@ -191,6 +191,40 @@ object DedupIndexStore {
     store.commitStaged(tables)
   }
 
+  /** Re-freeze the prefix order from the CURRENT corpus frequencies —
+    * the maintenance pass the frozen-df staleness cost calls for (object
+    * doc: prefixes drift away from rarest-first as the corpus grows →
+    * more candidates, never fewer pairs; a deployment re-freezes at
+    * major compactions). Everything derives from the stored `sets`
+    * table — the index's only text-derived primary data — so no corpus
+    * re-read, no re-shingle: shingle rows are explode(sets) (per-doc
+    * arrays are already distinct), the new `freq` is their groupBy, and
+    * both prefix projections re-rank under the new (df asc, s asc)
+    * order. `postings`, `sets`, `meta` are unchanged by construction.
+    * Published as one journaled group commit, so a crash leaves either
+    * the old frozen order or the new one, never a mix (a mixed order
+    * would break the common-total-order premise of the recall theorem).
+    * DedupIndexSpec pins the strongest form: a refrozen store's three
+    * derived tables and its serves EQUAL a store freshly built over the
+    * same corpus.
+    */
+  def refreeze(store: ParquetTableStore): Unit = {
+    val m = store.read("meta").head()
+    val (tJac, tCont) = (m.getDouble(1), m.getDouble(2))
+    val sh = store.stageBucketed("postings",
+      readB(store, "sets").select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("s")),
+      bucketCols("postings"), nBuckets)
+    val freq = store.stageBucketed("freq",
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df")),
+      bucketCols("freq"), nBuckets)
+    store.stageBucketed("prefix_jac", prefixFrozen(sh, freq, tJac),
+      bucketCols("prefix_jac"), nBuckets)
+    store.stageBucketed("prefix_cont", prefixFrozen(sh, freq, tCont),
+      bucketCols("prefix_cont"), nBuckets)
+    store.commitStaged(Seq("postings", "freq", "prefix_jac", "prefix_cont"))
+  }
+
   /** The stored prefix rows guarantee recall only for thresholds ≥ the
     * build-time one (a longer prefix covers a stricter threshold, never a
     * looser one) — reject a serve/append call that would silently lose

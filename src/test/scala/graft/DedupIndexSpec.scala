@@ -106,6 +106,32 @@ class DedupIndexSpec extends SparkTestBase {
     assert(servedAfter.nonEmpty && contAfter.nonEmpty, "vacuous")
   }
 
+  test("refreeze equals a fresh build over the same corpus; serves unchanged") {
+    val e1 = even.filter(col("doc_id") % 4 === 0)
+    val e2 = even.filter(col("doc_id") % 4 === 2)
+    val grown = freshStore()
+    DedupIndexStore.build(grown, e1, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.append(grown, e2) // e2 froze against e1's stale df
+    val preJ = pairsOf(DedupIndexStore.pairsIncremental(grown, odd, 3, 0.8))
+    DedupIndexStore.refreeze(grown)
+    val fresh = freshStore()
+    DedupIndexStore.build(fresh, even, n = 3, tJac = 0.8, tCont = 0.8)
+    // strongest form: the refrozen derived tables EQUAL the fresh build's
+    for (t <- Seq("freq", "prefix_jac", "prefix_cont", "postings")) {
+      val a = grown.read(t).collect().map(_.toSeq).toSet
+      val b = fresh.read(t).collect().map(_.toSeq).toSet
+      assert(a == b, s"$t diverged after refreeze: ${a.diff(b).take(3)} / ${b.diff(a).take(3)}")
+    }
+    // serves: unchanged vs pre-refreeze (recall holds under ANY common
+    // order + exact verification) and equal to the fresh store's
+    val postJ = pairsOf(DedupIndexStore.pairsIncremental(grown, odd, 3, 0.8))
+    val freshJ = pairsOf(DedupIndexStore.pairsIncremental(fresh, odd, 3, 0.8))
+    assert(postJ == preJ && postJ == freshJ && postJ.nonEmpty)
+    val postC = pairsOf(DedupIndexStore.containmentIncremental(grown, odd, 3, 0.8))
+    val freshC = pairsOf(DedupIndexStore.containmentIncremental(fresh, odd, 3, 0.8))
+    assert(postC == freshC && postC.nonEmpty)
+  }
+
   test("simhash band index: served pairs == batch simhashPairs restricted to the batch") {
     // the SimHash face of HammingIndexStore (d28): banding is a pure
     // function of the hash, so serve == recompute needs no frozen-order
