@@ -99,7 +99,8 @@ object Bench {
     val qs = mins.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "null" else f"$v%.3f")
     }.mkString("{", ",", "}")
-    // self-diagnosis: per-query spread (|run2 − run1|) + system load. A
+    // self-diagnosis: per-query spread (max − min across however many
+    // timed runs exist — equal to |run2 − run1| at the default 2) + load. A
     // loaded-box sweep shows up as large spreads and a high load average
     // — detectable from the artifact alone, no re-run needed to tell a
     // real regression from machine noise.

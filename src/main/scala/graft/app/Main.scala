@@ -86,6 +86,11 @@ import graft.marts.Views
   *                                           cluster's frozen split, hash
   *                                           fresh clusters, flag bridges
   *                                           as conflicts; state absorbed
+  *   split resolve <state>                   adjudicate quarantined clusters:
+  *                                           majority vote of real-split
+  *                                           members (deterministic ties),
+  *                                           whole cluster moves, splits
+  *                                           table rewritten; idempotent
   *   bpe train <docs> <out> [--merges N]     train + persist a BPE merge
   *                                           list (driver-bounded loop)
   *   bpe encode <docs> <mergesDir> <out>     per-doc token counts +
@@ -128,6 +133,11 @@ object Main {
       case "split" :: "serve" :: batch :: state :: out :: rest =>
         splitServe(spark, batch, state, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
+      case "split" :: "resolve" :: state :: Nil =>
+        val n = graft.operators.Curation.resolveConflictsInStore(
+          new ParquetTableStore(spark, state))
+        println(s"[graft] split resolve: $n docs reassigned" +
+          (if (n == 0) " (no quarantined clusters)" else ""))
       case "bpe" :: "train" :: docs :: out :: rest =>
         bpeTrain(spark, docs, out,
           opt(rest, "--merges").map(_.toInt).getOrElse(1000))

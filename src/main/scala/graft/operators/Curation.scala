@@ -259,10 +259,19 @@ object Curation {
         if (store.exists("splits"))
           store.read("splits").select(col("doc_id"), col("split").as("fs"))
         else ids.select(col("doc_id"), col("doc_id").cast(StringType).as("fs")).limit(0)
-      val newLab = (if (hasIdx)
-          TextDedup.ccIncremental(store.read("clusters"),
+      val newLab = (if (hasIdx) {
+          // store contract: the dedup-index tables normally travel with a
+          // `clusters` table this service wrote on an earlier wave. A
+          // store ADOPTED from `dedupidx build` has the index but no
+          // cluster state yet — bootstrap it from the index's own pairs
+          // (one-time corpus-shaped self-join; see
+          // DedupIndexStore.selfPairs) instead of throwing on the read.
+          val prev =
+            if (store.exists("clusters")) store.read("clusters")
+            else TextDedup.connectedComponents(DedupIndexStore.selfPairs(store))
+          TextDedup.ccIncremental(prev,
             DedupIndexStore.pairsIncremental(store, fresh, n = 3, threshold))
-        else TextDedup.connectedComponents(
+        } else TextDedup.connectedComponents(
           TextDedup.prefixFilterPairs(fresh, n = 3, threshold)))
         .localCheckpoint(true)
       val assigned = incrementalSplitFrom(frozen, ids, newLab)
@@ -277,6 +286,87 @@ object Curation {
         tJac = threshold, tCont = threshold)
     }
     n
+  }
+
+  /** Adjudicate QUARANTINED clusters — the resolution step the s11/serve
+    * doctrine defers: bridges between clusters frozen to different
+    * splits surface as 'conflict' and the quarantine only grows (a
+    * cluster that ever conflicted keeps census ≥ 2 by design), so a
+    * deployment eventually reassigns each quarantined cluster to ONE
+    * split. Policy: majority vote of the cluster's members holding a
+    * real split (train/val/test — 'conflict' rows don't vote), ties
+    * broken deterministically to the lexicographically smallest split;
+    * a quarantined cluster with zero real-split members (unreachable
+    * through the serve path, but a store is data) falls back to the
+    * cluster-label hash. The WHOLE cluster — frozen members included —
+    * moves to the winner, so post-resolution no near-dup pair straddles
+    * splits, no 'conflict' row survives, and the cluster's census is
+    * size 1: every future member adopts the resolved split instead of
+    * re-quarantining. Reference anchor: the priority-dedup doctrine
+    * (alembic/versions/b80da1af78f7:22-43) — a deterministic rule
+    * adjudicates among conflicting copies — applied to split ownership.
+    *
+    * Inputs: `splits` (doc_id, split — 'conflict' rows included) and
+    * `clusters` (doc_id, cluster_id; singletons may be implicit).
+    * Output: (doc_id, cluster_id, split, changed) over every `splits`
+    * row — the full rewritten assignment, `changed` = 1 where the
+    * resolution moved the doc.
+    *
+    * Scale shape: two hash aggregations keyed on cluster_id (census →
+    * votes, both map-side-combining) plus a semi/left join of the
+    * corpus-sized table against the quarantine-sized winner table — no
+    * window over the corpus, no self-join; the winner side is
+    * conflict-count-sized and broadcasts.
+    */
+  def resolveConflicts(splits: DataFrame, clusters: DataFrame): DataFrame = {
+    val lab = splits.join(clusters.withColumnRenamed("cluster_id", "cl"),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cl"), col("doc_id")))
+      .drop("cl")
+    // quarantined = split census disagrees, or any 'conflict' row at all
+    // (the second clause is defensive: through the serve path a conflict
+    // row always coexists with the ≥ 2 frozen splits that caused it)
+    val quarantined = lab.groupBy(col("cluster_id"))
+      .agg(collect_set(col("split")).as("ss"))
+      .filter(size(col("ss")) >= 2 || array_contains(col("ss"), "conflict"))
+      .select(col("cluster_id"))
+    val votes = lab.join(quarantined, Seq("cluster_id"), "left_semi")
+      .filter(col("split") =!= "conflict")
+      .groupBy(col("cluster_id"), col("split"))
+      .agg(count(lit(1)).as("n_votes"))
+    // argmax votes, tie → smallest split name: min over the
+    // (−votes, split) struct is exactly ORDER BY n DESC, split ASC rn=1
+    val winner = votes.groupBy(col("cluster_id"))
+      .agg(min_by(col("split"),
+        struct((-col("n_votes")).as("nv"), col("split").as("sp"))).as("resolved"))
+    val resolvedAll = quarantined.join(winner, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("resolved"), splitOfLabel(col("cluster_id"))).as("resolved"))
+    lab.join(resolvedAll, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("resolved"), col("split")).as("split"),
+        when(col("resolved").isNotNull && col("resolved") =!= col("split"), 1L)
+          .otherwise(0L).as("changed"))
+  }
+
+  /** `resolveConflicts` against a split-service store (the `split
+    * resolve` CLI): read `splits` + `clusters`, rewrite `splits` with
+    * the adjudicated assignment, return how many docs moved. Re-running
+    * is a no-op (0 moved, nothing written): post-resolution every
+    * census is size 1 and no 'conflict' row survives, so the quarantine
+    * is empty. Crash-safe by the store's atomic table swap — a reader
+    * sees the old assignment or the new one, never a mix.
+    */
+  def resolveConflictsInStore(store: graft.etl.ParquetTableStore): Long = {
+    require(store.exists("splits") && store.exists("clusters"),
+      "split resolve needs a store with `splits` and `clusters` tables " +
+        "(a state dir previous `split serve` waves wrote)")
+    val out = resolveConflicts(store.read("splits"), store.read("clusters"))
+      .localCheckpoint(true)
+    val changed = out.filter(col("changed") === 1L).count()
+    if (changed > 0)
+      store.overwrite("splits", out.select(col("doc_id"), col("split")))
+    changed
   }
 
   def mixSample(docs: DataFrame, ratePermille: Column,
@@ -319,6 +409,16 @@ object Curation {
     * offset/weight table is source-count-sized and broadcast. Virtual
     * keys are exact integers ((2r−1)·10^8 DIV w_milli), so there is no
     * float ordering to disagree on; key ties break by (source, id).
+    *
+    * BIGINT headroom (the deterministicShuffle doctrine): vkey's
+    * numerator (2·src_rank − 1)·10^8 must stay under 2^63, so any single
+    * source is bounded at src_rank < ~4.6e10 rows — beyond that the key
+    * wraps and the interleave order is garbage. The 10^8 scale is chosen
+    * to match: strides stay integer-EXACT up to w_milli = 10^8 (a 10^10-
+    * row source under the ⌊1000·√n⌋ weight rule), so exactness and
+    * overflow give out at the same order of magnitude; shrinking the
+    * scale would buy range the weight rule can't use without losing
+    * stride granularity first.
     */
   def curriculumInterleave(docs: DataFrame, idCol: String, srcCol: String,
       seed: String): DataFrame = {

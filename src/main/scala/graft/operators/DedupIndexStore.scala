@@ -225,6 +225,33 @@ object DedupIndexStore {
     store.commitStaged(Seq("postings", "freq", "prefix_jac", "prefix_cont"))
   }
 
+  /** All qualifying Jaccard pairs WITHIN the indexed corpus, served from
+    * stored tables only (a `prefix_jac` self-join + verification against
+    * `sets` — no corpus re-read, no re-shingle). This is the bootstrap
+    * path for ADOPTING an index that was built by `dedupidx build` but
+    * never accumulated consumer state: `Curation.splitServe` pointed at
+    * such a store derives the corpus's cluster labels once from these
+    * pairs instead of throwing on the missing `clusters` table. Recall
+    * is the standard prefix-filter theorem: every indexed doc ranked its
+    * shingles under the SAME frozen order, so a qualifying pair collides
+    * on ≥ 1 prefix shingle; exact verification then makes the output
+    * EQUAL `prefixFilterPairs` over the indexed docs at the stored
+    * threshold (spec-pinned). Corpus-shaped by nature — a one-time
+    * adoption cost, not a per-wave serve.
+    */
+  def selfPairs(store: ParquetTableStore): DataFrame = {
+    val tJac = store.read("meta").head().getDouble(1)
+    val p = readB(store, "prefix_jac")
+    val sizeOk =
+      least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(tJac) * greatest(col("a.sz"), col("b.sz")).cast("double")
+    val cands = p.as("a").join(p.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") && sizeOk)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    TextDedup.verifyPairsSets(readB(store, "sets"), cands, tJac)
+  }
+
   /** The stored prefix rows guarantee recall only for thresholds ≥ the
     * build-time one (a longer prefix covers a stricter threshold, never a
     * looser one) — reject a serve/append call that would silently lose

@@ -27,8 +27,9 @@ import graft.etl.ParquetTableStore
   *           own stored copies instead of self-matching every position
   *           — which makes serve idempotent across `append` and the
   *           streaming twin replay-safe with NO guard table (doc_ids
-  *           must be unique corpus-wide, the VectorIndexStore disjoint-
-  *           ids contract).
+  *           must be unique corpus-wide AND non-negative — −1 is the
+  *           stored-row sentinel inside serveUnion; `suffixKeys`
+  *           enforces the sign half with a raise_error guard).
   *   meta    (min_len, max_len) — 1 row, frozen at build; serve/append
   *           read the parameters from here (a batch indexed under
   *           different caps would silently corrupt match lengths).
@@ -81,8 +82,18 @@ object SuffixIndexStore {
     */
   private def suffixKeys(docs: DataFrame, minLen: Int, maxLen: Int): DataFrame = {
     val w = split(TextDedup.normalizeText(col("text")), " ")
+    // doc_id ≥ 0 is a CONTRACT, enforced here (every build/append/serve
+    // path derives keys through this): serveUnion marks stored-side rows
+    // with sentinel doc_id = −1 and servedSpans emits only rows with
+    // doc_id ≥ 0, so a negative input id would silently lose its spans
+    // (and −1 itself would alias the sentinel). Zero extra jobs: the
+    // check rides the existing projection as a codegen'd branch.
+    val guardedId = when(col("doc_id") < 0, expr(
+        "raise_error('SuffixIndexStore: doc_id must be non-negative " +
+        "(-1 is the stored-row sentinel in serveUnion)')"))
+      .otherwise(col("doc_id"))
     Par.fan(docs)
-      .select(col("doc_id"), w.as("w"))
+      .select(guardedId.as("doc_id"), w.as("w"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(w)), p -> slice(w, p, $maxLen))")))
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"),

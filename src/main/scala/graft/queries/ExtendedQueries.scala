@@ -1330,6 +1330,105 @@ object ExtendedQueries {
         FROM r ORDER BY pos"""),
       "deterministic global shuffle + contiguous shards (distributed rank, no global window)"),
 
+    // s11's missing last step: RESOLVE the quarantine. s11 flags bridge
+    // docs 'conflict' and the serve path keeps the quarantine sticky —
+    // correctly, but a deployment eventually adjudicates. Policy
+    // (Curation.resolveConflicts): each quarantined cluster moves WHOLE
+    // to the majority split of its real-split members, ties to the
+    // lexicographically smallest split, zero-vote clusters to the label
+    // hash; post-resolution no near-dup pair straddles splits, no
+    // 'conflict' survives, and the census is size 1 so future members
+    // adopt. The oracle replays s11's double-recursive-CTE state, then
+    // the vote/argmax/rewrite in SQL.
+    "s13_resolve_conflicts" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, DedupIndexStore, TextDedup}
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        val prev = TextDedup.ensureClusters(s, d, corpus,
+          n = 3, minJaccard = 0.8, tag = "even")
+        val idx = DedupIndexStore.ensure(s, d, corpus, n = 3, tJac = 0.8, tCont = 0.8)
+        val newLab = TextDedup.ccIncremental(prev,
+          DedupIndexStore.pairsIncremental(idx, batch, n = 3, minJaccard = 0.8))
+        val frozen = corpus.select(col("doc_id"))
+          .join(prev.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            Curation.splitOfLabel(coalesce(col("pc"), col("doc_id"))).as("split"))
+        val assigned = Curation.incrementalSplit(corpus.select(col("doc_id")),
+            batch.select(col("doc_id")), prev, newLab)
+          .select(col("doc_id"), col("split"))
+        Curation.resolveConflicts(frozen.unionByName(assigned), newLab)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+        und_a AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach_a(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und_a)
+          UNION SELECT r.u, e.v FROM reach_a r JOIN und_a e ON r.v = e.u),
+        lab_a AS (SELECT u AS doc_id, MIN(v) AS cc FROM reach_a GROUP BY u),
+        und_e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            WHERE id_a % 2 = 0 AND id_b % 2 = 0
+          UNION SELECT id_b, id_a FROM pairs
+            WHERE id_a % 2 = 0 AND id_b % 2 = 0),
+        reach_e(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und_e)
+          UNION SELECT r.u, e.v FROM reach_e r JOIN und_e e ON r.v = e.u),
+        lab_e AS (SELECT u AS doc_id, MIN(v) AS cc FROM reach_e GROUP BY u),
+        frozen AS (SELECT d.doc_id,
+            CASE WHEN md5(CAST(COALESCE(le.cc, d.doc_id) AS VARCHAR)) < 'c0' THEN 'train'
+              WHEN md5(CAST(COALESCE(le.cc, d.doc_id) AS VARCHAR)) < 'e0' THEN 'val'
+              ELSE 'test' END AS fs
+          FROM documents d LEFT JOIN lab_e le ON le.doc_id = d.doc_id
+          WHERE d.doc_id % 2 = 0),
+        lab AS (SELECT d.doc_id, COALESCE(la.cc, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN lab_a la ON la.doc_id = d.doc_id),
+        agg AS (SELECT l.cluster_id, COUNT(DISTINCT f.fs) AS n, MIN(f.fs) AS one
+          FROM lab l JOIN frozen f ON f.doc_id = l.doc_id GROUP BY 1),
+        s11 AS (SELECT b.doc_id,
+            CASE WHEN a.n = 1 THEN a.one
+              WHEN a.n >= 2 THEN 'conflict'
+              WHEN md5(CAST(b.cluster_id AS VARCHAR)) < 'c0' THEN 'train'
+              WHEN md5(CAST(b.cluster_id AS VARCHAR)) < 'e0' THEN 'val'
+              ELSE 'test' END AS split
+          FROM lab b LEFT JOIN agg a ON a.cluster_id = b.cluster_id
+          WHERE b.doc_id % 2 = 1),
+        allsp AS (SELECT doc_id, fs AS split FROM frozen
+          UNION ALL SELECT doc_id, split FROM s11),
+        lab2 AS (SELECT a.doc_id, a.split, l.cluster_id
+          FROM allsp a JOIN lab l ON l.doc_id = a.doc_id),
+        census AS (SELECT cluster_id, COUNT(DISTINCT split) AS ns,
+            SUM(CASE WHEN split = 'conflict' THEN 1 ELSE 0 END) AS ncf
+          FROM lab2 GROUP BY 1),
+        quar AS (SELECT cluster_id FROM census WHERE ns >= 2 OR ncf > 0),
+        votes AS (SELECT l.cluster_id, l.split, COUNT(*) AS n
+          FROM lab2 l JOIN quar q ON q.cluster_id = l.cluster_id
+          WHERE l.split <> 'conflict' GROUP BY 1, 2),
+        winner AS (SELECT cluster_id, split AS resolved FROM (
+            SELECT cluster_id, split,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY n DESC, split) AS rn
+            FROM votes) WHERE rn = 1),
+        resolvedall AS (SELECT q.cluster_id,
+            COALESCE(w.resolved,
+              CASE WHEN md5(CAST(q.cluster_id AS VARCHAR)) < 'c0' THEN 'train'
+                WHEN md5(CAST(q.cluster_id AS VARCHAR)) < 'e0' THEN 'val'
+                ELSE 'test' END) AS resolved
+          FROM quar q LEFT JOIN winner w ON w.cluster_id = q.cluster_id)
+        SELECT l.doc_id, l.cluster_id, COALESCE(r.resolved, l.split) AS split,
+          CAST(CASE WHEN r.resolved IS NOT NULL AND r.resolved <> l.split
+            THEN 1 ELSE 0 END AS BIGINT) AS changed
+        FROM lab2 l LEFT JOIN resolvedall r ON r.cluster_id = l.cluster_id
+        ORDER BY l.doc_id"""),
+      "quarantine resolution: majority-vote cluster adjudication, no straddle survives"),
+
     // ntile fold assignment over a deterministic content order — k-fold
     // cross-validation splits. NOT the ntile window function (an
     // unpartitioned window is one task): global rank comes from the

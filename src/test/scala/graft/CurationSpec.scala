@@ -229,4 +229,90 @@ class CurationSpec extends SparkTestBase {
       assert((over == 1L) == (epochsMilli > 1000L), src)
     }
   }
+
+  test("split resolve: planted bridge adjudicated by majority; invariants; replay no-op") {
+    import graft.operators.{DedupIndexStore, TextDedup}
+    import graft.etl.ParquetTableStore
+    // corpus of disjoint-vocabulary singletons; find two whose label
+    // hash freezes them to DIFFERENT splits (guaranteed to exist among
+    // a dozen hashes)
+    val texts = (1L to 12L).map(i =>
+      i -> (1 to 10).map(j => s"w${i}x$j").mkString(" ")).toMap
+    val splitOf = texts.keys.toSeq.toDF("doc_id")
+      .select($"doc_id", Curation.splitOfLabel($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    val (a, b) = (for {
+      x <- texts.keys.toSeq.sorted; y <- texts.keys.toSeq.sorted
+      if x < y && splitOf(x) != splitOf(y)
+    } yield (x, y)).head
+    // bridge shares half its 3-shingles with each side: J = 8/18 ≈ 0.44
+    val bridge = texts(a) + " " + texts(b)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_resolve").toString
+    val store = new ParquetTableStore(spark, s"$tmp/state")
+    var outs = Map.empty[Long, String]
+    def serve(batch: org.apache.spark.sql.DataFrame): Long =
+      Curation.splitServe(store, batch, threshold = 0.4) { df =>
+        outs = df.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      }
+    serve(docs(texts.toSeq.sortBy(_._1): _*))
+    assert(outs == splitOf, "wave 1 must assign per-label hash splits")
+    serve(docs(100L -> bridge))
+    assert(outs == Map(100L -> "conflict"),
+      s"bridge must quarantine, got $outs")
+    // adjudicate: tie (1 vote each) → lexicographically smaller split;
+    // the WHOLE cluster moves (the losing frozen member + the bridge)
+    val winner = Seq(splitOf(a), splitOf(b)).min
+    val changed = Curation.resolveConflictsInStore(store)
+    assert(changed == 2L, s"loser + bridge must move, got $changed")
+    val after = store.read("splits")
+      .as[(Long, String)].collect().toMap
+    assert(Seq(a, b, 100L).forall(after(_) == winner))
+    assert(!after.valuesIterator.contains("conflict"))
+    (texts.keySet - a - b).foreach(i => assert(after(i) == splitOf(i),
+      s"untouched cluster $i must keep its split"))
+    // no-straddle invariant over the whole corpus ∪ batch
+    val all = docs((texts.toSeq :+ (100L -> bridge)).sortBy(_._1): _*)
+    TextDedup.jaccardPairs(all, n = 3, minJaccard = 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .foreach { case (x, y) =>
+        assert(after(x) == after(y), s"pair ($x,$y) straddles splits") }
+    // replay no-op: the quarantine is empty post-resolution
+    assert(Curation.resolveConflictsInStore(store) == 0L)
+    // future member of the resolved cluster ADOPTS (census is size 1)
+    serve(docs(200L -> texts(a)))
+    assert(outs == Map(200L -> winner),
+      s"future member must adopt the resolved split, got $outs")
+  }
+
+  test("splitServe adopts a dedupidx-built store (no clusters table): selfPairs bootstrap") {
+    import graft.operators.{DedupIndexStore, TextDedup}
+    import graft.etl.ParquetTableStore
+    val texts = (1L to 8L).map(i =>
+      i -> (1 to 10).map(j => s"v${i}y$j").mkString(" ")).toMap
+    // docs 7 and 8 are exact duplicates → the corpus has a real cluster
+    val corpus = docs((texts + (8L -> texts(7L))).toSeq.sortBy(_._1): _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_adopt").toString
+    val store = new ParquetTableStore(spark, s"$tmp/idx")
+    DedupIndexStore.build(store, corpus, n = 3, tJac = 0.4, tCont = 0.4)
+    // selfPairs == the one-shot prefix-filter join over the same corpus
+    val sp = DedupIndexStore.selfPairs(store)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = TextDedup.prefixFilterPairs(corpus, n = 3, minJaccard = 0.4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sp == direct && sp.nonEmpty, s"selfPairs drifted: $sp vs $direct")
+    // a serve against the adopted store must NOT throw on the missing
+    // clusters table: the batch doc near-dups doc 7 → it lands in the
+    // bootstrapped {7,8} cluster (label 7), with no frozen splits yet
+    var outs = Map.empty[Long, (Long, String)]
+    val n = Curation.splitServe(store, docs(100L -> texts(7L)),
+        threshold = 0.4) { df =>
+      outs = df.as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    assert(n == 1L)
+    val expectSplit = Seq(7L).toDF("doc_id")
+      .select(Curation.splitOfLabel($"doc_id")).as[String].head()
+    assert(outs == Map(100L -> ((7L, expectSplit))),
+      s"adopted-store serve drifted: $outs")
+  }
 }
