@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.ParquetTableStore
 
-/** Persisted band index over ANY 64-bit fingerprint column — the shared
-  * core of the multimodal perceptual-hash index (MediaIndexStore) and the
-  * text SimHash index (d28): `TextDedup.hammingBandPairs` re-bands the
+/** Persisted band index over a fingerprint column — width-parameterized:
+  * the 64-bit face (8 × 8-bit bands) is the shared core of the multimodal
+  * perceptual-hash index (MediaIndexStore) and the text SimHash index
+  * (d28); the b-bit MinHash face (16 × 32-bit bands over an 8-long packed
+  * signature, see below) serves d6 (d29). For the 64-bit face:
+  * `TextDedup.hammingBandPairs` re-bands the
   * whole corpus per run; this store persists each absorbed item's 8 band
   * rows once and serves an arriving batch with batch-shaped work (batch
   * bands join the stored bands on (band, band_val); only colliding
@@ -89,6 +92,69 @@ object HammingIndexStore {
     newOld.unionByName(newNew).dropDuplicates("id_a", "id_b")
   }
 
+  // ───── b-bit MinHash face (width-parameterized banding) ─────
+  //
+  // The same store shape over a WIDER signature: d6's b-bit MinHash is
+  // an ARRAY of 8 packed longs (64 × 8-bit values), banded as 16 ×
+  // 32-bit slices (TextDedup.bbitBands — the identical slicing d6's
+  // batch operator uses). Everything else is the 64-bit doctrine
+  // unchanged: 16 stored band rows per absorbed item bucketed on
+  // (band, band_val), sig rides along so candidate verification is an
+  // inline agreement count, doc_id anti-join is the re-serve guard.
+  // The only genuinely new parameter is the band width; recall is d6's
+  // own banding by construction (the served candidates ARE the batch
+  // operator's candidates restricted to batch-touching pairs), and the
+  // collision-corrected estimate filter judges candidates exactly.
+  // meta freezes `min_est` at build — a serve at a looser threshold
+  // than the build's would be fine here (banding doesn't depend on the
+  // threshold), but freezing keeps one number authoritative, matching
+  // d6's registered parameters.
+
+  val tablesBbit: Seq[String] = Seq("meta", "bands")
+
+  private def bandedBbit(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+        posexplode(array(TextDedup.bbitBands(col("sig")): _*)))
+      .select(col("doc_id"), col("sig"),
+        col("pos").as("band"), col("col").as("band_val"))
+
+  def buildBbit(store: ParquetTableStore, sig: DataFrame, minEst: Double): Unit = {
+    store.stageBucketed("bands", bandedBbit(sig), bucketCols, nBuckets)
+    val spark = sig.sparkSession
+    import spark.implicits._
+    store.stage("meta", Seq(minEst).toDF("min_est"))
+    store.commitStaged(tablesBbit)
+  }
+
+  def appendBbit(store: ParquetTableStore, sig: DataFrame): Unit =
+    store.appendBucketed("bands", bandedBbit(sig), bucketCols, nBuckets)
+
+  /** Near-dup pair delta for an arriving batch of b-bit signatures vs
+    * (indexed corpus ∪ batch): output = `bbitMinhashPairs` over the
+    * union, restricted to pairs touching the batch (spec-pinned).
+    */
+  def pairsIncrementalBbit(store: ParquetTableStore, sig: DataFrame): DataFrame = {
+    val minEst = store.read("meta").head().getDouble(0)
+    val inc = sig.localCheckpoint(true)
+    val bInc = bandedBbit(inc)
+    val stored = store.readBucketed("bands", bucketCols, nBuckets)
+      .join(inc.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val newOld = bInc.as("a").join(stored.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+        graft.functions.TextSketches.bbitAgree(col("a.sig"), col("b.sig"))
+          .as("n_agree"))
+      .withColumn("est", TextDedup.bbitEst(col("n_agree")))
+      .filter(col("est") >= minEst)
+      .select(col("id_a"), col("id_b"),
+        floor(col("est") * 1000000d).cast(org.apache.spark.sql.types.LongType)
+          .as("est_micro"))
+    val newNew = TextDedup.bbitSigPairs(inc, minEst)
+    newOld.unionByName(newNew).dropDuplicates("id_a", "id_b")
+  }
+
   // ───── mtime-keyed ensure (registered-query / bench serving surface) ─────
 
   private val cacheRoot =
@@ -107,6 +173,21 @@ object HammingIndexStore {
     ensureLock.synchronized {
       val store = new ParquetTableStore(spark, path)
       if (!tables.forall(store.exists)) build(store, sig, maxHamming)
+      store
+    }
+  }
+
+  /** b-bit flavor of `ensure` (its own key prefix — the meta schema and
+    * band width differ from the 64-bit stores).
+    */
+  def ensureBbit(spark: SparkSession, corpusDir: String, sig: DataFrame,
+      minEst: Double, tag: String): ParquetTableStore = {
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$cacheRoot/bband1_${tag}_${(minEst * 1000).toInt}_${key}_$mtime"
+    ensureLock.synchronized {
+      val store = new ParquetTableStore(spark, path)
+      if (!tablesBbit.forall(store.exists)) buildBbit(store, sig, minEst)
       store
     }
   }

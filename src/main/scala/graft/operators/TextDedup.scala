@@ -932,17 +932,38 @@ object TextDedup {
     * packed longs; the Jaccard estimate applies the b-bit collision
     * correction Ĵ = (a − 1/256)/(1 − 1/256).
     */
-  def bbitMinhashPairs(docs: DataFrame, n: Int, minEst: Double): DataFrame = {
-    val sigs = Par.fan(docs).select(col("doc_id"),
-      TextSketches.bbitMinhashSig(col("text"), n).as("sig"))
-    // 16 bands × 4 bytes: band i = bytes [4i, 4i+4) = half of packed long i/2
+  def bbitMinhashPairs(docs: DataFrame, n: Int, minEst: Double): DataFrame =
+    bbitSigPairs(Par.fan(docs).select(col("doc_id"),
+      TextSketches.bbitMinhashSig(col("text"), n).as("sig")), minEst)
+
+  /** The 16 × 32-bit band slices of a packed b-bit signature (8 longs =
+    * 64 × 8-bit minhash values): band i = bytes [4i, 4i+4) = half of
+    * packed long i/2. Shared with `HammingIndexStore`'s b-bit face so
+    * stored and batch rows slice the signature identically — the
+    * pigeonhole contract both sides of every served pair rely on.
+    */
+  private[operators] def bbitBands(sig: Column): Seq[Column] =
+    (0 until 16).map(i =>
+      shiftright(element_at(sig, i / 2 + 1), (i % 2) * 32)
+        .bitwiseAND(0xFFFFFFFFL))
+
+  /** b-bit collision-corrected Jaccard estimate from an agreement count:
+    * Ĵ = (a − 1/256)/(1 − 1/256), in integer micro-units (the d6 output
+    * arithmetic, shared with the indexed serve).
+    */
+  private[operators] def bbitEst(nAgree: Column): Column = {
+    val corr = 1.0 / 256.0
+    (nAgree.cast(DoubleType) / NumHashes - corr) / (1.0 - corr)
+  }
+
+  /** `bbitMinhashPairs` over PRECOMPUTED signatures (doc_id, sig) — the
+    * sig-level core the persisted band index serves through.
+    */
+  def bbitSigPairs(sigs: DataFrame, minEst: Double): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 16).map(i =>
-          shiftright(element_at(col("sig"), i / 2 + 1), (i % 2) * 32)
-            .bitwiseAND(0xFFFFFFFFL)): _*)))
+        posexplode(array(bbitBands(col("sig")): _*)))
       .select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_val"))
     val a = banded.as("a"); val b = banded.as("b")
-    val corr = 1.0 / 256.0
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_val") === col("b.band_val") &&
@@ -950,7 +971,7 @@ object TextDedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         TextSketches.bbitAgree(col("a.sig"), col("b.sig")).as("n_agree"))
       // agreement filter BEFORE dedup: survivors ≪ bucket collisions
-      .withColumn("est", (col("n_agree").cast(DoubleType) / NumHashes - corr) / (1.0 - corr))
+      .withColumn("est", bbitEst(col("n_agree")))
       .filter(col("est") >= minEst)
       .select(col("id_a"), col("id_b"),
         floor(col("est") * 1000000d).cast(LongType).as("est_micro"))

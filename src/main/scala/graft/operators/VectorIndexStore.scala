@@ -55,31 +55,35 @@ object VectorIndexStore {
 
   // ───── IVF (coarse cells over stored full vectors) ─────
 
-  /** Train the coarse quantizer, assign cells, persist centroids + the
+  /** Quantize with the decimal-exact label-centroid coarse quantizer
+    * (IvfIndex.fitExact — ann3's hash-checkable flavor; Lloyd remains
+    * IVFPQ's coarse stage), assign cells, persist centroids + the
     * (neighbor_id, nv, cell) index rows. Same add-after-train shape as
     * PQ/IVFPQ: training happens once per corpus, not per query.
     */
-  def writeIvf(path: String, corpus: DataFrame, kClusters: Int = 16): Unit = {
-    val centroids = IvfIndex.fit(corpus, kClusters)
-    writeCentroids(corpus.sparkSession, p(path, "centroids"), centroids)
-    IvfIndex.buildIndex(corpus, centroids)
+  def writeIvf(path: String, corpus: DataFrame): Unit = {
+    val cents = IvfIndex.fitExact(corpus)
+    writeCentroidsKeyed(corpus.sparkSession, p(path, "centroids"), cents)
+    IvfIndex.buildIndexExact(corpus, cents)
       .write.mode("overwrite").parquet(p(path, "codes"))
     touch(path)
   }
 
   /** Assign a new batch with the STORED (frozen) centroids and append —
-    * incremental build == batch build because `buildIndex` is a pure
-    * per-row projection given fixed centroids.
+    * incremental build == batch build because `buildIndexExact` is a
+    * pure per-row projection given fixed centroids.
     */
   def appendIvf(spark: SparkSession, path: String, batch: DataFrame): Unit =
-    IvfIndex.buildIndex(batch, readCentroids(spark, p(path, "centroids")))
+    IvfIndex.buildIndexExact(batch, readCentroidsKeyed(spark, p(path, "centroids")))
       .write.mode("append").parquet(p(path, "codes"))
 
-  /** Top-k from the stored IVF index — no training on the query path. */
+  /** Top-k from the stored IVF index — no training on the query path.
+    * nprobe default follows `ivfTopKIndexedExact` (6 — see its doc).
+    */
   def ivfTopK(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, nprobe: Int = 4): DataFrame =
-    IvfIndex.ivfTopKIndexed(queries, spark.read.parquet(p(path, "codes")),
-      readCentroids(spark, p(path, "centroids")), k, nprobe)
+      k: Int, nprobe: Int = 6): DataFrame =
+    IvfIndex.ivfTopKIndexedExact(queries, spark.read.parquet(p(path, "codes")),
+      readCentroidsKeyed(spark, p(path, "centroids")), k, nprobe)
 
   // ───── IVFPQ (coarse cells × residual codes) ─────
 
@@ -142,6 +146,21 @@ object VectorIndexStore {
     spark.read.parquet(dir).select(col("cell"), col("centroid")).collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
 
+  /** Keyed flavor for the exact-cell IVF: cell ids are label values, not
+    * necessarily 0..k−1, so they persist explicitly.
+    */
+  def writeCentroidsKeyed(spark: SparkSession, dir: String,
+      cents: Array[(Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    cents.map { case (cell, c) => (cell, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def readCentroidsKeyed(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(dir).select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+
   private def touch(path: String): Unit = {
     try java.nio.file.Files.write(marker(path), Array.emptyByteArray)
     catch { case _: Throwable => () }
@@ -202,9 +221,13 @@ object VectorIndexStore {
     path
   }
 
-  /** Stored-IVF path for a corpus dir, building it on first use. */
+  /** Stored-IVF path for a corpus dir, building it on first use.
+    * ("ivf2": quantizer version — exact label-centroid cells since the
+    * ann3 hash-green graduation; a key bump orphans, never corrupts, a
+    * cache holding the old Lloyd artifacts.)
+    */
   def ensureIvf(corpusDir: String, corpus: DataFrame): String = {
-    val path = s"$cacheRoot/ivf_${cacheKey(corpusDir)}"
+    val path = s"$cacheRoot/ivf2_${cacheKey(corpusDir)}"
     ensureLock.synchronized { if (!exists(path)) writeIvf(path, corpus) }
     path
   }

@@ -826,6 +826,58 @@ object PipelineQueries {
         ORDER BY id_a, id_b"""),
       "indexed SimHash near-dup: batch bands vs the persisted band table"),
 
+    // INDEXED incremental b-bit MinHash — d6's semantics served from the
+    // width-parameterized HammingIndexStore (16 × 32-bit bands over the
+    // packed 8-long signature instead of the 64-bit face's 8 × 8-bit):
+    // the even-id corpus's 16 band rows per doc are stored once; the
+    // odd-id batch re-bands ONLY itself and joins the stored bands on
+    // (band, band_val). Banding is a pure function of the signature —
+    // no frozen-order subtlety — so output = d6's pairs restricted to
+    // pairs touching the batch, which is exactly d6's oracle with the
+    // batch predicate.
+    "d29_indexed_bbit" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def sig(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.Par.fan(df).select(col("doc_id"),
+            graft.functions.TextSketches.bbitMinhashSig(col("text"), 3).as("sig"))
+        val idx = graft.operators.HammingIndexStore.ensureBbit(s, d,
+          sig(docs.filter(col("doc_id") % 2 === 0)), minEst = 0.7, tag = "bbit")
+        graft.operators.HammingIndexStore.pairsIncrementalBbit(idx,
+            sig(docs.filter(col("doc_id") % 2 === 1)))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        hv AS (SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS HUGEINT) AS h1,
+            CAST(CAST(concat('0x', substr(md5(s), 17, 16)) AS UBIGINT) AS HUGEINT) AS h2
+          FROM sh),
+        comp AS (SELECT doc_id, p,
+            MIN(CAST((h1 + p * h2) % 9223372036854775808 AS BIGINT)) AS v
+          FROM hv, UNNEST(range(0, 64)) AS t(p) GROUP BY doc_id, p),
+        byt AS (SELECT doc_id, p, v % 256 AS y FROM comp),
+        band AS (SELECT doc_id, p // 4 AS bd,
+            SUM(y * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+              WHEN 2 THEN 65536 ELSE 16777216 END)) AS bval
+          FROM byt GROUP BY doc_id, p // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b
+            ON a.bd = b.bd AND a.bval = b.bval AND a.doc_id < b.doc_id),
+        agree AS (SELECT c.id_a, c.id_b,
+            SUM(CASE WHEN ya.y = yb.y THEN 1 ELSE 0 END) AS n_agree
+          FROM cand c JOIN byt ya ON ya.doc_id = c.id_a
+            JOIN byt yb ON yb.doc_id = c.id_b AND yb.p = ya.p
+          GROUP BY 1, 2),
+        est AS (SELECT id_a, id_b,
+            (CAST(n_agree AS DOUBLE) / 64 - 1.0 / 256) / (1 - 1.0 / 256) AS est
+          FROM agree)
+        SELECT id_a, id_b, CAST(FLOOR(est * 1000000) AS BIGINT) AS est_micro
+        FROM est WHERE est >= 0.7 AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        ORDER BY id_a, id_b"""),
+      "indexed b-bit MinHash: batch bands vs the persisted wide-band table"),
+
     // Duplication REPORT: the cluster-size histogram (how much of the
     // corpus is duplication mass, and in what shapes — many pairs vs a
     // few giant boilerplate clusters drive different curation choices).
@@ -1135,10 +1187,14 @@ object PipelineQueries {
       "random-hyperplane LSH top-k (8 tables × 4 bits) — approximate scale path"),
 
     // ann3 serves from the persisted IVF index like ann4/ann5: first
-    // invocation per corpus trains the coarse quantizer and writes
-    // centroids + cell-assigned rows; later invocations (the bench's
-    // timed runs) only read. Stored == inline results because training
-    // seeds from the lowest vec_ids (PipelineOpsSpec pins the equality).
+    // invocation per corpus quantizes and writes centroids +
+    // cell-assigned rows; later invocations (the bench's timed runs)
+    // only read. HASH-GREEN since round 10: the coarse quantizer is the
+    // decimal-exact label-centroid one (IvfIndex.fitExact — the
+    // emb2/sem1 protocol), so the oracle replays centroids, cell
+    // assignment, cosine probing order and in-cell rescoring
+    // bit-identically; the recall@10 ≥ 0.75 gate is re-pinned on these
+    // cells in PipelineOpsSpec. Stored == inline pinned there too.
     "ann3_ivf_topk" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -1146,8 +1202,33 @@ object PipelineQueries {
         graft.operators.VectorIndexStore.ivfTopK(s, idx, emb.filter(col("vec_id") < 5), k = 3)
           .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       },
-      None,
-      "IVF top-k: stored coarse quantizer + nprobe probing, exact in-cell rescoring"),
+      Some("""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent AS (SELECT label AS cell, list(c_val ORDER BY dim) AS cent FROM (
+            SELECT label, i AS dim,
+              CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val
+            FROM emb, UNNEST(range(1, 65)) AS t(i)
+            GROUP BY label, i) GROUP BY label),
+        assigned AS (SELECT vec_id, cell, emb FROM (
+            SELECT e.vec_id, c.cell, e.emb,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
+            FROM emb e, cent c) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, emb AS qv, cell FROM (
+            SELECT e.vec_id, e.emb, c.cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
+            FROM emb e, cent c WHERE e.vec_id < 5) WHERE rn <= 6),
+        scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+            list_cosine_similarity(p.qv, a.emb) AS cs
+          FROM probes p JOIN assigned a
+            ON a.cell = p.cell AND a.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id,
+          CAST(CAST(cs AS DECIMAL(18,6)) AS DOUBLE) AS cos
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY cs DESC, neighbor_id) <= 3
+        ORDER BY query_id, cos DESC, neighbor_id"""),
+      "IVF top-k: stored exact-cell quantizer + nprobe probing, exact in-cell rescoring"),
 
     // ann4/ann5 serve from a PERSISTED index (VectorIndexStore): the
     // first invocation per corpus trains the quantizers and writes

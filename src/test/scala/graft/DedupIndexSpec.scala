@@ -155,6 +155,29 @@ class DedupIndexSpec extends SparkTestBase {
     assert(reServed == served, s"re-serve drifted: $reServed vs $served")
   }
 
+  test("b-bit band index: served pairs == batch bbitMinhashPairs restricted to the batch") {
+    // the width-parameterized face (d29): 16 × 32-bit bands over the
+    // packed 8-long signature. Same no-frozen-order argument as the
+    // 64-bit face — stored and batch rows slice the signature via the
+    // one shared TextDedup.bbitBands.
+    def sig(df: DataFrame) = graft.operators.Par.fan(df).select(col("doc_id"),
+      graft.functions.TextSketches.bbitMinhashSig(col("text"), 3).as("sig"))
+    val store = freshStore()
+    graft.operators.HammingIndexStore.buildBbit(store, sig(even), minEst = 0.7)
+    val served = graft.operators.HammingIndexStore.pairsIncrementalBbit(store, sig(odd))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = TextDedup.bbitMinhashPairs(docs, n = 3, minEst = 0.7)
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == full, s"served $served != recompute $full")
+    assert(served.nonEmpty, "vacuous")
+    // re-serve guard: absorbing the batch must not change its answer
+    graft.operators.HammingIndexStore.appendBbit(store, sig(odd))
+    val reServed = graft.operators.HammingIndexStore.pairsIncrementalBbit(store, sig(odd))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reServed == served, s"re-serve drifted: $reServed vs $served")
+  }
+
   test("crash between appends degrades to duplicate candidates, never wrong pairs") {
     // simulate dying after the candidate-side tables appended but BEFORE
     // `sets` (the commit point): replaying the append must restore a

@@ -576,23 +576,26 @@ class PipelineOpsSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
     val old = emb.filter($"vec_id" % 2 === 0)
     val neu = emb.filter($"vec_id" % 2 === 1)
-    // train + persist on the OLD corpus only, then append the new batch
-    // with frozen centroids (the ann3 serving path as of round 7)
+    // quantize + persist on the OLD corpus only, then append the new
+    // batch with frozen centroids (ann3's serving path — exact
+    // label-centroid cells since the round-10 hash-green graduation)
     VectorIndexStore.writeIvf(s"$dir/ivf", old)
     VectorIndexStore.appendIvf(spark, s"$dir/ivf", neu)
-    val cents = VectorIndexStore.readCentroids(spark, s"$dir/ivf/centroids")
-    assert(cents.map(_.toSeq).toSeq == IvfIndex.fit(old, 16).map(_.toSeq).toSeq,
+    val cents = VectorIndexStore.readCentroidsKeyed(spark, s"$dir/ivf/centroids")
+    assert(cents.map { case (c, v) => (c, v.toSeq) }.toSeq ==
+        IvfIndex.fitExact(old).map { case (c, v) => (c, v.toSeq) }.toSeq,
       "centroid parquet roundtrip drifted")
     val appended = spark.read.parquet(s"$dir/ivf/codes")
       .select($"neighbor_id", $"cell").as[(Long, Int)].collect().toSet
-    val batch = IvfIndex.buildIndex(emb, cents)
+    val batch = IvfIndex.buildIndexExact(emb, cents)
       .select($"neighbor_id", $"cell").as[(Long, Int)].collect().toSet
     assert(appended == batch, "append-assign drifted from batch assign")
     // stored-index query == inline query with the same centroids
     val q = emb.filter($"vec_id" < 5)
     val viaStore = VectorIndexStore.ivfTopK(spark, s"$dir/ivf", q, k = 3)
       .as[(Long, Long, Double)].collect().toSet
-    val inline = IvfIndex.ivfTopKIndexed(q, IvfIndex.buildIndex(emb, cents), cents, k = 3)
+    val inline = IvfIndex.ivfTopKIndexedExact(q,
+        IvfIndex.buildIndexExact(emb, cents), cents, k = 3)
       .as[(Long, Long, Double)].collect().toSet
     assert(viaStore == inline && viaStore.nonEmpty)
     // compaction: append-accumulated files rewrite CLUSTERED BY CELL
@@ -667,9 +670,19 @@ class PipelineOpsSpec extends SparkTestBase {
     val rLsh = recallOf(graft.operators.Similarity.lshTopK(q, embS, 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
     assert(rLsh >= 0.6, f"ann2 LSH recall@10 $rLsh%.3f < 0.6")
-    val rIvf = recallOf(graft.operators.IvfIndex.ivfTopK(q, embS, 10)
+    // ann3's SERVING path (exact label-centroid cells, default nprobe 6
+    // of the 10 label cells) — re-pinned at the graduation so the
+    // hash-green quantizer swap can't silently trade recall away
+    val exCents = graft.operators.IvfIndex.fitExact(embS)
+    val rIvf = recallOf(graft.operators.IvfIndex.ivfTopKIndexedExact(q,
+        graft.operators.IvfIndex.buildIndexExact(embS, exCents), exCents, 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
-    assert(rIvf >= 0.75, f"ann3 IVF recall@10 $rIvf%.3f < 0.75 (nprobe=4/16)")
+    assert(rIvf >= 0.75, f"ann3 IVF recall@10 $rIvf%.3f < 0.75 (nprobe=6/10 label cells)")
+    // the Lloyd trainer stays IVFPQ's coarse stage — keep its inline
+    // top-k gated too (regression canary for `fit`)
+    val rLloyd = recallOf(graft.operators.IvfIndex.ivfTopK(q, embS, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
+    assert(rLloyd >= 0.75, f"Lloyd IVF recall@10 $rLloyd%.3f < 0.75 (nprobe=4/16)")
     val rIvfPq = recallOf(graft.operators.PqIndex.ivfPqTopK(q, embS, 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
     assert(rIvfPq >= 0.75, f"ann5 IVFPQ recall@10 $rIvfPq%.3f < 0.75 (nprobe=4/16)")
