@@ -37,6 +37,14 @@ object GraftSession {
       // reference dict-comprehension semantics: later duplicate key wins
       // (src/transform.py:112 in the reference)
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // OFF: Spark 4.1's UnionExec claims its children's common hash
+      // partitioning when this is on, but a union CONCATENATES child
+      // partitions (two 32-bucket scans -> 64 partitions, the same key in
+      // two of them), so downstream aggregates/joins skip the exchange
+      // they still need — dropDuplicates over a union of two identically
+      // bucketed tables silently kept duplicates (caught by the index
+      // merge specs; probe: union 500 rows, dedup "250" returned 375).
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")

@@ -44,6 +44,10 @@ import graft.marts.Views
   *                                           (heals frozen-df staleness;
   *                                           derives from stored sets,
   *                                           no corpus re-read)
+  *   dedupidx merge <dst> <src>              fold a shard-built index into
+  *                                           <dst>: sets union + prefix
+  *                                           re-rank over merged freqs
+  *                                           (== fresh build over union)
   *   suffixidx build <docs> <idx> [--min N] [--max M]
   *                                           persist the suffix-key state
   *                                           for exact-substring dedup
@@ -54,6 +58,14 @@ import graft.marts.Views
   *                                           instead); --append absorbs
   *                                           the batch
   *   suffixidx compact <idx>                 rewrite suffix buckets to ~1 file each
+  *   suffixidx refreeze <idx> [--min M] [--max X]
+  *                                           tighten the frozen caps from
+  *                                           stored keys, no corpus re-read
+  *                                           (loosening = rebuild)
+  *   suffixidx merge <dst> <src>             fold a shard-built suffix index
+  *                                           into <dst> at the cap
+  *                                           intersection (== fresh build
+  *                                           over the union corpus)
   *   mediaidx build <docs> <idx> [--hamming H]
   *                                           persist the perceptual-hash
   *                                           band index over media files
@@ -74,6 +86,16 @@ import graft.marts.Views
   *   export <docs> <out> [--budget B] [--shard-seqs S]
   *                                           materialize deterministic JSONL
   *                                           training shards + md5 manifest
+  *   export serve <batch> <state> <out> [--threshold T] [--budget B] [--shard-seqs S]
+  *                                           streamed front door: gate +
+  *                                           split-serve the wave, admit
+  *                                           canonical train docs, regen
+  *                                           the manifest over admitted
+  *   export reconcile <state> [--budget B] [--shard-seqs S]
+  *                                           re-derive admission under the
+  *                                           CURRENT splits/clusters (run
+  *                                           after `split resolve`); regen
+  *                                           the manifest; idempotent
   *   search build|append <docs> <idx>        persist / extend the inverted index
   *   search compact <idx>                    rewrite postings to ~1 file/bucket
   *   search query <idx> <out> --terms a,b,c [--k K] [--mmr [--page P]]
@@ -91,6 +113,9 @@ import graft.marts.Views
   *                                           members (deterministic ties),
   *                                           whole cluster moves, splits
   *                                           table rewritten; idempotent
+  *   split compact <state> [--splits N]      rewrite the wave-appended plain
+  *                                           tables (splits/clusters/
+  *                                           admitted/gated) to <= N files
   *   bpe train <docs> <out> [--merges N]     train + persist a BPE merge
   *                                           list (driver-bounded loop)
   *   bpe encode <docs> <mergesDir> <out>     per-doc token counts +
@@ -130,6 +155,10 @@ object Main {
       case "dedupidx" :: "refreeze" :: idx :: Nil =>
         graft.operators.DedupIndexStore.refreeze(new ParquetTableStore(spark, idx))
         println(s"[graft] dedupidx refreeze: prefix order re-frozen from current frequencies in $idx")
+      case "dedupidx" :: "merge" :: dst :: src :: Nil =>
+        graft.operators.DedupIndexStore.merge(
+          new ParquetTableStore(spark, dst), new ParquetTableStore(spark, src))
+        println(s"[graft] dedupidx merge: $src folded into $dst (prefix order re-frozen over the union)")
       case "split" :: "serve" :: batch :: state :: out :: rest =>
         splitServe(spark, batch, state, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
@@ -138,6 +167,18 @@ object Main {
           new ParquetTableStore(spark, state))
         println(s"[graft] split resolve: $n docs reassigned" +
           (if (n == 0) " (no quarantined clusters)" else ""))
+      case "split" :: "compact" :: state :: rest =>
+        // the split/export service's plain (non-bucketed) tables grow a
+        // file set per wave (`append`); rewrite each to a bounded count.
+        // Contents unchanged; the store's tmp + atomic swap means a
+        // concurrent reader never sees a torn table. The dedup-index
+        // tables have their own bucket-preserving pass (dedupidx compact).
+        val store = new ParquetTableStore(spark, state)
+        val k = opt(rest, "--splits").map(_.toInt).getOrElse(32)
+        val done = Seq("splits", "clusters", "admitted", "gated")
+          .filter(store.exists)
+        done.foreach(t => store.overwrite(t, store.read(t).coalesce(k)))
+        println(s"[graft] split compact: ${done.mkString(", ")} rewritten to <= $k files each")
       case "bpe" :: "train" :: docs :: out :: rest =>
         bpeTrain(spark, docs, out,
           opt(rest, "--merges").map(_.toInt).getOrElse(1000))
@@ -153,6 +194,16 @@ object Main {
       case "suffixidx" :: "compact" :: idx :: Nil =>
         graft.operators.SuffixIndexStore.compact(new ParquetTableStore(spark, idx))
         println(s"[graft] suffixidx compact: suffix buckets rewritten in $idx")
+      case "suffixidx" :: "refreeze" :: idx :: rest =>
+        val store = new ParquetTableStore(spark, idx)
+        graft.operators.SuffixIndexStore.refreeze(store,
+          opt(rest, "--min").map(_.toInt).getOrElse(8),
+          opt(rest, "--max").map(_.toInt).getOrElse(32))
+        println(s"[graft] suffixidx refreeze: caps tightened from stored keys in $idx")
+      case "suffixidx" :: "merge" :: dst :: src :: Nil =>
+        graft.operators.SuffixIndexStore.merge(
+          new ParquetTableStore(spark, dst), new ParquetTableStore(spark, src))
+        println(s"[graft] suffixidx merge: $src folded into $dst (caps tightened to the intersection)")
       case "mediaidx" :: "build" :: docs :: idx :: rest =>
         mediaIdxBuild(spark, docs, idx,
           opt(rest, "--hamming").map(_.toInt).getOrElse(7))
@@ -161,6 +212,13 @@ object Main {
       case "mediaidx" :: "compact" :: idx :: Nil =>
         graft.multimodal.MediaIndexStore.compact(new ParquetTableStore(spark, idx))
         println(s"[graft] mediaidx compact: band buckets rewritten in $idx")
+      case "mediaidx" :: "merge" :: dst :: src :: Nil =>
+        graft.operators.HammingIndexStore.merge(
+          new ParquetTableStore(spark, dst), new ParquetTableStore(spark, src))
+        println(s"[graft] mediaidx merge: $src folded into $dst")
+      case "search" :: "merge" :: dst :: src :: Nil =>
+        graft.operators.TextIndexStore.merge(spark, dst, src)
+        println(s"[graft] search merge: $src folded into $dst (stats re-derived from merged postings)")
       case "dedupidx" :: "serve" :: batch :: idx :: out :: rest =>
         dedupIdxServe(spark, batch, idx, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
@@ -207,6 +265,19 @@ object Main {
         dedup(spark, docs, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
           rest.contains("--exact"), rest.contains("--indexed"))
+      case "export" :: "serve" :: batch :: state :: out :: rest =>
+        exportServe(spark, batch, state, out,
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
+          opt(rest, "--budget").map(_.toLong).getOrElse(1024L),
+          opt(rest, "--shard-seqs").map(_.toLong).getOrElse(4L))
+      case "export" :: "reconcile" :: state :: rest =>
+        val store = new ParquetTableStore(spark, state)
+        val (flipped, manifest) = graft.operators.Curation.exportReconcile(store,
+          opt(rest, "--budget").map(_.toLong).getOrElse(1024L),
+          opt(rest, "--shard-seqs").map(_.toLong).getOrElse(4L))
+        store.overwrite("manifest", manifest)
+        println(s"[graft] export reconcile: $flipped docs flipped admission" +
+          (if (flipped == 0) " (state already consistent)" else ""))
       case "export" :: docs :: out :: rest =>
         exportShards(spark, docs, out,
           opt(rest, "--budget").map(_.toLong).getOrElse(2048L),
@@ -842,6 +913,29 @@ object Main {
     println(s"[graft] dedupidx serve: ${batch.count()} batch docs -> " +
       s"$nPairs $kind pair deltas" + (if (append) " (batch absorbed)" else ""))
     nPairs
+  }
+
+  /** One wave of the STREAMED export front door (Curation.exportServe)
+    * as a product command: the batch is Gopher-gated and split-served
+    * against `state`, its canonical train docs join the `admitted`
+    * table, assignments land at `<out>/assignments`, and the shard
+    * manifest over everything admitted so far is regenerated into the
+    * state store's `manifest` table. Re-running on an absorbed batch
+    * assigns 0 and leaves the manifest unchanged.
+    */
+  def exportServe(spark: SparkSession, batchPath: String, state: String,
+      out: String, threshold: Double, budget: Long, seqsPerShard: Long): Long = {
+    val store = new ParquetTableStore(spark, state)
+    val outStore = new ParquetTableStore(spark, out)
+    val (n, manifest) = graft.operators.Curation.exportServe(store,
+        spark.read.parquet(batchPath), threshold, budget, seqsPerShard) { a =>
+      outStore.overwrite("assignments", a)
+    }
+    if (store.exists("admitted")) store.overwrite("manifest", manifest)
+    val nShards = if (store.exists("manifest")) store.read("manifest").count() else 0L
+    println(s"[graft] export serve: $n docs assigned, manifest now $nShards shards" +
+      (if (n == 0) " (batch already absorbed)" else ""))
+    n
   }
 
   /** One wave of the split-assignment service (Curation.splitServe) as a

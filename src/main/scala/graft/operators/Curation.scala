@@ -369,6 +369,145 @@ object Curation {
     changed
   }
 
+  /** e2e12's terminal stage as a reusable function: deterministic
+    * shuffle (rank of md5(seed:id)) + token packing fused into ONE
+    * prefix-sum pass, aggregated to the md5-pinned shard manifest.
+    * Input is the admitted train corpus as (doc_id, n_tokens) — shared
+    * by the one-shot export query, the streamed front door
+    * (`exportServe`), and the specs that pin them equal.
+    */
+  def shardManifest(toks0: DataFrame, seed: String, budget: Long,
+      seqsPerShard: Long): DataFrame = {
+    val toks = toks0.select(col("doc_id"),
+      md5(concat(lit(seed + ":"), col("doc_id").cast(StringType))).as("skey"),
+      col("n_tokens"))
+    GlobalOrder.cumSum(toks, struct(col("skey"), col("doc_id")), col("n_tokens"))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) DIV $budget"))
+      .withColumn("shard_id", expr(s"seq_id DIV $seqsPerShard"))
+      .groupBy(col("shard_id"))
+      .agg(count_distinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast(StringType)))).as("content_md5"))
+  }
+
+  /** One wave of the STREAMED export front door — e2e12 as a service
+    * over the split-service state: gate the batch (Gopher conjunction,
+    * stateless per-doc), run `splitServe` (delta pairs from the stored
+    * dedup index, frozen-split census, state absorbed), admit the
+    * wave's canonical train docs (cluster label == own id ∧ split ==
+    * 'train') into the `admitted` table, and regenerate the shard
+    * manifest over everything admitted so far. Returns (docs assigned
+    * this wave, manifest) — 0 with an unchanged manifest for a
+    * replayed absorbed batch.
+    *
+    * Composition contract (spec-pinned): for waves arriving in
+    * ascending doc_id order with no cross-split cluster merge, the
+    * final manifest EQUALS the one-shot e2e12 export over the union
+    * corpus — admission is min-id canonical exactly when the cluster
+    * minimum arrives no later than its members (ascending waves
+    * guarantee it), and frozen cluster labels then equal the one-shot
+    * labels so the split hashes agree. Out-of-order arrival degrades
+    * to FIRST-WINS canonical (the d22 keep doctrine) — a legitimate
+    * streaming dedup semantics, just not bit-equal to the min-id batch
+    * export; bridges between differently-frozen clusters quarantine as
+    * 'conflict' (excluded from export) until `split resolve`.
+    *
+    * Cost shape per wave: gate + serve are batch-shaped (the splitServe
+    * argument); the manifest regeneration is one prefix-sum pass over
+    * the ADMITTED corpus — that pass IS the export artifact a
+    * deployment re-ships after each wave, and (doc_id, n_tokens) rows
+    * are ~16 B/doc, so even the corpus-shaped term reads a table three
+    * orders of magnitude narrower than the documents.
+    *
+    * Replay safety on top of splitServe's: the admitted append runs
+    * inside the assignment callback (before the index absorb — the
+    * replay guard), anti-joined on already-admitted ids, so a crash
+    * anywhere replays to the identical admitted set.
+    */
+  def exportServe(store: graft.etl.ParquetTableStore, batch: DataFrame,
+      threshold: Double = 0.8, budget: Long = 1024L, seqsPerShard: Long = 4L)(
+      writeAssignments: DataFrame => Unit): (Long, DataFrame) = {
+    val gated = batch.join(TextQuality.gopherRules(batch)
+        .filter(col("passes") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nTok = Par.fan(gated).select(col("doc_id"),
+      TextStats.wsTokenCount(col("text")).cast(LongType).as("n_tokens"))
+    val n = splitServe(store, gated, threshold) { assigned =>
+      writeAssignments(assigned)
+      // every gate-passing doc's token count persists (admitted or not):
+      // `exportReconcile` needs the full gated population to re-derive
+      // admission after a `split resolve` moves quarantined clusters
+      def appendFresh(table: String, rows: DataFrame): Unit = {
+        val fresh =
+          if (store.exists(table))
+            rows.join(store.read(table).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          else rows
+        // never CREATE a table from an empty wave (a data-less parquet
+        // dir has no schema to infer back); empty appends are skipped
+        // for the job they'd waste
+        if (!fresh.isEmpty) store.append(table, fresh)
+      }
+      appendFresh("gated",
+        assigned.select(col("doc_id")).join(nTok, Seq("doc_id")))
+      appendFresh("admitted", assigned
+        .filter(col("cluster_id") === col("doc_id") && col("split") === "train")
+        .join(nTok, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens")))
+    }
+    val manifest =
+      if (store.exists("admitted"))
+        shardManifest(store.read("admitted"), "42", budget, seqsPerShard)
+          .orderBy(col("shard_id"))
+      else batch.sparkSession.emptyDataFrame
+    (n, manifest)
+  }
+
+  /** Reconcile the export's `admitted` table with the CURRENT split and
+    * cluster state — the composition that closes the resolution loop:
+    * `exportServe` decides admission at arrival time, so a doc
+    * quarantined as 'conflict' is never exported even after `split
+    * resolve` moves its cluster to train, and a canonical doc whose
+    * cluster resolved AWAY from train keeps shipping. This re-derives
+    * admission for the whole gated population (the `gated` table keeps
+    * every gate-passer's token count exactly for this) under the stored
+    * `splits`/`clusters` as they are NOW: admitted = gated ∧ canonical
+    * (cluster label == own id) ∧ split == 'train'. Returns (docs whose
+    * admission flipped, regenerated manifest); 0 with an unchanged
+    * table on replay — run it after `split resolve`, or any time state
+    * maintenance may have moved splits.
+    *
+    * Scale shape: three joins keyed on doc_id over the gated table
+    * (KB-per-million narrow rows), no window, no self-join; the
+    * flipped-count is two anti-joins of admission-sized sides.
+    */
+  def exportReconcile(store: graft.etl.ParquetTableStore,
+      budget: Long = 1024L, seqsPerShard: Long = 4L): (Long, DataFrame) = {
+    require(store.exists("gated") && store.exists("splits") &&
+        store.exists("clusters"),
+      "export reconcile needs a store with `gated`, `splits` and `clusters` " +
+        "tables (a state dir previous `export serve` waves wrote)")
+    val lab = store.read("gated")
+      .join(store.read("clusters").withColumnRenamed("cluster_id", "cl"),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cl"), col("doc_id")))
+    val adm = lab.join(store.read("splits"), Seq("doc_id"))
+      .filter(col("cluster_id") === col("doc_id") && col("split") === "train")
+      .select(col("doc_id"), col("n_tokens"))
+      .localCheckpoint(true)
+    val before =
+      if (store.exists("admitted")) store.read("admitted")
+      else adm.limit(0)
+    val flipped =
+      adm.join(before.select(col("doc_id")), Seq("doc_id"), "left_anti").count() +
+        before.join(adm.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    if (flipped > 0) store.overwrite("admitted", adm)
+    (flipped, shardManifest(adm, "42", budget, seqsPerShard)
+      .orderBy(col("shard_id")))
+  }
+
   def mixSample(docs: DataFrame, ratePermille: Column,
       textCol: String = "text"): DataFrame =
     docs.where(hashBucket(col(textCol)) < ratePermille)

@@ -225,6 +225,58 @@ object DedupIndexStore {
     store.commitStaged(Seq("postings", "freq", "prefix_jac", "prefix_cont"))
   }
 
+  /** Merge another index INTO this one — the distributed-build path: at
+    * 100 TB the corpus is sharded across sources/dates, each shard runs
+    * `dedupidx build` independently (embarrassingly parallel, no
+    * cross-shard shuffle), and one merge pass folds the shard indexes
+    * into the serving index. The derivation is the refreeze doctrine
+    * over the UNION of the primary data: `sets` is each index's only
+    * text-derived table, so merged sets = union (per-doc rows are
+    * identical wherever shards overlap — same text, same n — so
+    * dropDuplicates on doc_id keeps either copy), and postings / freq /
+    * both prefix projections re-derive from it exactly as a fresh build
+    * over the union corpus would (DedupIndexSpec pins all five tables
+    * AND the serves equal a fresh union build). The two shard orders
+    * are NOT concatenated — prefixes re-rank under the merged
+    * frequencies, so the common-total-order premise of the recall
+    * theorem holds by construction, and the merged order is the
+    * freshest possible one (a merge doubles as a refreeze). Parameters
+    * must match: shard indexes built at different n or thresholds have
+    * incompatible prefix semantics, rejected loudly. One journaled
+    * group commit; `src` is read-only throughout.
+    *
+    * Cost: one exchange over the union's shingle rows (the groupBy +
+    * two prefix rankings share it via the staged postings) — strictly
+    * cheaper than a fresh build, which pays the same exchange PLUS the
+    * corpus text re-read and re-shingle explode.
+    */
+  def merge(dst: ParquetTableStore, src: ParquetTableStore): Unit = {
+    val md = dst.read("meta").head()
+    val ms = src.read("meta").head()
+    require(md.getInt(0) == ms.getInt(0) && md.getDouble(1) == ms.getDouble(1) &&
+        md.getDouble(2) == ms.getDouble(2),
+      s"merge needs identical index parameters: dst (n=${md.getInt(0)}, " +
+        s"tJac=${md.getDouble(1)}, tCont=${md.getDouble(2)}) vs " +
+        s"src (n=${ms.getInt(0)}, tJac=${ms.getDouble(1)}, tCont=${ms.getDouble(2)})")
+    val (tJac, tCont) = (md.getDouble(1), md.getDouble(2))
+    val sets = dst.stageBucketed("sets",
+      readB(dst, "sets").unionByName(readB(src, "sets"))
+        .dropDuplicates("doc_id"),
+      bucketCols("sets"), nBuckets)
+    val sh = dst.stageBucketed("postings",
+      sets.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("s")),
+      bucketCols("postings"), nBuckets)
+    val freq = dst.stageBucketed("freq",
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df")),
+      bucketCols("freq"), nBuckets)
+    dst.stageBucketed("prefix_jac", prefixFrozen(sh, freq, tJac),
+      bucketCols("prefix_jac"), nBuckets)
+    dst.stageBucketed("prefix_cont", prefixFrozen(sh, freq, tCont),
+      bucketCols("prefix_cont"), nBuckets)
+    dst.commitStaged(Seq("sets", "postings", "freq", "prefix_jac", "prefix_cont"))
+  }
+
   /** All qualifying Jaccard pairs WITHIN the indexed corpus, served from
     * stored tables only (a `prefix_jac` self-join + verification against
     * `sets` — no corpus re-read, no re-shingle). This is the bootstrap
@@ -386,6 +438,39 @@ object DedupIndexStore {
     ensureLock.synchronized {
       val store = new ParquetTableStore(spark, path)
       if (!tables.forall(store.exists)) build(store, docs, n, tJac, tCont)
+      store
+    }
+  }
+
+  /** Merged index for a corpus dir: each shard builds independently at
+    * its own path, then folds into the first shard's store via `merge`
+    * — the distributed-build protocol exercised end-to-end, cached per
+    * (dir, mtime, params) like `ensure`. Unlike `ensure`, completion is
+    * multi-commit, so a `merged_ok` marker table (committed LAST)
+    * gates reuse: a crash mid-protocol re-runs the remaining builds and
+    * merges instead of serving a partially-merged index.
+    */
+  def ensureMerged(spark: SparkSession, corpusDir: String,
+      shards: Seq[DataFrame], n: Int, tJac: Double,
+      tCont: Double): ParquetTableStore = {
+    require(shards.nonEmpty, "need at least one shard")
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$cacheRoot/pmrg1_${shards.size}_${n}_${(tJac * 1000).toInt}_" +
+      s"${(tCont * 1000).toInt}_${key}_$mtime"
+    ensureLock.synchronized {
+      val store = new ParquetTableStore(spark, path)
+      if (!store.exists("merged_ok")) {
+        build(store, shards.head, n, tJac, tCont)
+        shards.tail.zipWithIndex.foreach { case (sh, i) =>
+          val tmp = new ParquetTableStore(spark, s"$path-shard${i + 1}")
+          build(tmp, sh, n, tJac, tCont)
+          merge(store, tmp)
+        }
+        import spark.implicits._
+        store.stage("merged_ok", Seq(1).toDF("ok"))
+        store.commitStaged(Seq("merged_ok"))
+      }
       store
     }
   }

@@ -70,6 +70,37 @@ object HammingIndexStore {
   def compact(store: ParquetTableStore): Unit =
     store.compactBucketed("bands", bucketCols, nBuckets)
 
+  /** Merge another band index INTO this one — the distributed-build
+    * path (shard corpora indexed independently, folded into the serving
+    * index; the DedupIndexStore.merge doctrine). Banding is a pure
+    * function of the signature, so the merge IS a union: no frozen
+    * order to reconcile, rows for a doc indexed by both shards are
+    * bitwise identical and dropDuplicates on (doc_id, band) keeps one
+    * copy. FACE-AGNOSTIC — the 64-bit and b-bit faces share the table
+    * layout, differing only in meta schema and the signature column, so
+    * the guard is structural: both metas must be the same single row
+    * (same threshold semantics) and both band tables the same schema (a
+    * 64-bit index merged into a b-bit one would silently produce
+    * never-colliding band_vals — rejected loudly instead). One
+    * journaled commit; `src` read-only.
+    */
+  def merge(dst: ParquetTableStore, src: ParquetTableStore): Unit = {
+    val (md, ms) = (dst.read("meta"), src.read("meta"))
+    require(md.schema == ms.schema && md.head() == ms.head(),
+      s"merge needs identical index faces/parameters: dst meta " +
+        s"${md.head()} (${md.schema.simpleString}) vs src ${ms.head()} " +
+        s"(${ms.schema.simpleString})")
+    val (bd, bs) = (dst.readBucketed("bands", bucketCols, nBuckets),
+      src.readBucketed("bands", bucketCols, nBuckets))
+    require(bd.schema.map(f => (f.name, f.dataType)) ==
+        bs.schema.map(f => (f.name, f.dataType)),
+      s"band schemas differ: ${bd.schema.simpleString} vs ${bs.schema.simpleString}")
+    dst.stageBucketed("bands",
+      bd.unionByName(bs).dropDuplicates("doc_id", "band"),
+      bucketCols, nBuckets)
+    dst.commitStaged(Seq("bands"))
+  }
+
   /** Near-dup pair delta for an arriving batch of signatures vs
     * (indexed corpus ∪ batch): output = `hammingBandPairs` over the
     * union, restricted to pairs touching the batch (spec-pinned).

@@ -40,10 +40,20 @@ object RuntimeFilter {
   /** Serialized Bloom filter over a long-typed key column — built by
     * Spark's distributed partial-sketch aggregation (`stat.bloomFilter`
     * merges per-partition filters; keys are never collected).
+    *
+    * An EMPTY key set is legitimate (a serve wave whose batch produced
+    * zero candidates) and must yield the always-false filter — but
+    * `stat.bloomFilter` NPEs there (its aggregate returns a null
+    * buffer), so it is guarded by a limit-1 emptiness probe. The probe
+    * is a metadata-cheap job over the (batch-shaped, usually pinned)
+    * key side, and the empty filter is 1-key-sized, not
+    * expectedKeys-sized.
     */
   def bloomBytes(keys: DataFrame, keyCol: String,
       expectedKeys: Long, fpp: Double): Array[Byte] = {
-    val bf: BloomFilter = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    val bf: BloomFilter =
+      if (keys.isEmpty) BloomFilter.create(1L, fpp)
+      else keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray

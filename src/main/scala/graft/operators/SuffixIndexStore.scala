@@ -141,6 +141,81 @@ object SuffixIndexStore {
   def compact(store: ParquetTableStore): Unit =
     store.compactBucketed("suffix", bucketCols, nBuckets)
 
+  /** Re-cap the frozen (minLen, maxLen) from the STORED keys with no
+    * corpus re-read — the DedupIndexStore.refreeze doctrine applied to
+    * the suffix state. TIGHTENING ONLY (newMinLen ≥ minLen, newMaxLen ≤
+    * maxLen), and the asymmetry is fundamental, not an implementation
+    * shortcut: stored keys are truncated at the old maxLen and
+    * positions shorter than the old minLen were dropped at the source,
+    * so loosening either cap needs tokens the store never kept — that
+    * direction is a rebuild over the corpus by definition. Within the
+    * supported direction the derivation is exact: slicing a stored key
+    * to the new cap and re-deriving its prefix reproduces precisely the
+    * keys a fresh build at the new caps would emit (every kept position
+    * of every doc is represented by its old capped key; per-doc distinct
+    * re-applied because two old keys can collapse under a shorter cap).
+    * Published as one journaled group commit with the new `meta`, so a
+    * crash leaves the old caps or the new ones, never keys under one
+    * and meta under the other (SuffixSpec pins refrozen == fresh
+    * build, table and serve).
+    */
+  def refreeze(store: ParquetTableStore, newMinLen: Int, newMaxLen: Int): Unit = {
+    val m = store.read("meta").head()
+    val (minLen, maxLen) = (m.getInt(0), m.getInt(1))
+    require(newMinLen >= 1 && newMaxLen >= newMinLen,
+      s"need 1 <= minLen <= maxLen, got min=$newMinLen max=$newMaxLen")
+    require(newMinLen >= minLen && newMaxLen <= maxLen,
+      s"refreeze only tightens: stored caps ($minLen, $maxLen), asked " +
+        s"($newMinLen, $newMaxLen) — loosening needs the corpus (rebuild)")
+    store.stageBucketed("suffix",
+      readSuffix(store)
+        .select(col("doc_id"), slice(col("key"), 1, newMaxLen).as("key"))
+        .filter(size(col("key")) >= newMinLen)
+        .withColumn("prefix", concat_ws(" ", slice(col("key"), 1, newMinLen)))
+        .select(col("prefix"), col("key"), col("doc_id"))
+        .dropDuplicates("prefix", "key", "doc_id"),
+      bucketCols, nBuckets)
+    val spark = store.read("meta").sparkSession
+    import spark.implicits._
+    store.stage("meta", Seq((newMinLen, newMaxLen)).toDF("min_len", "max_len"))
+    store.commitStaged(tables)
+  }
+
+  /** Merge another suffix index INTO this one — the distributed-build
+    * path (shard corpora indexed independently, folded into one serving
+    * index). Caps need not match: both sides tighten IN the merge to
+    * the common intersection (max of minLens, min of maxLens) via the
+    * refreeze slicing, then union with per-doc-distinct dedup — so
+    * merged == a fresh build over the union corpus at the common caps
+    * (SuffixSpec pins table and serve). The intersection is the only
+    * sound target: loosening either side would need tokens its store
+    * never kept (the refreeze asymmetry), and an empty intersection is
+    * rejected loudly. One journaled group commit (suffix + the new
+    * meta); `src` read-only.
+    */
+  def merge(dst: ParquetTableStore, src: ParquetTableStore): Unit = {
+    val (mdr, msr) = (dst.read("meta").head(), src.read("meta").head())
+    val nMin = math.max(mdr.getInt(0), msr.getInt(0))
+    val nMax = math.min(mdr.getInt(1), msr.getInt(1))
+    require(nMin <= nMax,
+      s"cap intersection empty: dst (${mdr.getInt(0)}, ${mdr.getInt(1)}) vs " +
+        s"src (${msr.getInt(0)}, ${msr.getInt(1)}) — rebuild from the corpus")
+    def capped(st: ParquetTableStore): DataFrame =
+      readSuffix(st)
+        .select(col("doc_id"), slice(col("key"), 1, nMax).as("key"))
+        .filter(size(col("key")) >= nMin)
+        .withColumn("prefix", concat_ws(" ", slice(col("key"), 1, nMin)))
+        .select(col("prefix"), col("key"), col("doc_id"))
+    dst.stageBucketed("suffix",
+      capped(dst).unionByName(capped(src))
+        .dropDuplicates("prefix", "key", "doc_id"),
+      bucketCols, nBuckets)
+    val spark = dst.read("meta").sparkSession
+    import spark.implicits._
+    dst.stage("meta", Seq((nMin, nMax)).toDF("min_len", "max_len"))
+    dst.commitStaged(tables)
+  }
+
   /** Maximal duplicated-span lengths for an arriving batch vs
     * (indexed corpus ∪ batch) — `SuffixDedup.maxMatchSpans` over the
     * union, restricted to the batch's positions, with zero corpus-sized

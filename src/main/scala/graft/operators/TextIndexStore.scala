@@ -80,6 +80,32 @@ object TextIndexStore {
   def compact(spark: SparkSession, dir: String): Unit =
     store(spark, dir).compactBucketed("postings", bucketCols, nBuckets)
 
+  /** Merge another BM25 index INTO this one — the distributed-build
+    * path (shard corpora indexed independently, folded into one serving
+    * index). Postings are doc-grain facts, so the merge is a union with
+    * (term, doc_id) dedup; `stats` re-derives EXACTLY from the merged
+    * postings (n_docs = distinct doc_ids, sum_dl = Σ per-doc dl — dl
+    * rides on every posting row, and every doc has ≥ 1 row since even
+    * an empty text tokenizes to one term), so overlapping shards cannot
+    * double-count the way a naive stats-sum would. The re-derivation is
+    * one extra aggregation riding the union exchange — merge is a
+    * compaction-time op, not a serve-path one. One journaled group
+    * commit; `src` read-only. QualitySpec pins merged == fresh build
+    * over the union corpus, tables and search.
+    */
+  def merge(spark: SparkSession, dstDir: String, srcDir: String): Unit = {
+    val d = store(spark, dstDir)
+    val s = store(spark, srcDir)
+    val merged = d.stageBucketed("postings",
+      d.readBucketed("postings", bucketCols, nBuckets)
+        .unionByName(s.readBucketed("postings", bucketCols, nBuckets))
+        .dropDuplicates("term", "doc_id"),
+      bucketCols, nBuckets)
+    d.stage("stats", merged.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    d.commitStaged(Seq("postings", "stats"))
+  }
+
   /** BM25 top-k from the stored index — identical op sequence to
     * TextQuality.bm25, so indexed == direct (QualitySpec pins it).
     * The postings scan carries the bucket layout (hashpartitioning on

@@ -166,6 +166,77 @@ object VectorIndexStore {
     catch { case _: Throwable => () }
   }
 
+  // ───── distributed build: frozen shard encode + merge ─────
+  //
+  // The 100 TB build protocol for every ANN flavor: train the quantizer
+  // ONCE (centrally, on the corpus or a sample — the artifacts are KB),
+  // hand the frozen artifacts to shard builders that each encode their
+  // slice independently (encode is a pure per-row projection given
+  // frozen artifacts, so shards need no cross-shard shuffle), then one
+  // merge pass folds the shard code tables into the serving index. The
+  // same train-once identity doctrine every other index merge in this
+  // engine follows (reference anchor: the insert-if-absent identity
+  // scan, main.py:142-163) — here it is load-bearing for CORRECTNESS,
+  // not just cost: codes from independently-trained quantizers are
+  // incomparable, which is why `merge` verifies artifact equality
+  // bit-for-bit instead of trusting the caller.
+
+  /** Shard-encode a batch into a NEW index at `path` against FROZEN
+    * exact-cell centroids — the worker step of the distributed IVF
+    * build. Identical artifacts land beside the codes, so the shard is
+    * itself a complete servable index and `merge` can verify equality.
+    */
+  def writeIvfFrozen(path: String, batch: DataFrame,
+      cents: Array[(Int, Array[Double])]): Unit = {
+    writeCentroidsKeyed(batch.sparkSession, p(path, "centroids"), cents)
+    IvfIndex.buildIndexExact(batch, cents)
+      .write.mode("overwrite").parquet(p(path, "codes"))
+    touch(path)
+  }
+
+  /** Merge another ANN index INTO this one — flavor-agnostic (pq / ivf /
+    * ivfpq share the layout; the artifact dirs present determine the
+    * flavor). Preconditions, each rejected loudly: both indexes complete,
+    * same artifact structure (a PQ index cannot fold into an IVF one),
+    * and the frozen artifacts bit-identical (codes encoded under
+    * different quantizers are incomparable — that index needs a rebuild,
+    * not a merge). Under those, codes are pure projections of the
+    * embedding rows, so rows for a vector indexed by both shards are
+    * identical and the merge IS a union + id-dedup (overlap-safe),
+    * rewritten cell-clustered (the compactCodes layout) so probe-time
+    * cell pruning survives the merge. Artifacts untouched; the codes
+    * swap is atomic via ParquetTableStore.
+    */
+  def merge(spark: SparkSession, dstPath: String, srcPath: String): Unit = {
+    require(exists(dstPath) && exists(srcPath),
+      s"merge needs two complete indexes (marker missing): $dstPath, $srcPath")
+    def artifactRows(pp: String, part: String): Set[Seq[Any]] =
+      spark.read.parquet(p(pp, part)).collect()
+        .map(_.toSeq.map {
+          case s: scala.collection.Seq[_] => s.toVector
+          case x => x
+        }).toSet
+    for (part <- Seq("centroids", "codebooks")) {
+      val hd = java.nio.file.Files.exists(java.nio.file.Paths.get(dstPath, part))
+      val hs = java.nio.file.Files.exists(java.nio.file.Paths.get(srcPath, part))
+      require(hd == hs, s"merge needs identical index flavors: '$part' " +
+        s"present in ${if (hd) "dst" else "src"} only")
+      if (hd) require(artifactRows(dstPath, part) == artifactRows(srcPath, part),
+        s"merge needs identical frozen $part — shards encoded under " +
+          "different quantizers are incomparable (rebuild, don't merge)")
+    }
+    val store = new graft.etl.ParquetTableStore(spark, dstPath)
+    val codes = store.read("codes")
+    val idCol = if (codes.columns.contains("neighbor_id")) "neighbor_id" else "vec_id"
+    val merged = codes
+      .unionByName(spark.read.parquet(p(srcPath, "codes")))
+      .dropDuplicates(idCol)
+    store.overwrite("codes",
+      if (codes.columns.contains("cell"))
+        merged.repartitionByRange(32, col("cell")).sortWithinPartitions(col("cell"))
+      else merged.coalesce(32))
+  }
+
   /** Compact the append-accumulated `codes` table back to a bounded
     * file count — the maintenance pass the daily appendPq/appendIvf
     * cadence needs (every append adds a file set; scan open cost grows
@@ -236,6 +307,37 @@ object VectorIndexStore {
   def ensureIvfPq(corpusDir: String, corpus: DataFrame): String = {
     val path = s"$cacheRoot/ivfpq_${cacheKey(corpusDir)}"
     ensureLock.synchronized { if (!exists(path)) writeIvfPq(path, corpus) }
+    path
+  }
+
+  /** Merged IVF index for a corpus dir: the distributed-build protocol
+    * end-to-end — exact-cell centroids trained ONCE over the shard
+    * union (DECIMAL sums are order-exact, so this equals training on
+    * the unsharded corpus regardless of shard layout; a deployment may
+    * swap in a sample), each shard encoded independently against the
+    * frozen artifacts, folded by `merge`. Completion is multi-step, so
+    * a separate `_graft_merged_ready` marker (written LAST) gates
+    * reuse: a crash mid-protocol re-runs the remaining encodes/merges
+    * instead of serving shard 0 alone (`_graft_index_ready` is true
+    * after the first `writeIvfFrozen`).
+    */
+  def ensureMergedIvf(corpusDir: String, shards: Seq[DataFrame]): String = {
+    require(shards.nonEmpty, "need at least one shard")
+    val path = s"$cacheRoot/mivf_${shards.size}_${cacheKey(corpusDir)}"
+    val ready = java.nio.file.Paths.get(path, "_graft_merged_ready")
+    ensureLock.synchronized {
+      if (!java.nio.file.Files.exists(ready)) {
+        val spark = shards.head.sparkSession
+        val cents = IvfIndex.fitExact(shards.reduce(_ unionByName _))
+        writeIvfFrozen(path, shards.head, cents)
+        shards.tail.zipWithIndex.foreach { case (sh, i) =>
+          val sp = s"$path-shard${i + 1}"
+          writeIvfFrozen(sp, sh, cents)
+          merge(spark, path, sp)
+        }
+        java.nio.file.Files.write(ready, Array.emptyByteArray)
+      }
+    }
     path
   }
 }

@@ -509,18 +509,10 @@ object EndToEndQueries {
         val train = canonical
           .join(clusters.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
           .filter(Curation.splitOfLabel(coalesce(col("pc"), col("doc_id"))) === "train")
-        val toks = Par.fan(train).select(col("doc_id"),
-          md5(concat(lit("42:"), col("doc_id").cast(StringType))).as("skey"),
-          TextStats.wsTokenCount(col("text")).cast(LongType).as("n_tokens"))
-        GlobalOrder.cumSum(toks, struct(col("skey"), col("doc_id")), col("n_tokens"))
-          .withColumn("seq_id", expr("(cum - n_tokens) DIV 1024"))
-          .withColumn("shard_id", expr("seq_id DIV 4"))
-          .groupBy(col("shard_id"))
-          .agg(countDistinct(col("seq_id")).as("n_seqs"),
-            count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("n_tokens"),
-            md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
-              x => x.cast(StringType)))).as("content_md5"))
+        Curation.shardManifest(
+            Par.fan(train).select(col("doc_id"),
+              TextStats.wsTokenCount(col("text")).cast(LongType).as("n_tokens")),
+            seed = "42", budget = 1024L, seqsPerShard = 4L)
           .orderBy(col("shard_id"))
       },
       Some("""WITH RECURSIVE m AS (SELECT doc_id, text,

@@ -1340,17 +1340,38 @@ object ExtendedQueries {
     // 'conflict' survives, and the census is size 1 so future members
     // adopt. The oracle replays s11's double-recursive-CTE state, then
     // the vote/argmax/rewrite in SQL.
+    //
+    // The corpus's duplicate families are CLIQUES (copies of a base
+    // doc), so at high thresholds no real doc can bridge two distinct
+    // corpus clusters and the resolution branch would run vacuously.
+    // The query therefore synthesizes deterministic BRIDGE docs — the
+    // concatenation of doc pairs (i, i+2) for i ≡ 2 (mod 20), odd ids
+    // 100000+i+1 — and runs at threshold 0.45 (a concat shares ~half
+    // its shingles with each side), so quarantines form and the vote
+    // machinery fires at every SF; both engines build the same bridges.
     "s13_resolve_conflicts" -> Q(
       (s, d) => {
-        import graft.operators.{Curation, DedupIndexStore, TextDedup}
-        val docs = Tables.documents(s, d)
+        import graft.operators.{Curation, TextDedup}
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val bridges = base.as("a").join(base.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 2 &&
+              col("a.doc_id") % 20 === 2)
+          .select((col("a.doc_id") + 100001L).as("doc_id"),
+            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+        val docs = base.unionByName(bridges)
         val corpus = docs.filter(col("doc_id") % 2 === 0)
         val batch = docs.filter(col("doc_id") % 2 === 1)
+        // corpus state served STORED (ensureClusters + the dedup index at
+        // the s13 threshold — built once per corpus, read thereafter):
+        // the timed cost is the batch-shaped serve + the resolution
+        // aggregations, the deployment shape (d23/s11 doctrine)
         val prev = TextDedup.ensureClusters(s, d, corpus,
-          n = 3, minJaccard = 0.8, tag = "even")
-        val idx = DedupIndexStore.ensure(s, d, corpus, n = 3, tJac = 0.8, tCont = 0.8)
+          n = 3, minJaccard = 0.45, tag = "even45")
+        val idx = graft.operators.DedupIndexStore.ensure(s, d, corpus,
+          n = 3, tJac = 0.45, tCont = 0.45)
         val newLab = TextDedup.ccIncremental(prev,
-          DedupIndexStore.pairsIncremental(idx, batch, n = 3, minJaccard = 0.8))
+          graft.operators.DedupIndexStore.pairsIncremental(idx, batch,
+            n = 3, minJaccard = 0.45))
         val frozen = corpus.select(col("doc_id"))
           .join(prev.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -1361,7 +1382,13 @@ object ExtendedQueries {
         Curation.resolveConflicts(frozen.unionByName(assigned), newLab)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      Some("""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        br AS (SELECT a.doc_id + 100001 AS doc_id, a.text || ' ' || b.text AS text
+          FROM base a JOIN base b ON b.doc_id = a.doc_id + 2
+          WHERE a.doc_id % 20 = 2),
+        alldocs AS (SELECT doc_id, text FROM base
+          UNION ALL SELECT doc_id, text FROM br),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM alldocs),
         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
           FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1369,7 +1396,7 @@ object ExtendedQueries {
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         pairs AS (SELECT id_a, id_b
           FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.45),
         und_a AS (SELECT id_a AS u, id_b AS v FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
         reach_a(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und_a)
@@ -1386,10 +1413,10 @@ object ExtendedQueries {
             CASE WHEN md5(CAST(COALESCE(le.cc, d.doc_id) AS VARCHAR)) < 'c0' THEN 'train'
               WHEN md5(CAST(COALESCE(le.cc, d.doc_id) AS VARCHAR)) < 'e0' THEN 'val'
               ELSE 'test' END AS fs
-          FROM documents d LEFT JOIN lab_e le ON le.doc_id = d.doc_id
+          FROM alldocs d LEFT JOIN lab_e le ON le.doc_id = d.doc_id
           WHERE d.doc_id % 2 = 0),
         lab AS (SELECT d.doc_id, COALESCE(la.cc, d.doc_id) AS cluster_id
-          FROM documents d LEFT JOIN lab_a la ON la.doc_id = d.doc_id),
+          FROM alldocs d LEFT JOIN lab_a la ON la.doc_id = d.doc_id),
         agg AS (SELECT l.cluster_id, COUNT(DISTINCT f.fs) AS n, MIN(f.fs) AS one
           FROM lab l JOIN frozen f ON f.doc_id = l.doc_id GROUP BY 1),
         s11 AS (SELECT b.doc_id,

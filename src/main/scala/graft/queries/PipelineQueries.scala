@@ -43,6 +43,41 @@ object PipelineQueries {
     * to the one ANN family member whose "training" is pure seeded
     * randomness rather than float iteration.
     */
+  /** ann3's full oracle — also ann8's: a two-shard frozen-artifact build
+    * merged is bit-identical to the unsharded index (encode is a pure
+    * projection given frozen decimal-exact centroids, and those train
+    * order-exactly over any shard layout), so both queries replay the
+    * same DuckDB derivation: centroids, argmax-cosine cells, probing
+    * order, in-cell rescoring.
+    */
+  private def ann3OracleSql: String =
+    """WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent AS (SELECT label AS cell, list(c_val ORDER BY dim) AS cent FROM (
+            SELECT label, i AS dim,
+              CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val
+            FROM emb, UNNEST(range(1, 65)) AS t(i)
+            GROUP BY label, i) GROUP BY label),
+        assigned AS (SELECT vec_id, cell, emb FROM (
+            SELECT e.vec_id, c.cell, e.emb,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
+            FROM emb e, cent c) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, emb AS qv, cell FROM (
+            SELECT e.vec_id, e.emb, c.cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
+            FROM emb e, cent c WHERE e.vec_id < 5) WHERE rn <= 6),
+        scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+            list_cosine_similarity(p.qv, a.emb) AS cs
+          FROM probes p JOIN assigned a
+            ON a.cell = p.cell AND a.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id,
+          CAST(CAST(cs AS DECIMAL(18,6)) AS DOUBLE) AS cos
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY cs DESC, neighbor_id) <= 3
+        ORDER BY query_id, cos DESC, neighbor_id"""
+
   private def ann2OracleSql: String = {
     val planes = Similarity.hyperplanes(64, 8, 4)
     def arr(p: Array[Double]): String =
@@ -878,6 +913,45 @@ object PipelineQueries {
         ORDER BY id_a, id_b"""),
       "indexed b-bit MinHash: batch bands vs the persisted wide-band table"),
 
+    // MERGED shard indexes — the distributed-build protocol end-to-end:
+    // the even-id corpus is sharded (doc_id % 4 = 0 vs = 2), each shard
+    // builds its OWN DedupIndexStore independently (the 100 TB shape:
+    // per-source/per-date builds with no cross-shard shuffle), and one
+    // merge pass folds them — sets union + a full re-rank of the prefix
+    // order under the merged frequencies (the refreeze derivation), so
+    // the merged index == a fresh build over the whole even corpus, and
+    // the common-total-order premise of the prefix recall theorem holds
+    // across shard boundaries by construction. The odd-id batch then
+    // serves from the merged index exactly as d23 does from the
+    // single-build one — same semantics, so it shares d23's oracle
+    // verbatim (merged == fresh build is ALSO pinned table-by-table in
+    // DedupIndexSpec; this query pins the end-to-end serve against the
+    // independent DuckDB recompute).
+    "d30_merged_index_pairs" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = graft.operators.DedupIndexStore.ensureMerged(s, d,
+          Seq(docs.filter(col("doc_id") % 4 === 0),
+            docs.filter(col("doc_id") % 4 === 2)),
+          n = 3, tJac = 0.8, tCont = 0.8)
+        graft.operators.DedupIndexStore.pairsIncremental(idx,
+            docs.filter(col("doc_id") % 2 === 1), n = 3, minJaccard = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / (ca.n + cb.n - c)) AS BIGINT) AS jac_micro
+        FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+          AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        ORDER BY id_a, id_b"""),
+      "shard-built indexes merged (refreeze-derived order), served like d23"),
+
     // Duplication REPORT: the cluster-size histogram (how much of the
     // corpus is duplication mass, and in what shapes — many pairs vs a
     // few giant boilerplate clusters drive different curation choices).
@@ -1202,33 +1276,31 @@ object PipelineQueries {
         graft.operators.VectorIndexStore.ivfTopK(s, idx, emb.filter(col("vec_id") < 5), k = 3)
           .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       },
-      Some("""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        cent AS (SELECT label AS cell, list(c_val ORDER BY dim) AS cent FROM (
-            SELECT label, i AS dim,
-              CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val
-            FROM emb, UNNEST(range(1, 65)) AS t(i)
-            GROUP BY label, i) GROUP BY label),
-        assigned AS (SELECT vec_id, cell, emb FROM (
-            SELECT e.vec_id, c.cell, e.emb,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
-            FROM emb e, cent c) WHERE rn = 1),
-        probes AS (SELECT vec_id AS query_id, emb AS qv, cell FROM (
-            SELECT e.vec_id, e.emb, c.cell,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
-            FROM emb e, cent c WHERE e.vec_id < 5) WHERE rn <= 6),
-        scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-            list_cosine_similarity(p.qv, a.emb) AS cs
-          FROM probes p JOIN assigned a
-            ON a.cell = p.cell AND a.vec_id <> p.query_id)
-        SELECT query_id, neighbor_id,
-          CAST(CAST(cs AS DECIMAL(18,6)) AS DOUBLE) AS cos
-        FROM scored
-        QUALIFY row_number() OVER (PARTITION BY query_id
-          ORDER BY cs DESC, neighbor_id) <= 3
-        ORDER BY query_id, cos DESC, neighbor_id"""),
+      Some(ann3OracleSql),
       "IVF top-k: stored exact-cell quantizer + nprobe probing, exact in-cell rescoring"),
+
+    // MERGED shard ANN index — the d30 protocol for the vector family:
+    // the exact-cell quantizer trains ONCE over the shard union
+    // (DECIMAL per-dim sums are order-exact, so sharding cannot move the
+    // centroids), each embedding shard encodes independently against the
+    // frozen artifacts (a pure projection — the 100 TB shape: no
+    // cross-shard shuffle at build time), and one merge pass folds the
+    // code tables after verifying the artifacts are bit-identical.
+    // Because frozen-artifact encode is a projection, merged codes ==
+    // the unsharded build's codes exactly, so the serve shares ann3's
+    // oracle verbatim — the strongest available statement that the
+    // distributed build changes NOTHING about query semantics.
+    "ann8_merged_ivf_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val idx = graft.operators.VectorIndexStore.ensureMergedIvf(d,
+          Seq(emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1)))
+        graft.operators.VectorIndexStore.ivfTopK(s, idx, emb.filter(col("vec_id") < 5), k = 3)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      Some(ann3OracleSql),
+      "IVF top-k served from a two-shard merged index — distributed build, same answers"),
 
     // ann4/ann5 serve from a PERSISTED index (VectorIndexStore): the
     // first invocation per corpus trains the quantizers and writes

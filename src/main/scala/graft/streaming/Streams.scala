@@ -425,6 +425,40 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of the pretraining export front door (e2e12 as a
+    * service — Curation.exportServe): document waves arrive as parquet
+    * files; each wave is Gopher-gated, split-served against the stored
+    * dedup state, its canonical train docs are admitted, and the shard
+    * manifest over everything admitted so far lands in the store's
+    * `manifest` table (a regenerated derived artifact — overwrite is
+    * its idempotence). Assignments land at `outDir/batch=<id>`.
+    * Exactly-once across replays by exportServe's contract: the serve
+    * guard is the index's `sets` table, the admitted append is
+    * anti-joined, and a replayed wave regenerates the identical
+    * manifest.
+    */
+  def exportStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      store: graft.etl.ParquetTableStore, outDir: String,
+      checkpointDir: String, threshold: Double = 0.8,
+      budget: Long = 1024L,
+      seqsPerShard: Long = 4L): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Curation
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (_, manifest) = Curation.exportServe(store, batch, threshold,
+            budget, seqsPerShard) { assigned =>
+          assigned.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        if (store.exists("admitted")) store.overwrite("manifest", manifest)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of the suffix-span serve (d26): document batches
     * arrive as parquet files; each batch's maximal duplicated-span
     * lengths vs (everything absorbed so far ∪ batch) land at

@@ -907,6 +907,56 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(n == 0, "re-serve of an absorbed batch assigned docs")
   }
 
+  test("CLI split compact: wave-accumulated tables rewrite bounded, contents unchanged") {
+    import graft.operators.Curation
+    val tmp = Files.createTempDirectory("graft_split_compact").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+    def wave(ids: Seq[Long]): Unit =
+      Curation.splitServe(store,
+        ids.map(i => (i, (1 to 10).map(j => s"c${i}k$j").mkString(" ")))
+          .toDF("doc_id", "text"), threshold = 0.8)(_ => ())
+    wave(1L to 4L); wave(11L to 14L); wave(21L to 24L)
+    val before = store.read("splits").as[(Long, String)].collect().toSet
+    val filesBefore = store.read("splits").inputFiles.length
+    assert(filesBefore > 1, "appends should have accumulated files")
+    graft.app.Main.route(spark, List("split", "compact", s"$tmp/state", "--splits", "1"))
+    assert(store.read("splits").inputFiles.length == 1)
+    assert(store.read("splits").as[(Long, String)].collect().toSet == before,
+      "compaction changed the splits content")
+    assert(store.read("clusters").inputFiles.length == 1)
+  }
+
+  test("CLI export serve: waves match the operator twin; replay is a no-op") {
+    import graft.operators.Curation
+    def text(i: Long) = "the a and of " + (1 to 56).map(j => s"e${i}q$j").mkString(" ")
+    val w1 = ((1L to 5L).map(i => (i, text(i))) :+ ((6L, text(1)))).toDF("doc_id", "text")
+    val w2 = (11L to 14L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_export_cli").toString
+    w1.write.parquet(s"$tmp/b0"); w2.write.parquet(s"$tmp/b1")
+    graft.app.Main.route(spark,
+      List("export", "serve", s"$tmp/b0", s"$tmp/state", s"$tmp/out0"))
+    graft.app.Main.route(spark,
+      List("export", "serve", s"$tmp/b1", s"$tmp/state", s"$tmp/out1"))
+    // operator twin over a second store — manifests must agree exactly
+    val store2 = new graft.etl.ParquetTableStore(spark, s"$tmp/state2")
+    Curation.exportServe(store2, w1)(_ => ())
+    val (_, m2) = Curation.exportServe(store2, w2)(_ => ())
+    def mset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, String)].collect().toSet
+    val cli = mset(new graft.etl.ParquetTableStore(spark, s"$tmp/state").read("manifest"))
+    assert(cli == mset(m2) && cli.nonEmpty, "CLI manifest drifted from the operator")
+    // non-canonical dup 6 never admitted
+    val adm = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+      .read("admitted").select($"doc_id").as[Long].collect().toSet
+    assert(!adm.contains(6L) && adm.nonEmpty)
+    // replay of an absorbed wave: 0 assigned, manifest unchanged
+    val n = graft.app.Main.exportServe(spark, s"$tmp/b1", s"$tmp/state",
+      s"$tmp/out2", threshold = 0.8, budget = 1024L, seqsPerShard = 4L)
+    assert(n == 0L)
+    assert(mset(new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+      .read("manifest")) == cli)
+  }
+
   test("sketch error gates at sf0.01: HLL distinct and quantile sketch vs exact") {
     // the a7/a13 twin of the ANN recall gates: a silent sketch-parameter
     // regression (rsd, accuracy) must trip a pinned numeric bound, not

@@ -284,6 +284,53 @@ class CurationSpec extends SparkTestBase {
       s"future member must adopt the resolved split, got $outs")
   }
 
+  test("export reconcile after split resolve: admission re-derived, flips pinned, replay no-op") {
+    import graft.etl.ParquetTableStore
+    // ≥50-word Gopher-passing texts with disjoint vocabularies
+    def text(i: Long) = "the a and of " + (1 to 56).map(j => s"r${i}z$j").mkString(" ")
+    val splitOf = (1L to 60L).toDF("doc_id")
+      .select($"doc_id", Curation.splitOfLabel($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    def pair(lo: String, hi: String, used: Set[Long]) = (for {
+      x <- (1L to 60L).toSeq; y <- (1L to 60L).toSeq
+      if x < y && splitOf(x) == lo && splitOf(y) == hi &&
+        !used(x) && !used(y)
+    } yield (x, y)).head
+    // gain case: canonical x is 'val', mate 'train' → tie resolves to
+    // 'train' (lexicographic min) → x becomes admissible post-resolve
+    val (x, y) = pair("val", "train", Set.empty)
+    // loss case: canonical x2 is 'train', mate 'test' → resolves 'test'
+    val (x2, y2) = pair("train", "test", Set(x, y))
+    val fillers = (1L to 60L).filter(i => !Set(x, y, x2, y2)(i)).take(6)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_reconcile").toString
+    val store = new ParquetTableStore(spark, s"$tmp/state")
+    def serve(b: org.apache.spark.sql.DataFrame) =
+      Curation.exportServe(store, b, threshold = 0.4)(_ => ())
+    serve(docs((Seq(x, y, x2, y2) ++ fillers).sorted.map(i => i -> text(i)): _*))
+    serve(docs(
+      1001L -> (text(x) + " " + text(y)),     // bridges val|train → conflict
+      1002L -> (text(x2) + " " + text(y2))))  // bridges train|test → conflict
+    def admitted() = store.read("admitted").select($"doc_id").as[Long].collect().toSet
+    val arrivalAdmitted = admitted()
+    // at arrival: singletons admitted iff train; bridges quarantined
+    val trainFillers = fillers.filter(splitOf(_) == "train").toSet
+    assert(arrivalAdmitted == trainFillers ++ Set(y, x2),
+      s"arrival admission drifted: $arrivalAdmitted")
+    assert(Curation.resolveConflictsInStore(store) > 0L)
+    val (flipped, manifest) = Curation.exportReconcile(store)
+    // +x (cluster resolved train, x canonical), −y (no longer canonical),
+    // −x2 (cluster resolved test); y2 and the bridges were never in
+    assert(flipped == 3L, s"expected 3 admission flips, got $flipped")
+    assert(admitted() == trainFillers + x, s"post-reconcile: ${admitted()}")
+    // manifest is the derived artifact over the reconciled admitted set
+    def mset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(mset(manifest) ==
+      mset(Curation.shardManifest(store.read("admitted"), "42", 1024L, 4L)))
+    // replay: state already consistent
+    assert(Curation.exportReconcile(store)._1 == 0L)
+  }
+
   test("splitServe adopts a dedupidx-built store (no clusters table): selfPairs bootstrap") {
     import graft.operators.{DedupIndexStore, TextDedup}
     import graft.etl.ParquetTableStore

@@ -132,6 +132,78 @@ class DedupIndexSpec extends SparkTestBase {
     assert(postC == freshC && postC.nonEmpty)
   }
 
+  test("merge of shard-built indexes equals a fresh build over the union corpus") {
+    // the distributed-build path: shards build INDEPENDENTLY (each
+    // freezes its own local prefix order), merge re-ranks under the
+    // merged frequencies — so unlike append-after-build, the merged
+    // store must equal the fresh union build TABLE BY TABLE, not just
+    // in its served pairs.
+    val e1 = even.filter(col("doc_id") % 4 === 0)
+    val e2 = even.filter(col("doc_id") % 4 === 2)
+    val shardA = freshStore()
+    DedupIndexStore.build(shardA, e1, n = 3, tJac = 0.8, tCont = 0.8)
+    val shardB = freshStore()
+    DedupIndexStore.build(shardB, e2, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.merge(shardA, shardB)
+    val fresh = freshStore()
+    DedupIndexStore.build(fresh, even, n = 3, tJac = 0.8, tCont = 0.8)
+    for (t <- Seq("sets", "freq", "prefix_jac", "prefix_cont", "postings")) {
+      val a = shardA.read(t).collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toVector; case x => x
+      }).toSet
+      val b = fresh.read(t).collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toVector; case x => x
+      }).toSet
+      assert(a == b, s"$t diverged after merge: ${a.diff(b).take(3)} / ${b.diff(a).take(3)}")
+    }
+    val gotJ = pairsOf(DedupIndexStore.pairsIncremental(shardA, odd, 3, 0.8))
+    val expJ = pairsOf(DedupIndexStore.pairsIncremental(fresh, odd, 3, 0.8))
+    assert(gotJ == expJ && gotJ.nonEmpty)
+    val gotC = pairsOf(DedupIndexStore.containmentIncremental(shardA, odd, 3, 0.8))
+    val expC = pairsOf(DedupIndexStore.containmentIncremental(fresh, odd, 3, 0.8))
+    assert(gotC == expC && gotC.nonEmpty)
+    // overlapping shards: re-merging a shard already contained is a no-op
+    val setsBefore = shardA.read("sets").count()
+    DedupIndexStore.merge(shardA, shardB)
+    assert(shardA.read("sets").count() == setsBefore)
+    assert(pairsOf(DedupIndexStore.pairsIncremental(shardA, odd, 3, 0.8)) == gotJ)
+    // parameter mismatch is rejected loudly, store untouched
+    val alien = freshStore()
+    DedupIndexStore.build(alien, e2, n = 3, tJac = 0.9, tCont = 0.9)
+    val err = intercept[IllegalArgumentException](DedupIndexStore.merge(shardA, alien))
+    assert(err.getMessage.contains("identical index parameters"))
+  }
+
+  test("hamming band index merge equals a single build; face mismatch rejected") {
+    def sig(df: DataFrame) = TextDedup.simhash(df)
+      .select(col("doc_id"), col("simhash").as("hash64"))
+    val e1 = even.filter(col("doc_id") % 4 === 0)
+    val e2 = even.filter(col("doc_id") % 4 === 2)
+    val shardA = freshStore()
+    graft.operators.HammingIndexStore.build(shardA, sig(e1), maxHamming = 7)
+    val shardB = freshStore()
+    graft.operators.HammingIndexStore.build(shardB, sig(e2), maxHamming = 7)
+    graft.operators.HammingIndexStore.merge(shardA, shardB)
+    val fresh = freshStore()
+    graft.operators.HammingIndexStore.build(fresh, sig(even), maxHamming = 7)
+    val a = shardA.read("bands").collect().map(_.toSeq).toSet
+    val b = fresh.read("bands").collect().map(_.toSeq).toSet
+    assert(a == b, s"bands diverged: ${a.diff(b).take(3)} / ${b.diff(a).take(3)}")
+    val got = graft.operators.HammingIndexStore.pairsIncremental(shardA, sig(odd))
+      .as[(Long, Long, Int)].collect().toSet
+    val exp = graft.operators.HammingIndexStore.pairsIncremental(fresh, sig(odd))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+    // a b-bit-face store must not fold into a 64-bit-face one
+    def bsig(df: DataFrame) = graft.operators.Par.fan(df).select(col("doc_id"),
+      graft.functions.TextSketches.bbitMinhashSig(col("text"), 3).as("sig"))
+    val alien = freshStore()
+    graft.operators.HammingIndexStore.buildBbit(alien, bsig(e2), minEst = 0.7)
+    val err = intercept[IllegalArgumentException](
+      graft.operators.HammingIndexStore.merge(shardA, alien))
+    assert(err.getMessage.contains("identical index faces"))
+  }
+
   test("simhash band index: served pairs == batch simhashPairs restricted to the batch") {
     // the SimHash face of HammingIndexStore (d28): banding is a pure
     // function of the hash, so serve == recompute needs no frozen-order

@@ -365,6 +365,66 @@ class MediaStreamingSpec extends SparkTestBase {
       "replay appended duplicate assignments")
   }
 
+  test("export stream: ascending waves regenerate the one-shot e2e12 manifest; replay no-op") {
+    import graft.operators.{Curation, Par, TextDedup, TextQuality, TextStats}
+    // planted corpus: ≥50-word Gopher-passing docs with disjoint
+    // vocabularies; one in-wave dup, one cross-wave dup, one gate-fail
+    def text(i: Long) = "the a and of " + (1 to 56).map(j => s"w${i}x$j").mkString(" ")
+    val wave1 = ((1L to 6L).map(i => (i, text(i))) ++ Seq(
+      (7L, text(1)),             // in-wave near-dup of doc 1 → not canonical
+      (8L, "too short to pass")) // gate-fails (n_words < 50)
+    ).toDF("doc_id", "text")
+    val wave2 = ((11L to 16L).map(i => (i, text(i))) ++ Seq(
+      (17L, text(2)))            // cross-wave dup of wave-1 doc 2 → dropped
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export_stream").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+    val docsDir = s"$tmp/arrivals"
+    wave1.write.mode("append").parquet(docsDir)
+    Streams.exportStream(spark, docsDir, store, s"$tmp/out", s"$tmp/ckpt",
+      threshold = 0.8, budget = 64L, seqsPerShard = 2L).awaitTermination(120000)
+    wave2.write.mode("append").parquet(docsDir)
+    Streams.exportStream(spark, docsDir, store, s"$tmp/out", s"$tmp/ckpt",
+      threshold = 0.8, budget = 64L, seqsPerShard = 2L).awaitTermination(120000)
+    // the COMPOSITION contract: ascending waves → the stored manifest
+    // equals the one-shot e2e12 export over the union corpus
+    val all = wave1.unionByName(wave2)
+    val gated = all.join(TextQuality.gopherRules(all)
+      .filter($"passes" === 1).select($"doc_id"), Seq("doc_id"), "left_semi")
+    val clusters = TextDedup.connectedComponents(
+      TextDedup.jaccardPairs(gated, n = 3, minJaccard = 0.8))
+    val canonical = gated.join(clusters
+      .filter($"doc_id" =!= $"cluster_id").select($"doc_id"),
+      Seq("doc_id"), "left_anti")
+    val train = canonical
+      .join(clusters.withColumnRenamed("cluster_id", "pc"), Seq("doc_id"), "left")
+      .filter(Curation.splitOfLabel(coalesce($"pc", $"doc_id")) === "train")
+    def mset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, String)].collect().toSet
+    val oneShot = mset(Curation.shardManifest(
+        Par.fan(train).select($"doc_id",
+          TextStats.wsTokenCount($"text").cast("long").as("n_tokens")),
+        seed = "42", budget = 64L, seqsPerShard = 2L))
+    val got = mset(store.read("manifest"))
+    assert(got == oneShot && got.nonEmpty,
+      s"streamed manifest drifted: extra ${got.diff(oneShot)} missing ${oneShot.diff(got)}")
+    // the gate-fail, the non-canonical dup and the cross-wave dup are out
+    val admitted = store.read("admitted").select($"doc_id").as[Long].collect().toSet
+    assert(Seq(7L, 8L, 17L).forall(!admitted.contains(_)))
+    assert(admitted.subsetOf((1L to 6L).toSet ++ (11L to 16L).toSet) && admitted.nonEmpty)
+    // per-wave assignments landed
+    assert(spark.read.parquet(s"$tmp/out/batch=0").count() > 0)
+    assert(spark.read.parquet(s"$tmp/out/batch=1").count() > 0)
+    // fresh-checkpoint replay over the full arrivals dir: everything is
+    // absorbed → nothing assigned, manifest and admitted set unchanged
+    Streams.exportStream(spark, docsDir, store, s"$tmp/out2", s"$tmp/ckpt2",
+      threshold = 0.8, budget = 64L, seqsPerShard = 2L).awaitTermination(120000)
+    assert(mset(store.read("manifest")) == got,
+      "replay changed the manifest")
+    assert(store.read("admitted").count() == admitted.size,
+      "replay grew the admitted table")
+  }
+
   test("suffix index stream: each wave's spans equal the as-of recompute; replay is a no-op") {
     import graft.operators.{SuffixDedup, SuffixIndexStore}
     val docs = Tables.documents(spark, sfTiny)

@@ -628,6 +628,55 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ANN index merge: frozen-artifact shards fold to the unsharded build; mismatches rejected") {
+    import graft.operators.{IvfIndex, VectorIndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_annmrg").toString
+    // central train ONCE; shards OVERLAP (evens ∪ evens-plus-odds) so
+    // the id-dedup is exercised, unlike a clean disjoint split
+    val cents = IvfIndex.fitExact(emb)
+    VectorIndexStore.writeIvfFrozen(s"$dir/a", emb.filter($"vec_id" % 2 === 0), cents)
+    VectorIndexStore.writeIvfFrozen(s"$dir/b",
+      emb.filter($"vec_id" % 2 === 1 || $"vec_id" % 4 === 0), cents)
+    VectorIndexStore.merge(spark, s"$dir/a", s"$dir/b")
+    VectorIndexStore.writeIvf(s"$dir/full", emb)
+    def codes(pp: String) = spark.read.parquet(s"$pp/codes")
+      .select($"neighbor_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(codes(s"$dir/a") == codes(s"$dir/full"),
+      "merged codes drifted from the unsharded build")
+    val q = emb.filter($"vec_id" < 5)
+    val got = VectorIndexStore.ivfTopK(spark, s"$dir/a", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val exp = VectorIndexStore.ivfTopK(spark, s"$dir/full", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+    // re-merge is a no-op (id-dedup), and the merged layout stays
+    // cell-clustered: files cover disjoint contiguous cell ranges
+    val nBefore = spark.read.parquet(s"$dir/a/codes").count()
+    VectorIndexStore.merge(spark, s"$dir/a", s"$dir/b")
+    assert(spark.read.parquet(s"$dir/a/codes").count() == nBefore)
+    val ranges = spark.read.parquet(s"$dir/a/codes")
+      .select(input_file_name().as("f"), $"cell")
+      .groupBy($"f").agg(min($"cell").as("lo"), max($"cell").as("hi"))
+      .as[(String, Int, Int)].collect().sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"cell ranges overlap: $a vs $b")
+      case _ => ()
+    }
+    // artifact mismatch: a shard encoded under DIFFERENT centroids
+    // (trained on half the corpus) must be rejected, store untouched
+    VectorIndexStore.writeIvfFrozen(s"$dir/alien",
+      emb.filter($"vec_id" % 2 === 1), IvfIndex.fitExact(emb.filter($"vec_id" % 2 === 0)))
+    val e1 = intercept[IllegalArgumentException](
+      VectorIndexStore.merge(spark, s"$dir/a", s"$dir/alien"))
+    assert(e1.getMessage.contains("identical frozen centroids"))
+    // flavor mismatch: a flat-PQ index cannot fold into an IVF one
+    VectorIndexStore.writePq(s"$dir/pq", emb.filter($"vec_id" % 2 === 1))
+    val e2 = intercept[IllegalArgumentException](
+      VectorIndexStore.merge(spark, s"$dir/a", s"$dir/pq"))
+    assert(e2.getMessage.contains("identical index flavors"))
+    assert(spark.read.parquet(s"$dir/a/codes").count() == nBefore)
+  }
+
   test("IVFPQ index store: append-after-train equals batch build, queries match inline") {
     import graft.operators.{IvfIndex, PqIndex, VectorIndexStore}
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString
@@ -1132,6 +1181,13 @@ class PipelineOpsSpec extends SparkTestBase {
     assert((0 until 20000 by 100).forall(k => kept.contains(k.toLong)))
     // the prune is selective: ~1% fpp on the 99% non-matching side
     assert(kept.size < 200 + 20000 / 20, s"bloom kept ${kept.size} of 20000")
+    // an EMPTY dim side is a legitimate wave shape (zero candidates) and
+    // must prune everything, not NPE inside stat.bloomFilter (found by
+    // the splitServe scaling probe: a clean 40-doc batch with no dedup
+    // candidates crashed the serve)
+    val none = RuntimeFilter.bloomPruneLong(fact, dim.filter($"dk" < 0), "k", "dk",
+      expectedKeys = 1000L, fpp = 0.01)
+    assert(none.count() == 0L, "empty dim must yield the always-false filter")
   }
 
   test("s10 leakage-safe split: no near-dup pair straddles splits, all docs assigned") {
@@ -1152,6 +1208,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(byCluster.forall(_.map(_._3).toSet.size == 1))
     // and the split actually partitions (all three sides non-empty here)
     assert(res.map(_._3).toSet == Set("train", "val", "test"))
+  }
+
+  test("s13 on the gate corpus: resolution fires, no conflict survives, no straddle, idempotent") {
+    import graft.operators.{Curation, TextDedup}
+    // the registered s13 relation: documents ∪ synthetic concat bridges
+    // at threshold 0.45 (clique families can't bridge at 0.8 — the
+    // query plants chain structure so the vote machinery has real work)
+    val res = SparkEntry.registry("s13_resolve_conflicts").fn(spark, sfTiny)
+      .as[(Long, Long, String, Long)].collect()
+    assert(res.exists(_._4 == 1L),
+      "vacuous: the resolution branch moved nothing on the gate corpus")
+    assert(!res.exists(_._3 == "conflict"), "a conflict survived resolution")
+    val splitOf = res.map(r => r._1 -> r._3).toMap
+    val base = docs.select($"doc_id", $"text")
+    val bridges = base.as("a").join(base.as("b"),
+        $"b.doc_id" === $"a.doc_id" + 2 && $"a.doc_id" % 20 === 2)
+      .select(($"a.doc_id" + 100001L).as("doc_id"),
+        concat($"a.text", lit(" "), $"b.text").as("text"))
+    val all = base.unionByName(bridges)
+    val pairs = TextDedup.jaccardPairs(all, n = 3, minJaccard = 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b),
+        s"pair ($a,$b) straddles ${splitOf(a)}/${splitOf(b)} post-resolution") }
+    // idempotent: resolving the resolved assignment changes nothing
+    val resolvedSplits = res.toSeq.map(r => (r._1, r._3)).toDF("doc_id", "split")
+    val clusters = res.toSeq.map(r => (r._1, r._2)).toDF("doc_id", "cluster_id")
+    assert(Curation.resolveConflicts(resolvedSplits, clusters)
+      .filter($"changed" === 1L).count() == 0L)
   }
 
   test("s11 planted: adopt unambiguous frozen split, hash fresh clusters, flag bridges as conflict") {

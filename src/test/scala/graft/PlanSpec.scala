@@ -372,6 +372,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("d28/d29: band-index serves never read the corpus — pinned batch + stored bands only") {
+    // the HammingIndexStore contract for both faces (64-bit SimHash and
+    // the width-parameterized b-bit): the batch's signatures pin once
+    // (localCheckpoint), so the serve plan reads ONLY the ExistingRDD
+    // and the stored band table — a documents.parquet FileScan would be
+    // a corpus-shaped re-read in the per-batch cost.
+    val dir = java.nio.file.Files.createTempDirectory("graft-planspec-band").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    for (name <- Seq("d28_indexed_simhash", "d29_indexed_bbit")) {
+      val p = planOf(SparkEntry.registry(name).fn(spark, dir))
+      val docScanLines = p.split("\n").filter(l =>
+        l.contains("FileScan") && l.contains("documents.parquet"))
+      assert(docScanLines.isEmpty,
+        s"$name: corpus re-read leaked into the serve plan:\n${docScanLines.mkString("\n")}")
+      assert(p.contains("ExistingRDD"), s"$name: no pinned batch scan\n$p")
+      assert(p.contains("graft-dedup-state"), s"$name: no stored band-table scan\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
   test("d26: the suffix serve stage never reads the corpus — pinned batch + stored suffix table only") {
     // same contract as d23/d24 for the suffix store: the relational
     // stage feeding the neighbor scan (serveUnion — the scan itself is

@@ -178,6 +178,34 @@ class QualitySpec extends SparkTestBase {
     assert(page.toSeq == again.toSeq, "MMR page must be deterministic")
   }
 
+  test("search merge: shard-built BM25 indexes fold to the full build, overlap-safe") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_searchmrg").toString
+    val docsPath = s"$sfTiny/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val terms = Seq("vector", "hash", "spark")
+    // OVERLAPPING shards (both contain doc_id % 4 == 0): the naive
+    // stats-sum would double-count those docs' lengths; merge re-derives
+    // stats from the merged postings, so merged == full build exactly
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$tmp/evens")
+    docs.filter($"doc_id" % 2 === 1 || $"doc_id" % 4 === 0)
+      .write.parquet(s"$tmp/oddsplus")
+    graft.app.Main.searchBuild(spark, s"$tmp/evens", s"$tmp/idxa")
+    graft.app.Main.searchBuild(spark, s"$tmp/oddsplus", s"$tmp/idxb")
+    graft.app.Main.route(spark, List("search", "merge", s"$tmp/idxa", s"$tmp/idxb"))
+    graft.app.Main.searchBuild(spark, docsPath, s"$tmp/idxfull")
+    val mergedStats = spark.read.parquet(s"$tmp/idxa/stats")
+      .as[(Long, Long)].head()
+    val fullStats = spark.read.parquet(s"$tmp/idxfull/stats")
+      .as[(Long, Long)].head()
+    assert(mergedStats == fullStats,
+      s"stats drifted (overlap double-count?): $mergedStats vs $fullStats")
+    val merged = graft.operators.TextIndexStore.search(spark, s"$tmp/idxa", terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val full = graft.operators.TextIndexStore.search(spark, s"$tmp/idxfull", terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(merged == full && merged.nonEmpty)
+  }
+
   test("CLI curate: composed pipeline is deterministic, rate-monotone, dedup-respecting") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_curate").toString
     val docsPath = s"$sfTiny/documents.parquet"

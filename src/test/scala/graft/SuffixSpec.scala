@@ -156,6 +156,80 @@ class SuffixSpec extends SparkTestBase {
       s"re-serve after absorb drifted: extra ${reServed.diff(a)} missing ${a.diff(reServed)}")
   }
 
+  test("refreeze tightens caps from stored keys: table and serve equal a fresh build") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val refrozen = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sufrf1").toString)
+    graft.operators.SuffixIndexStore.build(refrozen, corpus, minLen = 6, maxLen = 32)
+    graft.operators.SuffixIndexStore.refreeze(refrozen, newMinLen = 8, newMaxLen = 16)
+    val fresh = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sufrf2").toString)
+    graft.operators.SuffixIndexStore.build(fresh, corpus, minLen = 8, maxLen = 16)
+    // the strongest form: the derived TABLE equals the fresh build's,
+    // not just the serves (a row-set drift that happened to serve the
+    // same spans on this batch would still be a latent bug)
+    def rows(s: graft.etl.ParquetTableStore) = s.read("suffix")
+      .select(col("prefix"), concat_ws(" ", col("key")).as("k"), col("doc_id"))
+      .as[(String, String, Long)].collect().toSet
+    val (gotRows, wantRows) = (rows(refrozen), rows(fresh))
+    assert(gotRows == wantRows && gotRows.nonEmpty,
+      s"refrozen table drifted: extra ${gotRows.diff(wantRows).take(3)} " +
+        s"missing ${wantRows.diff(gotRows).take(3)}")
+    assert(refrozen.read("meta").as[(Int, Int)].head() == ((8, 16)))
+    def spans(s: graft.etl.ParquetTableStore) =
+      graft.operators.SuffixIndexStore.servedSpans(s, batch)
+        .as[(Long, Long, Long)].collect().toSet
+    val got = spans(refrozen)
+    assert(got == spans(fresh) && got.nonEmpty, "refrozen serve drifted")
+    // loosening either cap is a rebuild by definition — reject loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.SuffixIndexStore.refreeze(refrozen, 8, 32)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.SuffixIndexStore.refreeze(refrozen, 6, 16)
+    }
+  }
+
+  test("merge of shard-built suffix indexes equals a fresh build at the cap intersection") {
+    // shards built at DIFFERENT caps fold to the intersection (max of
+    // minLens, min of maxLens) — the only caps both stores can prove;
+    // each side tightens by the refreeze slicing inside the merge.
+    val corpusA = docs.filter(col("doc_id") % 4 === 0)
+    val corpusB = docs.filter(col("doc_id") % 4 === 2)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def temp(tag: String) = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory(s"graft-sufmrg-$tag").toString)
+    val shardA = temp("a")
+    graft.operators.SuffixIndexStore.build(shardA, corpusA, minLen = 6, maxLen = 32)
+    val shardB = temp("b")
+    graft.operators.SuffixIndexStore.build(shardB, corpusB, minLen = 8, maxLen = 24)
+    graft.operators.SuffixIndexStore.merge(shardA, shardB)
+    val fresh = temp("f")
+    graft.operators.SuffixIndexStore.build(fresh,
+      corpusA.unionByName(corpusB), minLen = 8, maxLen = 24)
+    def rows(s: graft.etl.ParquetTableStore) = s.read("suffix")
+      .select(col("prefix"), concat_ws(" ", col("key")).as("k"), col("doc_id"))
+      .as[(String, String, Long)].collect().toSet
+    val (gotRows, wantRows) = (rows(shardA), rows(fresh))
+    assert(gotRows == wantRows && gotRows.nonEmpty,
+      s"merged table drifted: extra ${gotRows.diff(wantRows).take(3)} " +
+        s"missing ${wantRows.diff(gotRows).take(3)}")
+    assert(shardA.read("meta").as[(Int, Int)].head() == ((8, 24)))
+    def spans(s: graft.etl.ParquetTableStore) =
+      graft.operators.SuffixIndexStore.servedSpans(s, batch)
+        .as[(Long, Long, Long)].collect().toSet
+    val got = spans(shardA)
+    assert(got == spans(fresh) && got.nonEmpty, "merged serve drifted")
+    // disjoint cap ranges cannot merge — rebuild is the only sound path
+    val alien = temp("x")
+    graft.operators.SuffixIndexStore.build(alien, corpusB, minLen = 25, maxLen = 32)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.SuffixIndexStore.merge(shardA, alien)
+    }
+    assert(err.getMessage.contains("cap intersection empty"))
+  }
+
   test("indexed scrub equals the window scrub restricted to the batch (sf0.001 + planted)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sufscrub").toString
     val store = new graft.etl.ParquetTableStore(spark, dir)
