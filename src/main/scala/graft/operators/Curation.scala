@@ -508,6 +508,40 @@ object Curation {
       .orderBy(col("shard_id")))
   }
 
+  /** The full export LIFECYCLE over a wave sequence, built once per
+    * corpus and cached (the ensureClusters doctrine): serve every wave
+    * through the front door, adjudicate whatever quarantined
+    * (`resolveConflictsInStore`), and reconcile admissions under the
+    * resolved splits — the loop a deployment runs when cross-split
+    * bridges arrive. Every stage is individually replay-safe (absorbed
+    * waves assign 0, resolve and reconcile are no-ops at a fixed
+    * point), so the `loop_ok` marker (committed LAST) only saves the
+    * re-run, it is not needed for correctness: a crash mid-protocol
+    * replays the whole loop onto the same fixed point.
+    */
+  def ensureExportLoop(corpusDir: String, waves: Seq[DataFrame],
+      threshold: Double, tag: String): graft.etl.ParquetTableStore = {
+    require(waves.nonEmpty, "need at least one wave")
+    val spark = waves.head.sparkSession
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft-index")
+    val path = s"$root/xloop1_${tag}_${(threshold * 1000).toInt}_${key}_$mtime"
+    loopLock.synchronized {
+      val store = new graft.etl.ParquetTableStore(spark, path)
+      if (!store.exists("loop_ok")) {
+        waves.foreach(w => exportServe(store, w, threshold)(_ => ()))
+        resolveConflictsInStore(store)
+        exportReconcile(store)
+        import spark.implicits._
+        store.stage("loop_ok", Seq(1).toDF("ok"))
+        store.commitStaged(Seq("loop_ok"))
+      }
+      store
+    }
+  }
+  private val loopLock = new Object
+
   def mixSample(docs: DataFrame, ratePermille: Column,
       textCol: String = "text"): DataFrame =
     docs.where(hashBucket(col(textCol)) < ratePermille)

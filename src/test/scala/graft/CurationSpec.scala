@@ -331,6 +331,44 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.exportReconcile(store)._1 == 0L)
   }
 
+  test("export lifecycle on the corpus (e2e13 fixture): quarantine fires, resolve clears it, reconcile flips") {
+    import graft.etl.ParquetTableStore
+    val base = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select($"doc_id", $"text")
+    val bridges = base.as("a").join(base.as("b"),
+        $"b.doc_id" === $"a.doc_id" + 2 && $"a.doc_id" % 20 === 2)
+      .select(($"a.doc_id" + 100001L).as("doc_id"),
+        concat($"a.text", lit(" "), $"b.text").as("text"))
+    val all = base.unionByName(bridges)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e13").toString
+    val store = new ParquetTableStore(spark, s"$tmp/state")
+    Curation.exportServe(store, all.filter($"doc_id" % 2 === 0), threshold = 0.45)(_ => ())
+    Curation.exportServe(store, all.filter($"doc_id" % 2 === 1), threshold = 0.45)(_ => ())
+    // the synthetic bridges must actually quarantine on the real corpus
+    // — otherwise e2e13's resolution branch is vacuously green
+    val preConflicts = store.read("splits")
+      .filter($"split" === "conflict").count()
+    assert(preConflicts > 0, "bridges failed to quarantine at sf0.001")
+    val moved = Curation.resolveConflictsInStore(store)
+    assert(moved >= preConflicts, s"resolve moved $moved < $preConflicts conflicts")
+    // post-resolution invariants: no conflict survives, no cluster straddles
+    val lab = store.read("splits")
+      .join(store.read("clusters").withColumnRenamed("cluster_id", "cl"),
+        Seq("doc_id"), "left")
+      .withColumn("cid", coalesce($"cl", $"doc_id"))
+    assert(lab.filter($"split" === "conflict").count() == 0)
+    assert(lab.groupBy($"cid").agg(countDistinct($"split").as("ns"))
+      .filter($"ns" >= 2).count() == 0, "a cluster still straddles splits")
+    val (flipped, manifest) = Curation.exportReconcile(store)
+    assert(flipped > 0, "resolution changed no admission — lifecycle is vacuous")
+    assert(manifest.count() > 0)
+    // fixed point: replaying any stage changes nothing
+    assert(Curation.exportServe(store,
+      all.filter($"doc_id" % 2 === 1), threshold = 0.45)(_ => ())._1 == 0L)
+    assert(Curation.resolveConflictsInStore(store) == 0L)
+    assert(Curation.exportReconcile(store)._1 == 0L)
+  }
+
   test("splitServe adopts a dedupidx-built store (no clusters table): selfPairs bootstrap") {
     import graft.operators.{DedupIndexStore, TextDedup}
     import graft.etl.ParquetTableStore
