@@ -48,6 +48,11 @@ import graft.marts.Views
   *                                           <dst>: sets union + prefix
   *                                           re-rank over merged freqs
   *                                           (== fresh build over union)
+  *   <family> retract <idx> <ids-parquet>    takedown: forget the listed
+  *                                           doc ids from the index (==
+  *                                           fresh build without them);
+  *                                           families: dedupidx suffixidx
+  *                                           mediaidx search index
   *   suffixidx build <docs> <idx> [--min N] [--max M]
   *                                           persist the suffix-key state
   *                                           for exact-substring dedup
@@ -159,6 +164,10 @@ object Main {
         graft.operators.DedupIndexStore.merge(
           new ParquetTableStore(spark, dst), new ParquetTableStore(spark, src))
         println(s"[graft] dedupidx merge: $src folded into $dst (prefix order re-frozen over the union)")
+      case "dedupidx" :: "retract" :: idx :: ids :: Nil =>
+        graft.operators.DedupIndexStore.retract(
+          new ParquetTableStore(spark, idx), spark.read.parquet(ids))
+        println(s"[graft] dedupidx retract: ids in $ids forgotten from $idx (prefix order re-frozen)")
       case "split" :: "serve" :: batch :: state :: out :: rest =>
         splitServe(spark, batch, state, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8))
@@ -204,6 +213,10 @@ object Main {
         graft.operators.SuffixIndexStore.merge(
           new ParquetTableStore(spark, dst), new ParquetTableStore(spark, src))
         println(s"[graft] suffixidx merge: $src folded into $dst (caps tightened to the intersection)")
+      case "suffixidx" :: "retract" :: idx :: ids :: Nil =>
+        graft.operators.SuffixIndexStore.retract(
+          new ParquetTableStore(spark, idx), spark.read.parquet(ids))
+        println(s"[graft] suffixidx retract: ids in $ids forgotten from $idx")
       case "mediaidx" :: "build" :: docs :: idx :: rest =>
         mediaIdxBuild(spark, docs, idx,
           opt(rest, "--hamming").map(_.toInt).getOrElse(7))
@@ -216,9 +229,19 @@ object Main {
         graft.operators.HammingIndexStore.merge(
           new ParquetTableStore(spark, dst), new ParquetTableStore(spark, src))
         println(s"[graft] mediaidx merge: $src folded into $dst")
+      case "mediaidx" :: "retract" :: idx :: ids :: Nil =>
+        graft.operators.HammingIndexStore.retract(
+          new ParquetTableStore(spark, idx), spark.read.parquet(ids))
+        println(s"[graft] mediaidx retract: ids in $ids forgotten from $idx")
       case "search" :: "merge" :: dst :: src :: Nil =>
         graft.operators.TextIndexStore.merge(spark, dst, src)
         println(s"[graft] search merge: $src folded into $dst (stats re-derived from merged postings)")
+      case "search" :: "retract" :: idx :: ids :: Nil =>
+        graft.operators.TextIndexStore.retract(spark, idx, spark.read.parquet(ids))
+        println(s"[graft] search retract: ids in $ids forgotten from $idx (stats re-derived)")
+      case "index" :: "retract" :: idx :: ids :: Nil =>
+        graft.operators.VectorIndexStore.retract(spark, idx, spark.read.parquet(ids))
+        println(s"[graft] index retract: ids in $ids forgotten from $idx (artifacts frozen)")
       case "dedupidx" :: "serve" :: batch :: idx :: out :: rest =>
         dedupIdxServe(spark, batch, idx, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),

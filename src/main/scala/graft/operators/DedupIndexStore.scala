@@ -246,9 +246,15 @@ object DedupIndexStore {
     * group commit; `src` is read-only throughout.
     *
     * Cost: one exchange over the union's shingle rows (the groupBy +
-    * two prefix rankings share it via the staged postings) — strictly
-    * cheaper than a fresh build, which pays the same exchange PLUS the
-    * corpus text re-read and re-shingle explode.
+    * two prefix rankings share it via the staged postings) — the same
+    * exchange a fresh build pays, minus the corpus text re-read and
+    * re-shingle explode, plus a bucketed read of the stored `sets`. At
+    * test SF both are table-rewrite-bound (probe: merge 1.36× / 1.22×
+    * one fresh build at sf0.01 / sf0.1, trending down as the text term
+    * grows); the protocol's real scale win is upstream — the N shard
+    * builds are embarrassingly parallel with no cross-shard shuffle,
+    * so the corpus-sized tokenize/shingle work distributes across
+    * source clusters and only this one fold runs centrally.
     */
   def merge(dst: ParquetTableStore, src: ParquetTableStore): Unit = {
     val md = dst.read("meta").head()
@@ -263,6 +269,34 @@ object DedupIndexStore {
       readB(dst, "sets").unionByName(readB(src, "sets"))
         .dropDuplicates("doc_id"),
       bucketCols("sets"), nBuckets)
+    restage(dst, sets, tJac, tCont)
+  }
+
+  /** Forget documents — the takedown verb (a source leaves the corpus
+    * for licensing/contamination reasons and every derived index must
+    * stop serving it). `sets` is the only text-derived table, so the
+    * retraction is an anti-join on it plus the same re-derivation a
+    * merge runs: postings/freq/both prefix orders re-rank under the
+    * remaining frequencies, so the retracted store equals a fresh build
+    * over the remaining corpus TABLE BY TABLE (spec-pinned) — no
+    * tombstones, no recall caveat, no corpus re-read. Retracting ids
+    * the index never held is a no-op by the same derivation. One
+    * journaled group commit.
+    */
+  def retract(store: ParquetTableStore, ids: DataFrame): Unit = {
+    val m = store.read("meta").head()
+    val sets = store.stageBucketed("sets",
+      readB(store, "sets")
+        .join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+      bucketCols("sets"), nBuckets)
+    restage(store, sets, m.getDouble(1), m.getDouble(2))
+  }
+
+  /** Shared tail of merge/retract: re-derive every table from a staged
+    * `sets` exactly as a fresh build would, one group commit.
+    */
+  private def restage(dst: ParquetTableStore, sets: DataFrame,
+      tJac: Double, tCont: Double): Unit = {
     val sh = dst.stageBucketed("postings",
       sets.select(col("doc_id"), explode(col("sh")).as("s"))
         .select(col("doc_id"), col("s")),
@@ -470,6 +504,32 @@ object DedupIndexStore {
         import spark.implicits._
         store.stage("merged_ok", Seq(1).toDF("ok"))
         store.commitStaged(Seq("merged_ok"))
+      }
+      store
+    }
+  }
+
+  /** Build-then-retract for a corpus dir, cached (the ensureMerged
+    * pattern, `retract_ok` marker committed LAST): the d33 serving
+    * state — an index whose corpus lost `retractIds` after the build,
+    * exercised end-to-end so the takedown path itself sits under the
+    * driver's oracle gate, not just its spec.
+    */
+  def ensureRetracted(spark: SparkSession, corpusDir: String,
+      corpus: DataFrame, retractIds: DataFrame, n: Int, tJac: Double,
+      tCont: Double): ParquetTableStore = {
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$cacheRoot/pret1_${n}_${(tJac * 1000).toInt}_" +
+      s"${(tCont * 1000).toInt}_${key}_$mtime"
+    ensureLock.synchronized {
+      val store = new ParquetTableStore(spark, path)
+      if (!store.exists("retract_ok")) {
+        build(store, corpus, n, tJac, tCont)
+        retract(store, retractIds)
+        import spark.implicits._
+        store.stage("retract_ok", Seq(1).toDF("ok"))
+        store.commitStaged(Seq("retract_ok"))
       }
       store
     }

@@ -67,6 +67,19 @@ object HammingIndexStore {
   def append(store: ParquetTableStore, sig: DataFrame): Unit =
     store.appendBucketed("bands", banded(sig), bucketCols, nBuckets)
 
+  /** Forget documents — the takedown verb, face-agnostic (banding is a
+    * pure per-row function, so removing a doc's band rows is EXACTLY
+    * the store a build without it writes; spec-pinned). Unknown ids are
+    * a no-op. One journaled commit; meta untouched.
+    */
+  def retract(store: ParquetTableStore, ids: DataFrame): Unit = {
+    store.stageBucketed("bands",
+      store.readBucketed("bands", bucketCols, nBuckets)
+        .join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+      bucketCols, nBuckets)
+    store.commitStaged(Seq("bands"))
+  }
+
   def compact(store: ParquetTableStore): Unit =
     store.compactBucketed("bands", bucketCols, nBuckets)
 
@@ -204,6 +217,37 @@ object HammingIndexStore {
     ensureLock.synchronized {
       val store = new ParquetTableStore(spark, path)
       if (!tables.forall(store.exists)) build(store, sig, maxHamming)
+      store
+    }
+  }
+
+  /** Merged 64-bit-face store for a corpus dir — shard signatures are
+    * banded independently, folded via `merge` (the
+    * DedupIndexStore.ensureMerged protocol): cached per (dir, mtime,
+    * tag, shard count), completion gated by a `merged_ok` marker
+    * committed LAST so a crash mid-protocol re-runs instead of serving
+    * a partial fold.
+    */
+  def ensureMerged(spark: SparkSession, corpusDir: String,
+      shards: Seq[DataFrame], maxHamming: Int,
+      tag: String): ParquetTableStore = {
+    require(shards.nonEmpty, "need at least one shard")
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$cacheRoot/hbandm_${shards.size}_${tag}_${maxHamming}_${key}_$mtime"
+    ensureLock.synchronized {
+      val store = new ParquetTableStore(spark, path)
+      if (!store.exists("merged_ok")) {
+        build(store, shards.head, maxHamming)
+        shards.tail.zipWithIndex.foreach { case (sh, i) =>
+          val tmp = new ParquetTableStore(spark, s"$path-shard${i + 1}")
+          build(tmp, sh, maxHamming)
+          merge(store, tmp)
+        }
+        import spark.implicits._
+        store.stage("merged_ok", Seq(1).toDF("ok"))
+        store.commitStaged(Seq("merged_ok"))
+      }
       store
     }
   }

@@ -141,6 +141,20 @@ object SuffixIndexStore {
   def compact(store: ParquetTableStore): Unit =
     store.compactBucketed("suffix", bucketCols, nBuckets)
 
+  /** Forget documents — the takedown verb: suffix rows are per
+    * (prefix, key, doc_id), so removing a doc's rows is EXACTLY the
+    * store a build without it writes (spec-pinned); retracted docs stop
+    * contributing to every later span/scrub serve. Unknown ids are a
+    * no-op. One journaled commit; caps untouched.
+    */
+  def retract(store: ParquetTableStore, ids: DataFrame): Unit = {
+    store.stageBucketed("suffix",
+      readSuffix(store)
+        .join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+      bucketCols, nBuckets)
+    store.commitStaged(Seq("suffix"))
+  }
+
   /** Re-cap the frozen (minLen, maxLen) from the STORED keys with no
     * corpus re-read — the DedupIndexStore.refreeze doctrine applied to
     * the suffix state. TIGHTENING ONLY (newMinLen ≥ minLen, newMaxLen ≤
@@ -346,6 +360,35 @@ object SuffixIndexStore {
     ensureLock.synchronized {
       val store = new ParquetTableStore(spark, path)
       if (!tables.forall(store.exists)) build(store, corpus, minLen, maxLen)
+      store
+    }
+  }
+
+  /** Merged store for a corpus dir — shards build independently at the
+    * SAME caps, fold via `merge` (the DedupIndexStore.ensureMerged
+    * protocol): cached per (dir, mtime, caps, shard count), completion
+    * gated by a `merged_ok` marker committed LAST so a crash
+    * mid-protocol re-runs instead of serving a partial fold.
+    */
+  def ensureMerged(spark: SparkSession, corpusDir: String,
+      shards: Seq[DataFrame], minLen: Int, maxLen: Int): ParquetTableStore = {
+    require(shards.nonEmpty, "need at least one shard")
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$cacheRoot/sufxm_${shards.size}_${minLen}_${maxLen}_${key}_$mtime"
+    ensureLock.synchronized {
+      val store = new ParquetTableStore(spark, path)
+      if (!store.exists("merged_ok")) {
+        build(store, shards.head, minLen, maxLen)
+        shards.tail.zipWithIndex.foreach { case (sh, i) =>
+          val tmp = new ParquetTableStore(spark, s"$path-shard${i + 1}")
+          build(tmp, sh, minLen, maxLen)
+          merge(store, tmp)
+        }
+        import spark.implicits._
+        store.stage("merged_ok", Seq(1).toDF("ok"))
+        store.commitStaged(Seq("merged_ok"))
+      }
       store
     }
   }

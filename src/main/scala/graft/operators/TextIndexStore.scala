@@ -106,6 +106,24 @@ object TextIndexStore {
     d.commitStaged(Seq("postings", "stats"))
   }
 
+  /** Forget documents — the takedown verb: postings are doc-grain, so
+    * the retraction is an anti-join plus the merge's `stats`
+    * re-derivation (n_docs/sum_dl over the remaining postings), which
+    * also shifts every later query's idf/avgdl exactly as a fresh build
+    * without the docs would (spec-pinned). Unknown ids are a no-op.
+    * One journaled group commit.
+    */
+  def retract(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val d = store(spark, dir)
+    val kept = d.stageBucketed("postings",
+      d.readBucketed("postings", bucketCols, nBuckets)
+        .join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+      bucketCols, nBuckets)
+    d.stage("stats", kept.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    d.commitStaged(Seq("postings", "stats"))
+  }
+
   /** BM25 top-k from the stored index — identical op sequence to
     * TextQuality.bm25, so indexed == direct (QualitySpec pins it).
     * The postings scan carries the bucket layout (hashpartitioning on
@@ -139,6 +157,34 @@ object TextIndexStore {
     ensureLock.synchronized {
       if (!store(docs.sparkSession, path).exists("stats"))
         write(path, docs)
+    }
+    path
+  }
+
+  /** Merged index for a corpus dir — shards build independently, fold
+    * via `merge` (the DedupIndexStore.ensureMerged protocol): cached per
+    * (dir, mtime, shard count), completion gated by a `merged_ok`
+    * marker committed LAST so a crash mid-protocol re-runs instead of
+    * serving a partial fold.
+    */
+  def ensureMerged(corpusDir: String, shards: Seq[DataFrame]): String = {
+    require(shards.nonEmpty, "need at least one shard")
+    val spark = shards.head.sparkSession
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val path = s"$cacheRoot/textm_${shards.size}_" +
+      corpusDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + mtime
+    ensureLock.synchronized {
+      val st = store(spark, path)
+      if (!st.exists("merged_ok")) {
+        write(path, shards.head)
+        shards.tail.zipWithIndex.foreach { case (sh, i) =>
+          write(s"$path-shard${i + 1}", sh)
+          merge(spark, path, s"$path-shard${i + 1}")
+        }
+        import spark.implicits._
+        st.stage("merged_ok", Seq(1).toDF("ok"))
+        st.commitStaged(Seq("merged_ok"))
+      }
     }
     path
   }

@@ -237,6 +237,28 @@ object VectorIndexStore {
       else merged.coalesce(32))
   }
 
+  /** Forget vectors — the takedown verb: codes are per-vector rows, so
+    * the retraction is an anti-join on the id column, rewritten
+    * cell-clustered (probe pruning survives). The frozen quantizer
+    * artifacts stay as trained — they are corpus-level statistical
+    * aggregates (centroids, codebooks), not per-row data, so serving
+    * correctness matches a fresh frozen-artifact encode of the
+    * remaining corpus exactly (spec-pinned); a deployment whose policy
+    * forbids even aggregate influence retrains, which is a rebuild, not
+    * a retract. `ids` is a one-column frame of vector ids.
+    */
+  def retract(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val store = new graft.etl.ParquetTableStore(spark, path)
+    val codes = store.read("codes")
+    val idCol = if (codes.columns.contains("neighbor_id")) "neighbor_id" else "vec_id"
+    val kept = codes.join(
+      ids.select(col(ids.columns.head).as(idCol)), Seq(idCol), "left_anti")
+    store.overwrite("codes",
+      if (codes.columns.contains("cell"))
+        kept.repartitionByRange(32, col("cell")).sortWithinPartitions(col("cell"))
+      else kept.coalesce(32))
+  }
+
   /** Compact the append-accumulated `codes` table back to a bounded
     * file count — the maintenance pass the daily appendPq/appendIvf
     * cadence needs (every append adds a file set; scan open cost grows

@@ -29,6 +29,63 @@ object PipelineQueries {
 
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** d28's full oracle — also d32's: a two-shard merged band store is
+    * row-identical to the single build (banding is a pure function of
+    * the signature), so both serves replay the same DuckDB SimHash
+    * derivation.
+    */
+  private def d28OracleSql: String =
+    """WITH tok AS (SELECT doc_id, t AS tok
+          FROM (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> len(x) > 0) AS tk
+            FROM documents), UNNEST(tk) AS u(t)),
+        th AS (SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS HUGEINT) AS h
+          FROM tok),
+        bits AS (SELECT doc_id, b,
+            SUM(CASE WHEN (h >> CAST(b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+          FROM th, UNNEST(range(0, 64)) AS t(b) GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN cnt > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+              WHEN cnt > 0 AND b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+              ELSE 0 END) AS BIGINT) AS sh
+          FROM bits GROUP BY doc_id),
+        sig2 AS (SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+          FROM documents d LEFT JOIN sig s USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM sig2 a JOIN sig2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 7
+          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        ORDER BY id_a, id_b"""
+
+  /** d26's full oracle — also d31's: a two-shard merged suffix store is
+    * table-identical to the single build (SuffixSpec), so both serves
+    * replay the same DuckDB derivation (capped suffix sort, neighbor
+    * common-prefix lengths, batch restriction).
+    */
+  private def d26OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        suf AS (SELECT doc_id, p, w[p:least(p + 31, len(w))] AS key
+          FROM toks, UNNEST(range(1, len(w) + 1)) AS t(p)),
+        ord AS (SELECT doc_id, p, key,
+            lag(key) OVER (ORDER BY key) AS pk,
+            lead(key) OVER (ORDER BY key) AS nk
+          FROM suf),
+        l AS (SELECT doc_id, p, GREATEST(
+            COALESCE(CASE WHEN pk IS NULL THEN 0 ELSE
+              COALESCE(NULLIF(list_position(list_transform(
+                range(1, least(len(key), len(pk)) + 1), i -> key[i] = pk[i]),
+                false), 0) - 1, least(len(key), len(pk))) END, 0),
+            COALESCE(CASE WHEN nk IS NULL THEN 0 ELSE
+              COALESCE(NULLIF(list_position(list_transform(
+                range(1, least(len(key), len(nk)) + 1), i -> key[i] = nk[i]),
+                false), 0) - 1, least(len(key), len(nk))) END, 0)
+          ) AS match_len FROM ord)
+        SELECT doc_id, p, CAST(match_len AS BIGINT) AS match_len
+        FROM l WHERE match_len >= 8 AND doc_id % 2 = 1 ORDER BY doc_id, p"""
+
   /** DuckDB replay of ann2's LSH stage. The 8×4 seeded gaussian planes
     * are the SAME deterministic artifact both engines consume: Spark
     * ships them as `typedLit` arrays inside the plan, the oracle renders
@@ -559,26 +616,28 @@ object PipelineQueries {
             docs.filter(col("doc_id") % 2 === 1))
           .orderBy(col("doc_id"), col("p"))
       },
-      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
-        suf AS (SELECT doc_id, p, w[p:least(p + 31, len(w))] AS key
-          FROM toks, UNNEST(range(1, len(w) + 1)) AS t(p)),
-        ord AS (SELECT doc_id, p, key,
-            lag(key) OVER (ORDER BY key) AS pk,
-            lead(key) OVER (ORDER BY key) AS nk
-          FROM suf),
-        l AS (SELECT doc_id, p, GREATEST(
-            COALESCE(CASE WHEN pk IS NULL THEN 0 ELSE
-              COALESCE(NULLIF(list_position(list_transform(
-                range(1, least(len(key), len(pk)) + 1), i -> key[i] = pk[i]),
-                false), 0) - 1, least(len(key), len(pk))) END, 0),
-            COALESCE(CASE WHEN nk IS NULL THEN 0 ELSE
-              COALESCE(NULLIF(list_position(list_transform(
-                range(1, least(len(key), len(nk)) + 1), i -> key[i] = nk[i]),
-                false), 0) - 1, least(len(key), len(nk))) END, 0)
-          ) AS match_len FROM ord)
-        SELECT doc_id, p, CAST(match_len AS BIGINT) AS match_len
-        FROM l WHERE match_len >= 8 AND doc_id % 2 = 1 ORDER BY doc_id, p"""),
+      Some(d26OracleSql),
       "suffix-span dedup served from prefix-bucketed stored state — batch-shaped work"),
+
+    // d26 served from a MERGED two-shard suffix store (the d30 protocol
+    // for the substring family): shards of the even corpus build
+    // independently at the same caps, fold at the cap intersection, and
+    // the odd batch serves from the merged store exactly as from the
+    // single build — so it shares d26's oracle verbatim (merged == fresh
+    // build pinned table-and-serve in SuffixSpec).
+    "d31_merged_suffix_spans" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = graft.operators.SuffixIndexStore.ensureMerged(s, d,
+          Seq(docs.filter(col("doc_id") % 4 === 0),
+            docs.filter(col("doc_id") % 4 === 2)),
+          minLen = 8, maxLen = 32)
+        graft.operators.SuffixIndexStore.servedSpans(idx,
+            docs.filter(col("doc_id") % 2 === 1))
+          .orderBy(col("doc_id"), col("p"))
+      },
+      Some(d26OracleSql),
+      "suffix-span serve from a two-shard merged store — distributed build, same spans"),
 
     // The ACTION on d26's signal: scrub the arriving batch's duplicated
     // substrings against the indexed corpus and rebuild its text,
@@ -835,31 +894,31 @@ object PipelineQueries {
             col("hamming").cast(LongType).as("hamming"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH tok AS (SELECT doc_id, t AS tok
-          FROM (SELECT doc_id,
-              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                x -> len(x) > 0) AS tk
-            FROM documents), UNNEST(tk) AS u(t)),
-        th AS (SELECT doc_id,
-            CAST(CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS HUGEINT) AS h
-          FROM tok),
-        bits AS (SELECT doc_id, b,
-            SUM(CASE WHEN (h >> CAST(b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
-          FROM th, UNNEST(range(0, 64)) AS t(b) GROUP BY doc_id, b),
-        sig AS (SELECT doc_id,
-            CAST(SUM(CASE WHEN cnt > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-              WHEN cnt > 0 AND b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
-              ELSE 0 END) AS BIGINT) AS sh
-          FROM bits GROUP BY doc_id),
-        sig2 AS (SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
-          FROM documents d LEFT JOIN sig s USING (doc_id))
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-        FROM sig2 a JOIN sig2 b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 7
-          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
-        ORDER BY id_a, id_b"""),
+      Some(d28OracleSql),
       "indexed SimHash near-dup: batch bands vs the persisted band table"),
+
+    // d28 served from a MERGED two-shard band store (the d30 protocol
+    // for the sketch family): banding is a pure function of the hash,
+    // so the merged store is row-identical to the single build
+    // (DedupIndexSpec pins it) and the serve shares d28's oracle
+    // verbatim.
+    "d32_merged_simhash" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def sig(df: org.apache.spark.sql.DataFrame) =
+          TextDedup.simhash(df).select(col("doc_id"), col("simhash").as("hash64"))
+        val idx = graft.operators.HammingIndexStore.ensureMerged(s, d,
+          Seq(sig(docs.filter(col("doc_id") % 4 === 0)),
+            sig(docs.filter(col("doc_id") % 4 === 2))),
+          maxHamming = 7, tag = "simhash")
+        graft.operators.HammingIndexStore.pairsIncremental(idx,
+            sig(docs.filter(col("doc_id") % 2 === 1)))
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast(LongType).as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(d28OracleSql),
+      "SimHash serve from a two-shard merged band store — distributed build, same pairs"),
 
     // INDEXED incremental b-bit MinHash — d6's semantics served from the
     // width-parameterized HammingIndexStore (16 × 32-bit bands over the
@@ -951,6 +1010,42 @@ object PipelineQueries {
           AND (id_a % 2 = 1 OR id_b % 2 = 1)
         ORDER BY id_a, id_b"""),
       "shard-built indexes merged (refreeze-derived order), served like d23"),
+
+    // RETRACTION (takedown) under the oracle gate: the even-id corpus is
+    // indexed, then every even doc from source 'src0' is FORGOTTEN
+    // (licensing/contamination takedown — the verb a deployment needs
+    // the day a source must leave the corpus), and the odd batch serves
+    // from the retracted index. `retract` anti-joins the stored `sets`
+    // and re-derives postings/freq/prefix orders under the remaining
+    // frequencies (the refreeze derivation minus rows, no tombstones,
+    // no corpus re-read), so the serve equals d23's with the retracted
+    // docs excluded — which is exactly the oracle: d23's SQL with the
+    // (even ∧ src0) documents removed from the corpus CTE.
+    "d33_retracted_pairs" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val idx = graft.operators.DedupIndexStore.ensureRetracted(s, d,
+          even, even.filter(col("source") === "src0").select(col("doc_id")),
+          n = 3, tJac = 0.8, tCont = 0.8)
+        graft.operators.DedupIndexStore.pairsIncremental(idx,
+            docs.filter(col("doc_id") % 2 === 1), n = 3, minJaccard = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE NOT (doc_id % 2 = 0 AND source = 'src0')),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(FLOOR(CAST(c AS DOUBLE) * 1000000 / (ca.n + cb.n - c)) AS BIGINT) AS jac_micro
+        FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+          AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        ORDER BY id_a, id_b"""),
+      "takedown serve: retracted source forgotten, pairs == fresh build without it"),
 
     // Duplication REPORT: the cluster-size histogram (how much of the
     // corpus is duplication mass, and in what shapes — many pairs vs a

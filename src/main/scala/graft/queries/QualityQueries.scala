@@ -22,6 +22,31 @@ object QualityQueries {
     * pool, pairwise sims, and 5 argmax steps (integer arithmetic
     * throughout, cand_id tie-breaks — bit-equal to the Spark side).
     */
+  /** srch2's full oracle — also srch7's: a merged two-shard index is
+    * table-identical to the full build (postings dedup + stats
+    * re-derivation, QualitySpec), so both serves replay the same DuckDB
+    * BM25 derivation.
+    */
+  private def bm25IndexedOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        tf AS (SELECT d.doc_id, dl.dl, t.term, COUNT(*) AS tf
+          FROM d JOIN dl USING (doc_id), UNNEST(d.w) AS t(term)
+          WHERE t.term IN ('vector', 'hash', 'spark') GROUP BY 1, 2, 3),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            ln(1.0 + (CAST(st.n_docs - dft.df AS DOUBLE) + 0.5)
+                     / (CAST(dft.df AS DOUBLE) + 0.5))
+            * ((CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                  * (CAST(tf.dl AS DOUBLE)
+                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))) AS sc
+          FROM tf JOIN dft USING (term) CROSS JOIN st)
+        SELECT doc_id, COUNT(*) AS n_terms,
+          CAST(SUM(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
   private def mmrOracleSql: String = {
     val steps = (2 to 5).map { i =>
       s"""r$i AS (SELECT c.* FROM cands c LEFT JOIN sel${i - 1} s
@@ -281,25 +306,27 @@ object QualityQueries {
         graft.operators.TextIndexStore.search(s, idx,
           Seq("vector", "hash", "spark"), k = 20)
       },
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
-        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
-        tf AS (SELECT d.doc_id, dl.dl, t.term, COUNT(*) AS tf
-          FROM d JOIN dl USING (doc_id), UNNEST(d.w) AS t(term)
-          WHERE t.term IN ('vector', 'hash', 'spark') GROUP BY 1, 2, 3),
-        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        sc AS (SELECT tf.doc_id,
-            ln(1.0 + (CAST(st.n_docs - dft.df AS DOUBLE) + 0.5)
-                     / (CAST(dft.df AS DOUBLE) + 0.5))
-            * ((CAST(tf.tf AS DOUBLE) * 2.2)
-               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-                  * (CAST(tf.dl AS DOUBLE)
-                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))) AS sc
-          FROM tf JOIN dft USING (term) CROSS JOIN st)
-        SELECT doc_id, COUNT(*) AS n_terms,
-          CAST(SUM(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) AS bm25
-        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""),
+      Some(bm25IndexedOracleSql),
       "BM25 top-20 served from the stored inverted-index artifact"),
+
+    // srch2 served from a MERGED two-shard inverted index (the d30
+    // protocol for the search family): shards index independently,
+    // merge unions postings with (term, doc_id) dedup and re-derives
+    // `stats` from the merged rows — so overlapping shards cannot
+    // double-count lengths, the merged index equals the full build
+    // (QualitySpec pins it), and the serve shares srch2's oracle
+    // verbatim.
+    "srch7_merged_bm25" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = graft.operators.TextIndexStore.ensureMerged(d,
+          Seq(docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1)))
+        graft.operators.TextIndexStore.search(s, idx,
+          Seq("vector", "hash", "spark"), k = 20)
+      },
+      Some(bm25IndexedOracleSql),
+      "BM25 top-20 from a two-shard merged index — distributed build, same ranking"),
 
     // Conjunctive (AND) retrieval: same BM25 scoring, but a doc
     // qualifies only if EVERY query term occurs — eval-set

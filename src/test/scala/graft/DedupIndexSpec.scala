@@ -132,6 +132,69 @@ class DedupIndexSpec extends SparkTestBase {
     assert(postC == freshC && postC.nonEmpty)
   }
 
+  test("retract equals a fresh build over the remaining corpus; unknown ids are a no-op") {
+    val gone = even.filter(col("doc_id") % 8 === 0).select(col("doc_id"))
+    val store = freshStore()
+    DedupIndexStore.build(store, even, n = 3, tJac = 0.8, tCont = 0.8)
+    DedupIndexStore.retract(store, gone)
+    val fresh = freshStore()
+    DedupIndexStore.build(fresh,
+      even.filter(col("doc_id") % 8 =!= 0), n = 3, tJac = 0.8, tCont = 0.8)
+    // strongest form: retracted store EQUALS the never-indexed build
+    for (t <- Seq("sets", "freq", "prefix_jac", "prefix_cont", "postings")) {
+      val a = store.read(t).collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toVector; case x => x
+      }).toSet
+      val b = fresh.read(t).collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toVector; case x => x
+      }).toSet
+      assert(a == b, s"$t diverged after retract: ${a.diff(b).take(3)} / ${b.diff(a).take(3)}")
+    }
+    val got = pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8))
+    val exp = pairsOf(DedupIndexStore.pairsIncremental(fresh, odd, 3, 0.8))
+    assert(got == exp && got.nonEmpty)
+    // no retracted endpoint can appear in any served pair
+    val goneIds = gone.as[Long].collect().toSet
+    assert(got.forall { case (a2, b2, _) => !goneIds(a2) && !goneIds(b2) })
+    // retracting ids the index never held changes nothing
+    val before = store.read("sets").count()
+    DedupIndexStore.retract(store,
+      spark.range(900000, 900010).select(col("id").as("doc_id")))
+    assert(store.read("sets").count() == before)
+    assert(pairsOf(DedupIndexStore.pairsIncremental(store, odd, 3, 0.8)) == got)
+  }
+
+  test("band index retract equals a build without the docs (both faces)") {
+    def sig(df: DataFrame) = TextDedup.simhash(df)
+      .select(col("doc_id"), col("simhash").as("hash64"))
+    val gone = even.filter(col("doc_id") % 8 === 0).select(col("doc_id"))
+    val store = freshStore()
+    graft.operators.HammingIndexStore.build(store, sig(even), maxHamming = 7)
+    graft.operators.HammingIndexStore.retract(store, gone)
+    val fresh = freshStore()
+    graft.operators.HammingIndexStore.build(fresh,
+      sig(even.filter(col("doc_id") % 8 =!= 0)), maxHamming = 7)
+    val a = store.read("bands").collect().map(_.toSeq).toSet
+    val b = fresh.read("bands").collect().map(_.toSeq).toSet
+    assert(a == b, s"bands diverged after retract: ${a.diff(b).take(3)} / ${b.diff(a).take(3)}")
+    val got = graft.operators.HammingIndexStore.pairsIncremental(store, sig(odd))
+      .as[(Long, Long, Int)].collect().toSet
+    val exp = graft.operators.HammingIndexStore.pairsIncremental(fresh, sig(odd))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+    // b-bit face shares the table layout, so the same verb applies
+    def bsig(df: DataFrame) = graft.operators.Par.fan(df).select(col("doc_id"),
+      graft.functions.TextSketches.bbitMinhashSig(col("text"), 3).as("sig"))
+    val bb = freshStore()
+    graft.operators.HammingIndexStore.buildBbit(bb, bsig(even), minEst = 0.7)
+    graft.operators.HammingIndexStore.retract(bb, gone)
+    val bbFresh = freshStore()
+    graft.operators.HammingIndexStore.buildBbit(bbFresh,
+      bsig(even.filter(col("doc_id") % 8 =!= 0)), minEst = 0.7)
+    assert(bb.read("bands").collect().map(_.toSeq).toSet ==
+      bbFresh.read("bands").collect().map(_.toSeq).toSet)
+  }
+
   test("merge of shard-built indexes equals a fresh build over the union corpus") {
     // the distributed-build path: shards build INDEPENDENTLY (each
     // freezes its own local prefix order), merge re-ranks under the

@@ -677,6 +677,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/a/codes").count() == nBefore)
   }
 
+  test("ANN index retract: codes equal a frozen encode of the remaining corpus") {
+    import graft.operators.{IvfIndex, VectorIndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_annret").toString
+    val cents = IvfIndex.fitExact(emb)
+    VectorIndexStore.writeIvfFrozen(s"$dir/ivf", emb, cents)
+    VectorIndexStore.retract(spark, s"$dir/ivf",
+      emb.filter($"vec_id" % 8 === 0).select($"vec_id"))
+    VectorIndexStore.writeIvfFrozen(s"$dir/rest",
+      emb.filter($"vec_id" % 8 =!= 0), cents)
+    def codes(pp: String) = spark.read.parquet(s"$pp/codes")
+      .select($"neighbor_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(codes(s"$dir/ivf") == codes(s"$dir/rest"))
+    val q = emb.filter($"vec_id" < 5)
+    val got = VectorIndexStore.ivfTopK(spark, s"$dir/ivf", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val exp = VectorIndexStore.ivfTopK(spark, s"$dir/rest", q, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+    assert(got.forall(_._2 % 8 != 0), "a retracted vector still ranks")
+  }
+
   test("IVFPQ index store: append-after-train equals batch build, queries match inline") {
     import graft.operators.{IvfIndex, PqIndex, VectorIndexStore}
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString

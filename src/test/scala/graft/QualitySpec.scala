@@ -206,6 +206,28 @@ class QualitySpec extends SparkTestBase {
     assert(merged == full && merged.nonEmpty)
   }
 
+  test("search retract: forgotten docs leave ranking as a build without them") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_searchret").toString
+    val docsPath = s"$sfTiny/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val terms = Seq("vector", "hash", "spark")
+    graft.app.Main.searchBuild(spark, docsPath, s"$tmp/idx")
+    docs.filter($"doc_id" % 8 === 0).select($"doc_id").write.parquet(s"$tmp/gone")
+    graft.app.Main.route(spark,
+      List("search", "retract", s"$tmp/idx", s"$tmp/gone"))
+    docs.filter($"doc_id" % 8 =!= 0).write.parquet(s"$tmp/rest")
+    graft.app.Main.searchBuild(spark, s"$tmp/rest", s"$tmp/idxrest")
+    // stats re-derived: idf/avgdl shift exactly as the smaller build's
+    assert(spark.read.parquet(s"$tmp/idx/stats").as[(Long, Long)].head() ==
+      spark.read.parquet(s"$tmp/idxrest/stats").as[(Long, Long)].head())
+    val got = graft.operators.TextIndexStore.search(spark, s"$tmp/idx", terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val exp = graft.operators.TextIndexStore.search(spark, s"$tmp/idxrest", terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == exp && got.nonEmpty)
+    assert(got.forall(_._1 % 8 != 0), "a retracted doc still ranks")
+  }
+
   test("CLI curate: composed pipeline is deterministic, rate-monotone, dedup-respecting") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_curate").toString
     val docsPath = s"$sfTiny/documents.parquet"

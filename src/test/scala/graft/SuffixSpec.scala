@@ -191,6 +191,29 @@ class SuffixSpec extends SparkTestBase {
     }
   }
 
+  test("suffix retract equals a build without the docs; serve forgets their spans") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val gone = corpus.filter(col("doc_id") % 8 === 0).select(col("doc_id"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def temp(tag: String) = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory(s"graft-sufret-$tag").toString)
+    val store = temp("a")
+    graft.operators.SuffixIndexStore.build(store, corpus, minLen = 8, maxLen = 32)
+    graft.operators.SuffixIndexStore.retract(store, gone)
+    val fresh = temp("f")
+    graft.operators.SuffixIndexStore.build(fresh,
+      corpus.filter(col("doc_id") % 8 =!= 0), minLen = 8, maxLen = 32)
+    def rows(s: graft.etl.ParquetTableStore) = s.read("suffix")
+      .select(col("prefix"), concat_ws(" ", col("key")).as("k"), col("doc_id"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows(store) == rows(fresh) && rows(store).nonEmpty)
+    def spans(s: graft.etl.ParquetTableStore) =
+      graft.operators.SuffixIndexStore.servedSpans(s, batch)
+        .as[(Long, Long, Long)].collect().toSet
+    val got = spans(store)
+    assert(got == spans(fresh) && got.nonEmpty, "retracted serve drifted")
+  }
+
   test("merge of shard-built suffix indexes equals a fresh build at the cap intersection") {
     // shards built at DIFFERENT caps fold to the intersection (max of
     // minLens, min of maxLens) — the only caps both stores can prove;
