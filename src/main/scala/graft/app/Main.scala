@@ -101,6 +101,12 @@ import graft.marts.Views
   *                                           CURRENT splits/clusters (run
   *                                           after `split resolve`); regen
   *                                           the manifest; idempotent
+  *   export retract <state> <ids-parquet> [--budget B] [--shard-seqs S]
+  *                                           takedown through every layer:
+  *                                           index forgets, labels
+  *                                           re-derive, survivors keep
+  *                                           frozen splits, admission +
+  *                                           manifest reconcile
   *   search build|append <docs> <idx>        persist / extend the inverted index
   *   search compact <idx>                    rewrite postings to ~1 file/bucket
   *   search query <idx> <out> --terms a,b,c [--k K] [--mmr [--page P]]
@@ -301,6 +307,15 @@ object Main {
         store.overwrite("manifest", manifest)
         println(s"[graft] export reconcile: $flipped docs flipped admission" +
           (if (flipped == 0) " (state already consistent)" else ""))
+      case "export" :: "retract" :: state :: ids :: rest =>
+        val store = new ParquetTableStore(spark, state)
+        val (flipped, manifest) = graft.operators.Curation.exportRetract(store,
+          spark.read.parquet(ids),
+          opt(rest, "--budget").map(_.toLong).getOrElse(1024L),
+          opt(rest, "--shard-seqs").map(_.toLong).getOrElse(4L))
+        store.overwrite("manifest", manifest)
+        println(s"[graft] export retract: ids in $ids forgotten through every " +
+          s"layer; $flipped docs flipped admission")
       case "export" :: docs :: out :: rest =>
         exportShards(spark, docs, out,
           opt(rest, "--budget").map(_.toLong).getOrElse(2048L),

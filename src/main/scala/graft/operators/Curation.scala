@@ -508,6 +508,47 @@ object Curation {
       .orderBy(col("shard_id")))
   }
 
+  /** Takedown composed with the export state — the day a source must
+    * leave the corpus, "forget these docs" has to propagate through
+    * every derived layer, and each layer has its own correct verb:
+    *
+    *  1. the dedup index forgets the docs (`DedupIndexStore.retract` —
+    *     equals a never-indexed build);
+    *  2. cluster labels RE-DERIVE from the remaining pairs (a retracted
+    *     bridge un-merges the clusters it joined; a retracted min-id
+    *     doc yields a new canonical label);
+    *  3. frozen splits for the SURVIVORS stay frozen — takedown-after
+    *     is deliberately NOT never-present: a doc's split was hashed
+    *     from its cluster label at arrival time and moving it would
+    *     leak eval data across splits, so only the retracted rows
+    *     leave (`split resolve` remains the tool if a formerly
+    *     quarantined cluster is now separable);
+    *  4. gated/admitted drop the retracted rows, and admission
+    *     re-derives under the NEW labels and the FROZEN splits
+    *     (`exportReconcile`) — a doc whose cluster-mate was the
+    *     canonical train representative flips INTO the export when the
+    *     takedown makes it canonical.
+    *
+    * Returns reconcile's (flipped, manifest). Replay-safe: retracting
+    * already-absent ids is a no-op at every layer.
+    */
+  def exportRetract(store: graft.etl.ParquetTableStore, ids0: DataFrame,
+      budget: Long = 1024L, seqsPerShard: Long = 4L): (Long, DataFrame) = {
+    val ids = ids0.select(col(ids0.columns.head).as("doc_id"))
+      .localCheckpoint(true)
+    DedupIndexStore.retract(store, ids)
+    store.overwrite("clusters",
+      TextDedup.connectedComponents(DedupIndexStore.selfPairs(store)))
+    // `admitted` is NOT pre-dropped: reconcile re-derives admission from
+    // the shrunk `gated` (so retracted docs fall out of it there) and
+    // diffs against the pre-takedown admitted table — `flipped` then
+    // reports the takedown's FULL admission delta, removals and
+    // promotions both
+    for (t <- Seq("splits", "gated") if store.exists(t))
+      store.overwrite(t, store.read(t).join(ids, Seq("doc_id"), "left_anti"))
+    exportReconcile(store, budget, seqsPerShard)
+  }
+
   /** The full export LIFECYCLE over a wave sequence, built once per
     * corpus and cached (the ensureClusters doctrine): serve every wave
     * through the front door, adjudicate whatever quarantined
@@ -536,6 +577,32 @@ object Curation {
         import spark.implicits._
         store.stage("loop_ok", Seq(1).toDF("ok"))
         store.commitStaged(Seq("loop_ok"))
+      }
+      store
+    }
+  }
+  /** ensureExportLoop's takedown sibling: serve the waves, then
+    * `exportRetract` the given ids — the e2e14 serving state. Same
+    * fixed-point replay argument; `takedown_ok` committed LAST only
+    * saves the re-run.
+    */
+  def ensureTakedownLoop(corpusDir: String, waves: Seq[DataFrame],
+      retractIds: DataFrame, threshold: Double,
+      tag: String): graft.etl.ParquetTableStore = {
+    require(waves.nonEmpty, "need at least one wave")
+    val spark = waves.head.sparkSession
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft-index")
+    val path = s"$root/xtd1_${tag}_${(threshold * 1000).toInt}_${key}_$mtime"
+    loopLock.synchronized {
+      val store = new graft.etl.ParquetTableStore(spark, path)
+      if (!store.exists("takedown_ok")) {
+        waves.foreach(w => exportServe(store, w, threshold)(_ => ()))
+        exportRetract(store, retractIds)
+        import spark.implicits._
+        store.stage("takedown_ok", Seq(1).toDF("ok"))
+        store.commitStaged(Seq("takedown_ok"))
       }
       store
     }

@@ -699,6 +699,135 @@ object EndToEndQueries {
         FROM shd GROUP BY 1 ORDER BY shard_id"""),
       "export lifecycle: waves -> quarantine -> resolve -> reconciled shard manifest"),
 
+    // TAKEDOWN composed with the export — the other maintenance event a
+    // deployment must survive: after the waves, every even doc from
+    // source 'src0' is retracted (exportRetract: the index forgets them,
+    // cluster labels RE-DERIVE from the remaining pairs, survivors keep
+    // their FROZEN splits — takedown-after is deliberately not
+    // never-present, a survivor's split was hashed at arrival and moving
+    // it would leak eval data — and admission re-derives under new
+    // labels + frozen splits). The registered result is the
+    // post-takedown manifest; docs whose canonical train representative
+    // was retracted flip INTO the export, the retracted docs' tokens
+    // leave it. The oracle replays arrival (gate, frozen wave-1 CC,
+    // census serve) over ALL docs, then re-labels over the pair graph
+    // MINUS the retracted endpoints — the asymmetry between frozen
+    // splits (arrival-time) and live labels (post-takedown) is exactly
+    // what it pins.
+    "e2e14_takedown_export" -> Q(
+      (s, d) => {
+        import graft.operators.Curation
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source"))
+        val bridges = base.as("a").join(base.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 2 &&
+              col("a.doc_id") % 20 === 2)
+          .select((col("a.doc_id") + 100001L).as("doc_id"),
+            concat(col("a.text"), lit(" "), col("b.text")).as("text"),
+            lit("bridge").as("source"))
+        val docs = base.unionByName(bridges)
+        val store = Curation.ensureTakedownLoop(d,
+          Seq(docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text")),
+            docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))),
+          docs.filter(col("doc_id") % 2 === 0 && col("source") === "src0")
+            .select(col("doc_id")),
+          threshold = 0.45, tag = "e2e14")
+        Curation.exportReconcile(store)._2
+      },
+      Some("""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        br AS (SELECT a.doc_id + 100001 AS doc_id, a.text || ' ' || b.text AS text
+          FROM base a JOIN base b ON b.doc_id = a.doc_id + 2
+          WHERE a.doc_id % 20 = 2),
+        alldocs AS (SELECT doc_id, text FROM base
+          UNION ALL SELECT doc_id, text FROM br),
+        ret AS (SELECT doc_id FROM documents
+          WHERE doc_id % 2 = 0 AND source = 'src0'),
+        m AS (SELECT doc_id, text,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM alldocs),
+        g AS (SELECT doc_id FROM (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(FLOOR(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              * 1000 / len(toks)) AS BIGINT) AS mwl,
+            CAST(FLOOR(CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+              * 1000 / len(toks)) AS BIGINT) AS sym,
+            CAST(FLOOR(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              * 1000 / len(toks)) AS BIGINT) AS alpha,
+            CAST(len(list_filter(toks, x -> list_contains(
+              ['the','a','and','of','to','in','is','on'], x))) AS BIGINT) AS nstop
+            FROM m)
+          WHERE n_words >= 50 AND n_words <= 100000 AND mwl >= 3000 AND mwl <= 10000
+            AND sym < 100 AND alpha >= 800 AND nstop >= 2),
+        kt AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+          FROM alldocs d JOIN g USING (doc_id)),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM kt, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b
+          FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.45),
+        und_e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            WHERE id_a % 2 = 0 AND id_b % 2 = 0
+          UNION SELECT id_b, id_a FROM pairs
+            WHERE id_a % 2 = 0 AND id_b % 2 = 0),
+        reach_e(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und_e)
+          UNION SELECT r.u, e.v FROM reach_e r JOIN und_e e ON r.v = e.u),
+        lab_e AS (SELECT u AS doc_id, MIN(v) AS cc FROM reach_e GROUP BY u),
+        und_a AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach_a(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und_a)
+          UNION SELECT r.u, e.v FROM reach_a r JOIN und_a e ON r.v = e.u),
+        lab_arr AS (SELECT u AS doc_id, MIN(v) AS cc FROM reach_a GROUP BY u),
+        frozen AS (SELECT d.doc_id,
+            CASE WHEN md5(CAST(COALESCE(le.cc, d.doc_id) AS VARCHAR)) < 'c0' THEN 'train'
+              WHEN md5(CAST(COALESCE(le.cc, d.doc_id) AS VARCHAR)) < 'e0' THEN 'val'
+              ELSE 'test' END AS fs
+          FROM g d LEFT JOIN lab_e le ON le.doc_id = d.doc_id
+          WHERE d.doc_id % 2 = 0),
+        lab AS (SELECT d.doc_id, COALESCE(la.cc, d.doc_id) AS cluster_id
+          FROM g d LEFT JOIN lab_arr la ON la.doc_id = d.doc_id),
+        agg AS (SELECT l.cluster_id, COUNT(DISTINCT f.fs) AS n, MIN(f.fs) AS one
+          FROM lab l JOIN frozen f ON f.doc_id = l.doc_id GROUP BY 1),
+        s11 AS (SELECT b.doc_id,
+            CASE WHEN a.n = 1 THEN a.one
+              WHEN a.n >= 2 THEN 'conflict'
+              WHEN md5(CAST(b.cluster_id AS VARCHAR)) < 'c0' THEN 'train'
+              WHEN md5(CAST(b.cluster_id AS VARCHAR)) < 'e0' THEN 'val'
+              ELSE 'test' END AS split
+          FROM lab b LEFT JOIN agg a ON a.cluster_id = b.cluster_id
+          WHERE b.doc_id % 2 = 1),
+        allsp AS (SELECT doc_id, fs AS split FROM frozen
+          UNION ALL SELECT doc_id, split FROM s11),
+        und_r AS (SELECT id_a AS u, id_b AS v FROM pairs
+            WHERE id_a NOT IN (SELECT doc_id FROM ret)
+              AND id_b NOT IN (SELECT doc_id FROM ret)
+          UNION SELECT id_b, id_a FROM pairs
+            WHERE id_a NOT IN (SELECT doc_id FROM ret)
+              AND id_b NOT IN (SELECT doc_id FROM ret)),
+        reach_r(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und_r)
+          UNION SELECT r.u, e.v FROM reach_r r JOIN und_r e ON r.v = e.u),
+        lab_r AS (SELECT u AS doc_id, MIN(v) AS cc FROM reach_r GROUP BY u),
+        adm AS (SELECT a.doc_id FROM allsp a LEFT JOIN lab_r lr ON lr.doc_id = a.doc_id
+          WHERE a.doc_id NOT IN (SELECT doc_id FROM ret)
+            AND COALESCE(lr.cc, a.doc_id) = a.doc_id
+            AND a.split = 'train'),
+        tk AS (SELECT d.doc_id, md5('42:' || CAST(d.doc_id AS VARCHAR)) AS skey,
+            CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+          FROM alldocs d JOIN adm USING (doc_id)),
+        cum AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER
+            (ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tk),
+        p AS (SELECT doc_id, n_tokens,
+            CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id FROM cum),
+        shd AS (SELECT doc_id, n_tokens, seq_id,
+            CAST(seq_id // 4 AS BIGINT) AS shard_id FROM p)
+        SELECT shard_id, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_md5
+        FROM shd GROUP BY 1 ORDER BY shard_id"""),
+      "takedown export: retract a source, re-label, frozen splits, reconciled manifest"),
+
     "e2e9_retrieval_eval" -> Q(
       (s, d) => {
         import graft.operators.{Similarity, TextDedup}

@@ -369,6 +369,45 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.exportReconcile(store)._1 == 0L)
   }
 
+  test("export takedown on the corpus (e2e14 fixture): every layer forgets, admission flips in") {
+    import graft.etl.ParquetTableStore
+    val base = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    val all = base.select($"doc_id", $"text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e14").toString
+    val store = new ParquetTableStore(spark, s"$tmp/state")
+    Curation.exportServe(store, all.filter($"doc_id" % 2 === 0), threshold = 0.45)(_ => ())
+    Curation.exportServe(store, all.filter($"doc_id" % 2 === 1), threshold = 0.45)(_ => ())
+    val gone = base.filter($"doc_id" % 2 === 0 && $"source" === "src0")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(gone.nonEmpty)
+    val admittedBefore = store.read("admitted")
+      .select($"doc_id").as[Long].collect().toSet
+    val (flipped, manifest) = Curation.exportRetract(store,
+      base.filter($"doc_id" % 2 === 0 && $"source" === "src0").select($"doc_id"))
+    // every layer forgot the docs
+    for (t <- Seq("sets", "splits", "gated", "admitted"))
+      assert(store.read(t).filter($"doc_id".isin(gone.toSeq: _*)).count() == 0,
+        s"$t still holds retracted docs")
+    val admittedAfter = store.read("admitted")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admittedAfter.intersect(gone).isEmpty)
+    // the takedown must PROMOTE at least one cluster-mate into the
+    // export (the corpus's clique-shaped dup families guarantee a
+    // retracted canonical has survivors) — not just shrink it
+    assert(admittedAfter.diff(admittedBefore).nonEmpty,
+      "no doc flipped INTO the export after its canonical was retracted")
+    assert(flipped ==
+      (admittedAfter.diff(admittedBefore) ++ admittedBefore.diff(admittedAfter)).size)
+    assert(manifest.count() > 0)
+    // replay: retracting the absent ids again is a no-op at every layer
+    val (flipped2, _) = Curation.exportRetract(store,
+      base.filter($"doc_id" % 2 === 0 && $"source" === "src0").select($"doc_id"))
+    assert(flipped2 == 0L)
+    assert(store.read("admitted").select($"doc_id").as[Long].collect().toSet
+      == admittedAfter)
+  }
+
   test("splitServe adopts a dedupidx-built store (no clusters table): selfPairs bootstrap") {
     import graft.operators.{DedupIndexStore, TextDedup}
     import graft.etl.ParquetTableStore
