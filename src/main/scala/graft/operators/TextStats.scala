@@ -33,6 +33,63 @@ object TextStats {
     size(filter(tokens, t => array_contains(sw, t)))
   }
 
+  // ───── Count-Min Sketch (deterministic, hash-checkable) ─────
+  //
+  // The frequency sketch for corpora whose vocabulary does not fit an
+  // exact groupBy: d rows × w buckets of counters, estimate = min over
+  // rows — never under the true count, over by at most εN (ε = e/w)
+  // with probability 1−e^−d. Unlike the float sketch family (a7 HLL,
+  // a13 KLL), every number here is an integer and the row hashes are
+  // md5-derived, so the sketch is bit-identical across engines, reruns
+  // AND shard layouts: the DuckDB oracle replays it exactly (t24 is a
+  // hash-green sketch query), and per-shard sketches fold by counter
+  // addition into precisely the unsharded sketch (`cmsMerge` — the
+  // index-merge doctrine for sketches, spec-pinned).
+
+  /** Row `row`'s bucket for a token: first 8 md5 hex chars (seeded by
+    * the row id) as an integer, mod `width` — the same derivation both
+    * engines compute (`conv` == DuckDB `CAST(concat('0x',…) AS BIGINT)`).
+    */
+  def cmsBucket(tok: Column, row: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$row:"), tok)), 1, 8), 16, 10)
+      .cast(LongType) % width
+
+  /** Build the sketch over the corpus token stream: one narrow explode
+    * (tokens × d hash rows), one aggregation whose key space is at most
+    * d·w (map-side partials absorb the token mass before the shuffle —
+    * the exchange carries ≤ d·w·partitions rows regardless of corpus
+    * size). Output (row, bucket, cnt), ≤ d·w rows.
+    */
+  def cmsBuild(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      textCol: String = "text"): DataFrame =
+    Par.fan(docs)
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(posexplode(array((0 until depth).map(i =>
+        cmsBucket(col("token"), i, width)): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for probe tokens: min over rows of the probed
+    * buckets (absent bucket = 0). The sketch side is ≤ d·w rows —
+    * broadcast-sized at any corpus scale.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, depth: Int = 4,
+      width: Int = 1024, tokenCol: String = "token"): DataFrame =
+    probes
+      .select(col(tokenCol), posexplode(array((0 until depth).map(i =>
+        cmsBucket(col(tokenCol), i, width)): _*)).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(tokenCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
+
+  /** Fold two sketches built with the SAME (depth, width): counters add
+    * — merged == the unsharded build exactly (linearity of counting),
+    * so corpus shards sketch independently with no cross-shard shuffle.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   private def permille(num: Column, den: Column): Column =
     when(den > 0, floor(num.cast(DoubleType) * 1000d / den)).otherwise(lit(0L)).cast(LongType)
 

@@ -1649,6 +1649,47 @@ object PipelineQueries {
         WHERE token != '' GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
       "exact top-k vocabulary extraction"),
 
+    // Count-Min Sketch estimates for the exact top-20 tokens — a
+    // HASH-GREEN sketch query: the row hashes are md5-derived and the
+    // counters integers, so DuckDB replays the whole sketch bit-for-bit
+    // (unlike the float sketch family a7/a13, which carries error
+    // gates instead of an oracle). The output pins both CMS guarantees
+    // relationally: cms_n >= exact_n always, and for genuine heavy
+    // hitters the two usually coincide. The sketch is <= d·w rows —
+    // broadcast-sized at any corpus scale — and per-shard sketches fold
+    // by counter addition (TextStats.cmsMerge, spec-pinned == unsharded).
+    "t24_cms_heavy_hitters" -> Q(
+      (s, d) => {
+        val toks = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("token")).limit(20)
+        val sketch = TextStats.cmsBuild(Tables.documents(s, d))
+        exact.join(TextStats.cmsEstimate(sketch, exact), Seq("token"))
+          .select(col("token"), col("exact_n"), col("cms_n"))
+          .orderBy(col("exact_n").desc, col("token"))
+      },
+      Some("""WITH t AS (SELECT token FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          WHERE token != ''),
+        exact AS (SELECT token, COUNT(*) AS exact_n FROM t
+          GROUP BY token ORDER BY exact_n DESC, token LIMIT 20),
+        h AS (SELECT token, i AS row,
+            CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 8))
+              AS BIGINT) % 1024 AS bucket
+          FROM t, UNNEST(range(0, 4)) AS r(i)),
+        sk AS (SELECT row, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+        ph AS (SELECT e.token, e.exact_n, i AS row,
+            CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || e.token), 1, 8))
+              AS BIGINT) % 1024 AS bucket
+          FROM exact e, UNNEST(range(0, 4)) AS r(i))
+        SELECT p.token, p.exact_n, MIN(COALESCE(sk.cnt, 0)) AS cms_n
+        FROM ph p LEFT JOIN sk ON sk.row = p.row AND sk.bucket = p.bucket
+        GROUP BY p.token, p.exact_n
+        ORDER BY exact_n DESC, token"""),
+      "count-min sketch: integer md5-hashed counters, estimates replayed exactly by the oracle"),
+
     // BPE training, iteration 0: adjacent symbol pairs over the DISTINCT
     // word-frequency table (vocabulary-sized — the real trainers' shape;
     // the corpus is walked exactly once, by the wordFreq agg).

@@ -206,6 +206,37 @@ class QualitySpec extends SparkTestBase {
     assert(merged == full && merged.nonEmpty)
   }
 
+  test("count-min sketch: never under, bounded over, shard-merge == unsharded build") {
+    import graft.operators.TextStats
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val toks = docs.select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val exact = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+    val n = toks.count()
+    val sketch = TextStats.cmsBuild(docs)
+    val est = TextStats.cmsEstimate(sketch, exact)
+      .join(exact, Seq("token"))
+      .select($"token", $"exact_n", $"cms_n")
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    // the one-sided guarantee holds for EVERY token, not just heavy ones
+    assert(est.forall { case (_, ex, cm) => cm >= ex },
+      s"CMS under-counted: ${est.filter(t => t._3 < t._2).take(3).mkString(", ")}")
+    // overestimates stay within a generous multiple of the eN bound
+    // (deterministic corpus + deterministic hashes => stable check)
+    val bound = math.max(8L, (8 * math.E / 1024 * n).toLong)
+    val worst = est.map(t => t._3 - t._2).max
+    assert(worst <= bound, s"worst overestimate $worst > bound $bound (N=$n)")
+    // mergeability: shard sketches fold by counter addition into
+    // EXACTLY the unsharded sketch — linearity of counting
+    val merged = TextStats.cmsMerge(
+        TextStats.cmsBuild(docs.filter($"doc_id" % 2 === 0)),
+        TextStats.cmsBuild(docs.filter($"doc_id" % 2 === 1)))
+      .as[(Int, Long, Long)].collect().toSet
+    val full = sketch.as[(Int, Long, Long)].collect().toSet
+    assert(merged == full, "merged shard sketches drifted from the unsharded build")
+  }
+
   test("search retract: forgotten docs leave ranking as a build without them") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_searchret").toString
     val docsPath = s"$sfTiny/documents.parquet"
