@@ -266,4 +266,34 @@ object HammingIndexStore {
       store
     }
   }
+
+  /** b-bit flavor of `ensureMerged` — shard signatures banded
+    * independently at the same minEst, folded by the face-agnostic
+    * `merge` (identical metas, identical band schema ⇒ the fold is a
+    * union + (doc_id, band) dedup, row-identical to the unsharded
+    * build).
+    */
+  def ensureMergedBbit(spark: SparkSession, corpusDir: String,
+      shards: Seq[DataFrame], minEst: Double,
+      tag: String): ParquetTableStore = {
+    require(shards.nonEmpty, "need at least one shard")
+    val mtime = new java.io.File(corpusDir, "documents.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$cacheRoot/bbandm_${shards.size}_${tag}_${(minEst * 1000).toInt}_${key}_$mtime"
+    ensureLock.synchronized {
+      val store = new ParquetTableStore(spark, path)
+      if (!store.exists("merged_ok")) {
+        buildBbit(store, shards.head, minEst)
+        shards.tail.zipWithIndex.foreach { case (sh, i) =>
+          val tmp = new ParquetTableStore(spark, s"$path-shard${i + 1}")
+          buildBbit(tmp, sh, minEst)
+          merge(store, tmp)
+        }
+        import spark.implicits._
+        store.stage("merged_ok", Seq(1).toDF("ok"))
+        store.commitStaged(Seq("merged_ok"))
+      }
+      store
+    }
+  }
 }

@@ -29,6 +29,42 @@ object PipelineQueries {
 
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** d29's full oracle — also d34's: the b-bit band store's merge is a
+    * row-identical fold (banding is a pure function of the packed
+    * signature), so the merged serve replays the same DuckDB b-bit
+    * MinHash derivation.
+    */
+  private def d29OracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        hv AS (SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS HUGEINT) AS h1,
+            CAST(CAST(concat('0x', substr(md5(s), 17, 16)) AS UBIGINT) AS HUGEINT) AS h2
+          FROM sh),
+        comp AS (SELECT doc_id, p,
+            MIN(CAST((h1 + p * h2) % 9223372036854775808 AS BIGINT)) AS v
+          FROM hv, UNNEST(range(0, 64)) AS t(p) GROUP BY doc_id, p),
+        byt AS (SELECT doc_id, p, v % 256 AS y FROM comp),
+        band AS (SELECT doc_id, p // 4 AS bd,
+            SUM(y * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+              WHEN 2 THEN 65536 ELSE 16777216 END)) AS bval
+          FROM byt GROUP BY doc_id, p // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b
+            ON a.bd = b.bd AND a.bval = b.bval AND a.doc_id < b.doc_id),
+        agree AS (SELECT c.id_a, c.id_b,
+            SUM(CASE WHEN ya.y = yb.y THEN 1 ELSE 0 END) AS n_agree
+          FROM cand c JOIN byt ya ON ya.doc_id = c.id_a
+            JOIN byt yb ON yb.doc_id = c.id_b AND yb.p = ya.p
+          GROUP BY 1, 2),
+        est AS (SELECT id_a, id_b,
+            (CAST(n_agree AS DOUBLE) / 64 - 1.0 / 256) / (1 - 1.0 / 256) AS est
+          FROM agree)
+        SELECT id_a, id_b, CAST(FLOOR(est * 1000000) AS BIGINT) AS est_micro
+        FROM est WHERE est >= 0.7 AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        ORDER BY id_a, id_b"""
+
   /** d28's full oracle — also d32's: a two-shard merged band store is
     * row-identical to the single build (banding is a pure function of
     * the signature), so both serves replay the same DuckDB SimHash
@@ -941,36 +977,31 @@ object PipelineQueries {
             sig(docs.filter(col("doc_id") % 2 === 1)))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
-        hv AS (SELECT doc_id,
-            CAST(CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS HUGEINT) AS h1,
-            CAST(CAST(concat('0x', substr(md5(s), 17, 16)) AS UBIGINT) AS HUGEINT) AS h2
-          FROM sh),
-        comp AS (SELECT doc_id, p,
-            MIN(CAST((h1 + p * h2) % 9223372036854775808 AS BIGINT)) AS v
-          FROM hv, UNNEST(range(0, 64)) AS t(p) GROUP BY doc_id, p),
-        byt AS (SELECT doc_id, p, v % 256 AS y FROM comp),
-        band AS (SELECT doc_id, p // 4 AS bd,
-            SUM(y * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
-              WHEN 2 THEN 65536 ELSE 16777216 END)) AS bval
-          FROM byt GROUP BY doc_id, p // 4),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM band a JOIN band b
-            ON a.bd = b.bd AND a.bval = b.bval AND a.doc_id < b.doc_id),
-        agree AS (SELECT c.id_a, c.id_b,
-            SUM(CASE WHEN ya.y = yb.y THEN 1 ELSE 0 END) AS n_agree
-          FROM cand c JOIN byt ya ON ya.doc_id = c.id_a
-            JOIN byt yb ON yb.doc_id = c.id_b AND yb.p = ya.p
-          GROUP BY 1, 2),
-        est AS (SELECT id_a, id_b,
-            (CAST(n_agree AS DOUBLE) / 64 - 1.0 / 256) / (1 - 1.0 / 256) AS est
-          FROM agree)
-        SELECT id_a, id_b, CAST(FLOOR(est * 1000000) AS BIGINT) AS est_micro
-        FROM est WHERE est >= 0.7 AND (id_a % 2 = 1 OR id_b % 2 = 1)
-        ORDER BY id_a, id_b"""),
+      Some(d29OracleSql),
       "indexed b-bit MinHash: batch bands vs the persisted wide-band table"),
+
+    // d29 served from a MERGED two-shard b-bit band store — the d32
+    // pattern on the wide-band face (16 × 32-bit bands over the packed
+    // signature): banding is a pure function of the signature, the
+    // face-agnostic merge folds row-identically, so the serve shares
+    // d29's oracle verbatim. With this, EVERY face of every persisted
+    // index family has a driver-gated merged serve.
+    "d34_merged_bbit" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def sig(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.Par.fan(df).select(col("doc_id"),
+            graft.functions.TextSketches.bbitMinhashSig(col("text"), 3).as("sig"))
+        val idx = graft.operators.HammingIndexStore.ensureMergedBbit(s, d,
+          Seq(sig(docs.filter(col("doc_id") % 4 === 0)),
+            sig(docs.filter(col("doc_id") % 4 === 2))),
+          minEst = 0.7, tag = "bbit")
+        graft.operators.HammingIndexStore.pairsIncrementalBbit(idx,
+            sig(docs.filter(col("doc_id") % 2 === 1)))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(d29OracleSql),
+      "b-bit MinHash serve from a two-shard merged band store — same pairs"),
 
     // MERGED shard indexes — the distributed-build protocol end-to-end:
     // the even-id corpus is sharded (doc_id % 4 = 0 vs = 2), each shard

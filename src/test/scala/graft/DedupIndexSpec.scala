@@ -265,6 +265,15 @@ class DedupIndexSpec extends SparkTestBase {
     val err = intercept[IllegalArgumentException](
       graft.operators.HammingIndexStore.merge(shardA, alien))
     assert(err.getMessage.contains("identical index faces"))
+    // b-bit ↔ b-bit folds row-identically too (the d34 serving shape)
+    val bbA = freshStore()
+    graft.operators.HammingIndexStore.buildBbit(bbA, bsig(e1), minEst = 0.7)
+    graft.operators.HammingIndexStore.merge(bbA, alien) // alien holds e2's bands
+    val bbFresh = freshStore()
+    graft.operators.HammingIndexStore.buildBbit(bbFresh, bsig(even), minEst = 0.7)
+    assert(bbA.read("bands").collect().map(_.toSeq).toSet ==
+      bbFresh.read("bands").collect().map(_.toSeq).toSet,
+      "merged b-bit bands drifted from the unsharded build")
   }
 
   test("simhash band index: served pairs == batch simhashPairs restricted to the batch") {
