@@ -31,6 +31,20 @@ trait TableStore {
 object ParquetTableStore {
   /** Guards first-touch catalog registration of bucketed tables. */
   private[etl] val catalogLock = new Object
+
+  /** Delete a whole store directory — the cleanup verb for TRANSIENT
+    * stores (the `ensureMerged` shard-build temporaries): shards fold
+    * into the destination and their build dirs have no further reader,
+    * so leaving them accumulates one full corpus copy per shard per
+    * cache key. Safe on a missing path (replay after a crash that
+    * already cleaned).
+    */
+  def deleteStoreDir(root: String): Unit = {
+    val p = Paths.get(root)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+  }
 }
 
 final class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {

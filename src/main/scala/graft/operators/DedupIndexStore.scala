@@ -500,6 +500,9 @@ object DedupIndexStore {
           val tmp = new ParquetTableStore(spark, s"$path-shard${i + 1}")
           build(tmp, sh, n, tJac, tCont)
           merge(store, tmp)
+          // the shard build is transient — folded, it has no reader, and
+          // keeping it accumulates a corpus copy per shard per cache key
+          ParquetTableStore.deleteStoreDir(s"$path-shard${i + 1}")
         }
         import spark.implicits._
         store.stage("merged_ok", Seq(1).toDF("ok"))

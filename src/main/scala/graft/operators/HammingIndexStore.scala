@@ -243,6 +243,8 @@ object HammingIndexStore {
           val tmp = new ParquetTableStore(spark, s"$path-shard${i + 1}")
           build(tmp, sh, maxHamming)
           merge(store, tmp)
+          // transient shard build — folded, deletable (see DedupIndexStore)
+          ParquetTableStore.deleteStoreDir(s"$path-shard${i + 1}")
         }
         import spark.implicits._
         store.stage("merged_ok", Seq(1).toDF("ok"))
@@ -288,6 +290,8 @@ object HammingIndexStore {
           val tmp = new ParquetTableStore(spark, s"$path-shard${i + 1}")
           buildBbit(tmp, sh, minEst)
           merge(store, tmp)
+          // transient shard build — folded, deletable (see DedupIndexStore)
+          ParquetTableStore.deleteStoreDir(s"$path-shard${i + 1}")
         }
         import spark.implicits._
         store.stage("merged_ok", Seq(1).toDF("ok"))

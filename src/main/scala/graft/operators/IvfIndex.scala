@@ -116,8 +116,11 @@ object IvfIndex {
         explode(nearestCells(cv, centroids, nprobe)).as("cell"))
     val scored = queryProbes.join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dotp(col("qv"), col("nv")) /
-        sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))))
+      // zero-norm guard: Spark's desc ordering ranks NaN ABOVE every real
+      // cosine, so a direction-less vector would silently win the top-k —
+      // pin its cosine to -1 (ranks last, neighbor_id tie-break)
+      .withColumn("cos", nanvl(dotp(col("qv"), col("nv")) /
+        sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))), lit(-1.0)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.select(col("query_id"), col("neighbor_id"), col("cos"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -171,8 +174,12 @@ object IvfIndex {
       cents: Array[(Int, Array[Double])], nprobe: Int): Column = {
     val scored = cents.map { case (cell, c) =>
       val c2 = c.map(x => x * x).sum // same left-to-right sum as norm2
-      struct((lit(-1.0) * (dotp(v, typedLit(c.toSeq)) /
-        sqrt(dotp(v, v) * lit(c2)))).as("negcs"), lit(cell).as("cell"))
+      // a zero-norm query (or degenerate centroid) yields 0/0 = NaN,
+      // whose sort position differs between Spark and an oracle engine —
+      // pin it to cosine -1 so direction-less vectors probe the lowest
+      // cell ids deterministically instead of breaking parity
+      struct(nanvl(lit(-1.0) * (dotp(v, typedLit(c.toSeq)) /
+        sqrt(dotp(v, v) * lit(c2))), lit(1.0)).as("negcs"), lit(cell).as("cell"))
     }
     transform(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nprobe),
       s => s.getField("cell"))
@@ -198,8 +205,11 @@ object IvfIndex {
         explode(nearestCellsByCos(cv, cents, nprobe)).as("cell"))
     val scored = queryProbes.join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dotp(col("qv"), col("nv")) /
-        sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))))
+      // zero-norm guard: Spark's desc ordering ranks NaN ABOVE every real
+      // cosine, so a direction-less vector would silently win the top-k —
+      // pin its cosine to -1 (ranks last, neighbor_id tie-break)
+      .withColumn("cos", nanvl(dotp(col("qv"), col("nv")) /
+        sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))), lit(-1.0)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.select(col("query_id"), col("neighbor_id"), col("cos"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -384,6 +384,8 @@ object SuffixIndexStore {
           val tmp = new ParquetTableStore(spark, s"$path-shard${i + 1}")
           build(tmp, sh, minLen, maxLen)
           merge(store, tmp)
+          // transient shard build — folded, deletable (see DedupIndexStore)
+          ParquetTableStore.deleteStoreDir(s"$path-shard${i + 1}")
         }
         import spark.implicits._
         store.stage("merged_ok", Seq(1).toDF("ok"))

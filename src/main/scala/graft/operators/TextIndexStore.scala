@@ -180,6 +180,8 @@ object TextIndexStore {
         shards.tail.zipWithIndex.foreach { case (sh, i) =>
           write(s"$path-shard${i + 1}", sh)
           merge(spark, path, s"$path-shard${i + 1}")
+          // transient shard build — folded, deletable (see DedupIndexStore)
+          graft.etl.ParquetTableStore.deleteStoreDir(s"$path-shard${i + 1}")
         }
         import spark.implicits._
         st.stage("merged_ok", Seq(1).toDF("ok"))
