@@ -88,6 +88,18 @@ import graft.marts.Views
   *                                           benchmark in embedding space
   *   decon <emb-new> <out> --incremental     score only a new batch against
   *                                           the stored benchmark artifact
+  *   semdedup <emb> <out> [--threshold T]    SemDeDup state: frozen cell
+  *                                           quantizer + assigned + pair
+  *                                           graph + clusters + kept
+  *   semdedup <emb> <out> --incremental <new-emb> [--threshold T]
+  *                                           assign a batch into the frozen
+  *                                           cells, delta-only pair scoring,
+  *                                           labels merged incrementally
+  *   semdedup retract <out> <ids-parquet>    takedown: forget the listed
+  *                                           vec_ids — pair graph pruned,
+  *                                           labels re-closed (splits OK),
+  *                                           kept re-derived; frozen cells
+  *                                           stay (aggregate statistics)
   *   export <docs> <out> [--budget B] [--shard-seqs S]
   *                                           materialize deterministic JSONL
   *                                           training shards + md5 manifest
@@ -326,6 +338,8 @@ object Main {
         decon(spark, emb, out,
           opt(rest, "--benchmark").getOrElse(sys.error("--benchmark needs a path")),
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.35))
+      case "semdedup" :: "retract" :: out :: ids :: Nil =>
+        semdedupRetract(spark, out, ids)
       case "semdedup" :: emb :: out :: rest if rest.contains("--incremental") =>
         semdedupIncremental(spark, emb, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
@@ -1075,19 +1089,28 @@ object Main {
     */
   def semdedup(spark: SparkSession, embPath: String, out: String,
       threshold: Double): Long = {
-    import graft.operators.Similarity
+    import graft.operators.{Similarity, TextDedup}
     import spark.implicits._
     val store = new ParquetTableStore(spark, out)
     val emb = spark.read.parquet(embPath)
     val cents = Similarity.labelCentroids(emb)
-    // centroids + clusters + kept publish as ONE journaled group commit:
-    // the frozen quantizer and the labels it produced can never tear
+    // centroids + assigned + pair graph + clusters + corpus + kept publish
+    // as ONE journaled group commit: the frozen quantizer and the labels
+    // it produced can never tear. `assigned`/`pairs`/`corpus` are what
+    // make `semdedup retract` state-only (no corpus re-read, no cosine
+    // re-score — the DedupIndexStore `sets` doctrine).
     store.stage("centroids",
       cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cent"))
-    val clusters = store.stage("clusters", Similarity.semanticDedup(emb, threshold))
+    val assigned = store.stage("assigned", Similarity.assignCells(emb, cents))
+    val pairs = store.stage("pairs",
+      Similarity.semanticPairs(assigned, assigned, threshold))
+    val clusters = store.stage("clusters",
+      Similarity.clustersFrom(assigned, TextDedup.connectedComponents(pairs)))
     val drop = clusters.filter(col("kept") === 0L).select(col("vec_id"))
+    store.stage("corpus", emb)
     store.stage("kept", emb.join(drop, Seq("vec_id"), "left_anti"))
-    store.commitStaged(Seq("centroids", "clusters", "kept"))
+    store.commitStaged(Seq("centroids", "assigned", "pairs", "clusters",
+      "corpus", "kept"))
     val nTotal = emb.count(); val nKept = store.read("kept").count()
     println(s"[graft] semdedup: $nTotal vectors -> $nKept kept " +
       s"(${nTotal - nKept} semantic dups dropped, threshold $threshold)")
@@ -1103,27 +1126,84 @@ object Main {
     */
   def semdedupIncremental(spark: SparkSession, existingPath: String,
       out: String, newPath: String, threshold: Double): Long = {
-    import graft.operators.Similarity
+    import graft.operators.{Similarity, TextDedup}
     val store = new ParquetTableStore(spark, out)
-    require(store.exists("clusters") && store.exists("centroids"),
-      s"no $out/clusters+centroids — run batch `semdedup` on the existing corpus first")
+    require(Seq("clusters", "centroids", "assigned", "pairs", "corpus")
+        .forall(store.exists),
+      s"no complete semdedup state at $out — run batch `semdedup` on the " +
+        "existing corpus first (older pairs-less stores need a one-time rebuild)")
     val existing = spark.read.parquet(existingPath)
     val incoming = spark.read.parquet(newPath)
     val cents = store.read("centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
     val prev = store.read("clusters")
       .select(col("vec_id").as("doc_id"), col("cluster_id"))
-    val clusters = store.stage("clusters", Similarity.semanticDedupMerge(
-      cents, prev, existing, incoming, threshold))
+    // the batch assigns into the FROZEN cells; only new×new + new×old
+    // pairs are scored (the existing corpus never self-joins again), and
+    // the accumulated `pairs` table stays exactly "all within-cell pairs
+    // under the frozen cells" — the invariant that makes N-batch
+    // composition equal the one-shot AND keeps retraction exact
+    val oldA = store.read("assigned")
+    val freshA = Similarity.assignCells(incoming, cents)
+    val allA = store.stage("assigned", oldA.unionByName(freshA))
+    val delta = Similarity.semanticPairs(freshA, freshA, threshold)
+      .unionByName(Similarity.semanticPairs(freshA, oldA, threshold,
+        lowerOnly = false))
+      .dropDuplicates("id_a", "id_b")
+    store.stage("pairs", store.read("pairs").unionByName(delta)
+      .dropDuplicates("id_a", "id_b"))
+    val clusters = store.stage("clusters",
+      Similarity.clustersFrom(allA,
+        TextDedup.ccIncremental(prev, delta)
+          .select(col("doc_id"), col("cluster_id"))))
     val drop = clusters.filter(col("kept") === 0L).select(col("vec_id"))
-    store.stage("kept",
-      existing.unionByName(incoming).join(drop, Seq("vec_id"), "left_anti"))
-    // one journaled group commit — no torn clusters/kept pair
-    store.commitStaged(Seq("clusters", "kept"))
+    val corpus = store.stage("corpus",
+      store.read("corpus").unionByName(incoming))
+    store.stage("kept", corpus.join(drop, Seq("vec_id"), "left_anti"))
+    // one journaled group commit — no torn state
+    store.commitStaged(Seq("assigned", "pairs", "clusters", "corpus", "kept"))
     val nTotal = existing.count() + incoming.count()
     val nKept = store.read("kept").count()
     println(s"[graft] semdedup --incremental: $nTotal vectors -> $nKept kept " +
       s"(threshold $threshold, frozen cells, delta-only pair scoring)")
+    nKept
+  }
+
+  /** Takedown for the semantic-dedup state — `Similarity.semanticRetract`
+    * doctrine over the CLI store's table names: assigned/pairs anti-join,
+    * labels re-closed over the remaining pair graph (full CC — retraction
+    * can SPLIT clusters, which the incremental closure can't express),
+    * corpus/kept re-derived, frozen centroids untouched (aggregate
+    * statistics of the training corpus; strict-forget = retrain). The
+    * retracted store equals a fresh batch build over the remaining
+    * corpus under these frozen cells, table by table (spec-pinned).
+    */
+  def semdedupRetract(spark: SparkSession, out: String, idsPath: String): Long = {
+    import graft.operators.{Similarity, TextDedup}
+    val store = new ParquetTableStore(spark, out)
+    require(Seq("clusters", "centroids", "assigned", "pairs", "corpus")
+        .forall(store.exists),
+      s"no complete semdedup state at $out — run batch `semdedup` first")
+    val vids = spark.read.parquet(idsPath).select(col("vec_id"))
+    val assigned = store.stage("assigned",
+      store.read("assigned").join(vids, Seq("vec_id"), "left_anti"))
+    val pairs = store.stage("pairs",
+      store.read("pairs")
+        .join(vids.select(col("vec_id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(vids.select(col("vec_id").as("id_b")), Seq("id_b"), "left_anti")
+        // the using-column joins moved id_b to the front — restore the
+        // (id_a, id_b) schema the build wrote
+        .select(col("id_a"), col("id_b")))
+    val clusters = store.stage("clusters",
+      Similarity.clustersFrom(assigned, TextDedup.connectedComponents(pairs)))
+    val drop = clusters.filter(col("kept") === 0L).select(col("vec_id"))
+    val corpus = store.stage("corpus",
+      store.read("corpus").join(vids, Seq("vec_id"), "left_anti"))
+    store.stage("kept", corpus.join(drop, Seq("vec_id"), "left_anti"))
+    store.commitStaged(Seq("assigned", "pairs", "clusters", "corpus", "kept"))
+    val nKept = store.read("kept").count()
+    println(s"[graft] semdedup retract: ids in $idsPath forgotten " +
+      s"($nKept vectors kept; frozen cells retained)")
     nKept
   }
 

@@ -241,16 +241,32 @@ object Similarity {
     base
   }
 
-  def semanticDedup(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val assigned = assignCells(embeddings, labelCentroids(embeddings))
-    val pairs = cellPairs(assigned, assigned, minCos, lowerOnly = true)
-    val cc = TextDedup.connectedComponents(pairs)
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  /** The public face of `cellPairs` — the within/cross-cell qualifying
+    * pair scoring, exposed so state maintainers (the semdedup CLI store,
+    * the retract == never-indexed specs) score pairs with EXACTLY the
+    * operator's arithmetic instead of re-deriving it.
+    */
+  def semanticPairs(a: DataFrame, b: DataFrame, minCos: Double,
+      lowerOnly: Boolean = true): DataFrame =
+    cellPairs(a, b, minCos, lowerOnly)
+
+  /** Cluster rows (vec_id, cell, cluster_id, kept) from an assigned
+    * table + CC labels — the one derivation every semantic-dedup
+    * surface (inline, served, incremental, retracted) shares: members
+    * in no pair label themselves, keep = min-id canonical.
+    */
+  def clustersFrom(assigned: DataFrame, labels: DataFrame): DataFrame =
     assigned.select(col("vec_id"), col("cell"))
-      .join(cc, Seq("vec_id"), "left")
+      .join(labels.select(col("doc_id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
       .withColumn("kept", (col("cluster_id") === col("vec_id")).cast(LongType))
+
+  def semanticDedup(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val assigned = assignCells(embeddings, labelCentroids(embeddings))
+    val pairs = cellPairs(assigned, assigned, minCos, lowerOnly = true)
+    clustersFrom(assigned, TextDedup.connectedComponents(pairs))
   }
 
   /** INCREMENTAL semantic dedup — the frozen-quantizer doctrine applied
@@ -325,12 +341,19 @@ object Similarity {
     sys.env.getOrElse("SPARK_GRAFT_DEDUP_STATE_DIR", "target/graft-dedup-state")
   private val stateLock = new Object
 
-  /** Persisted semantic-dedup state for a corpus slice: three tables in
+  /** Persisted semantic-dedup state for a corpus slice: four tables in
     * one journaled group commit (ParquetTableStore) —
     *
     *   - `cents`    (cell, cent)               — the FROZEN quantizer
     *   - `assigned` (vec_id, cell, emb, n2)    — the slice's cell rows
+    *   - `pairs`    (id_a, id_b)               — all within-cell qualifying pairs
     *   - `labels`   (doc_id, cluster_id)       — CC labels of clustered members
+    *
+    * `pairs` is the similarity GRAPH the labels derive from — persisting
+    * it is what makes retraction (`semanticRetract`) an anti-join plus a
+    * pair-graph-sized re-closure instead of a corpus-sized re-score
+    * (the DedupIndexStore `sets` doctrine: keep the one table everything
+    * re-derives from).
     *
     * Built on first use per (corpusDir, mtime, minCos, tag), read-only
     * thereafter — a serve never retrains centroids and never re-assigns
@@ -350,21 +373,95 @@ object Similarity {
       tag: String): graft.etl.ParquetTableStore = {
     val mtime = new java.io.File(corpusDir, "embeddings.parquet").lastModified
     val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
-    // "semst": layout version (cents+assigned+labels); bumping the prefix
-    // orphans (never corrupts) the older labels-only caches
-    val path = s"$stateRoot/semst_${tag}_${(minCos * 1000).toInt}_${key}_$mtime"
+    // "semst2": layout version (cents+assigned+pairs+labels); bumping the
+    // prefix orphans (never corrupts) the older pairs-less caches
+    val path = s"$stateRoot/semst2_${tag}_${(minCos * 1000).toInt}_${key}_$mtime"
     stateLock.synchronized {
       val store = new graft.etl.ParquetTableStore(spark, path)
-      if (!Seq("cents", "assigned", "labels").forall(store.exists)) {
-        val spark2 = existing.sparkSession
-        import spark2.implicits._
-        val cents = labelCentroids(existing)
-        store.stage("cents",
-          cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cent"))
-        val oldA = store.stage("assigned", assignCells(existing, cents))
-        store.stage("labels",
-          TextDedup.connectedComponents(cellPairs(oldA, oldA, minCos, lowerOnly = true)))
-        store.commitStaged(Seq("cents", "assigned", "labels"))
+      if (!Seq("cents", "assigned", "pairs", "labels").forall(store.exists))
+        buildSemanticState(store, existing, minCos)
+      store
+    }
+  }
+
+  /** The state build body — shared by `ensureSemanticState` and the
+    * build-then-retract cache (`ensureRetractedSemantic`).
+    */
+  private[graft] def buildSemanticState(store: graft.etl.ParquetTableStore,
+      existing: DataFrame, minCos: Double): Unit = {
+    val spark2 = existing.sparkSession
+    import spark2.implicits._
+    val cents = labelCentroids(existing)
+    store.stage("cents",
+      cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cent"))
+    val oldA = store.stage("assigned", assignCells(existing, cents))
+    val pairs = store.stage("pairs",
+      cellPairs(oldA, oldA, minCos, lowerOnly = true))
+    store.stage("labels", TextDedup.connectedComponents(pairs))
+    store.commitStaged(Seq("cents", "assigned", "pairs", "labels"))
+  }
+
+  /** Forget vectors — the takedown verb for the ONE persisted state
+    * family that lacked it (every lexical index gained retract in round
+    * 10; a deployment dropping a source would re-derive text clusters
+    * correctly yet keep serving stale SEMANTIC labels). Doctrine matches
+    * `DedupIndexStore.retract`: anti-join the source tables, re-derive
+    * everything downstream, one journaled group commit —
+    *
+    *   - `assigned` loses the retracted rows (anti-join);
+    *   - `pairs` loses every pair touching a retracted endpoint;
+    *   - `labels` re-closes over the REMAINING pair graph with a full
+    *     `connectedComponents` — NOT `ccIncremental`, because retraction
+    *     can SPLIT a cluster (a retracted bridge doc) and the
+    *     incremental closure only merges. The re-closure is pair-graph-
+    *     sized (the dedup graph, not the corpus), so the forget never
+    *     re-scores a single cosine;
+    *   - `cents` is untouched: the frozen quantizer is an AGGREGATE
+    *     statistic of the training corpus (the PQ/IVF frozen-artifact
+    *     doctrine) — retraction under frozen cells keeps every remaining
+    *     assignment and pair valid, which is exactly why no cosine work
+    *     recurs. A strict-forget policy (centroids must also unlearn)
+    *     is a retrain, not a retract.
+    *
+    * Retracting ids the state never held is a no-op by the same
+    * derivation (spec-pinned). The retracted state equals
+    * `buildSemanticState` over the remaining corpus with these frozen
+    * cents TABLE BY TABLE (spec-pinned) — no tombstones.
+    */
+  def semanticRetract(store: graft.etl.ParquetTableStore, ids: DataFrame): Unit = {
+    val vids = ids.select(col("vec_id"))
+    store.stage("assigned",
+      store.read("assigned").join(vids, Seq("vec_id"), "left_anti"))
+    val pairs = store.stage("pairs",
+      store.read("pairs")
+        .join(vids.select(col("vec_id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(vids.select(col("vec_id").as("id_b")), Seq("id_b"), "left_anti")
+        // the using-column joins moved id_b to the front — restore the
+        // (id_a, id_b) schema the build wrote
+        .select(col("id_a"), col("id_b")))
+    store.stage("labels", TextDedup.connectedComponents(pairs))
+    store.commitStaged(Seq("assigned", "pairs", "labels"))
+  }
+
+  /** Build-then-retract for a corpus dir, cached (`retract_ok` marker
+    * committed LAST — the DedupIndexStore.ensureRetracted protocol):
+    * the sem3 serving state, so the takedown path itself sits under the
+    * driver's oracle gate, not just its spec.
+    */
+  def ensureRetractedSemantic(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, existing: DataFrame, minCos: Double, tag: String,
+      retractIds: DataFrame): graft.etl.ParquetTableStore = {
+    val mtime = new java.io.File(corpusDir, "embeddings.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$stateRoot/semrt1_${tag}_${(minCos * 1000).toInt}_${key}_$mtime"
+    stateLock.synchronized {
+      val store = new graft.etl.ParquetTableStore(spark, path)
+      if (!store.exists("retract_ok")) {
+        import spark.implicits._
+        buildSemanticState(store, existing, minCos)
+        semanticRetract(store, retractIds)
+        store.stage("retract_ok", Seq(1).toDF("ok"))
+        store.commitStaged(Seq("retract_ok"))
       }
       store
     }
@@ -393,15 +490,14 @@ object Similarity {
     */
   def semanticDedupServed(spark: org.apache.spark.sql.SparkSession,
       corpusDir: String, embeddings: DataFrame, minCos: Double,
-      tag: String = "full"): DataFrame = {
-    val store = ensureSemanticState(spark, corpusDir, embeddings, minCos, tag)
-    store.read("assigned").select(col("vec_id"), col("cell"))
-      .join(store.read("labels").select(col("doc_id").as("vec_id"), col("cluster_id")),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-      .withColumn("kept", (col("cluster_id") === col("vec_id")).cast(LongType))
-  }
+      tag: String = "full"): DataFrame =
+    servedClusters(ensureSemanticState(spark, corpusDir, embeddings, minCos, tag))
+
+  /** Cluster rows straight from a persisted semantic state (built OR
+    * retracted) — two reads and one join, no centroid work.
+    */
+  def servedClusters(store: graft.etl.ParquetTableStore): DataFrame =
+    clustersFrom(store.read("assigned"), store.read("labels"))
 
   /** Benchmark vectors collected to the driver — bounded by construction
     * (an eval benchmark is hundreds-to-thousands of vectors, KB–MB; the

@@ -190,6 +190,41 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(expected.exists(_._4 == 0L), "no semantic dups — vacuous test")
   }
 
+  test("CLI semdedup retract: takedown equals the state-level retract, kept re-derived") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val embP = Files.createTempDirectory("graft_sdr_emb").toString + "/emb"
+    emb.write.parquet(embP)
+    val out = Files.createTempDirectory("graft_sdr_out").toString
+    graft.app.Main.semdedup(spark, embP, out, 0.3)
+    val gone = emb.filter($"vec_id" % 7 === 3).select($"vec_id")
+    val goneP = Files.createTempDirectory("graft_sdr_ids").toString + "/ids"
+    gone.write.parquet(goneP)
+    val nKept = graft.app.Main.semdedupRetract(spark, out, goneP)
+    // reference: the operator-level retract over a scratch state
+    val st = new graft.etl.ParquetTableStore(spark,
+      Files.createTempDirectory("graft_sdr_ref").toString)
+    graft.operators.Similarity.buildSemanticState(st, emb, minCos = 0.3)
+    graft.operators.Similarity.semanticRetract(st, gone)
+    val expected = graft.operators.Similarity.servedClusters(st)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val got = spark.read.parquet(s"$out/clusters")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty,
+      "CLI retract clusters drifted from the operator-level retract")
+    // kept = surviving canonical rows of the surviving corpus
+    val keptIds = spark.read.parquet(s"$out/kept").select($"vec_id")
+      .as[Long].collect().toSet
+    assert(keptIds == expected.filter(_._4 == 1L).map(_._1))
+    assert(nKept == keptIds.size)
+    // the corpus table forgot the retracted rows too
+    val corpusIds = spark.read.parquet(s"$out/corpus").select($"vec_id")
+      .as[Long].collect().toSet
+    val goneIds = gone.as[Long].collect().toSet
+    assert(corpusIds.intersect(goneIds).isEmpty && corpusIds.nonEmpty)
+    // frozen centroids retained — a later incremental batch still works
+    assert(spark.read.parquet(s"$out/centroids").count() > 0)
+  }
+
   test("CLI export: JSONL shards round-trip, manifest md5-consistent, reruns byte-identical") {
     val tmp = Files.createTempDirectory("graft_export").toString
     val docsPath = s"$sfTiny/documents.parquet"
