@@ -318,18 +318,32 @@ object Curation {
     * window over the corpus, no self-join; the winner side is
     * conflict-count-sized and broadcasts.
     */
-  def resolveConflicts(splits: DataFrame, clusters: DataFrame): DataFrame = {
-    val lab = splits.join(clusters.withColumnRenamed("cluster_id", "cl"),
+  /** Splits with their CURRENT cluster label (unclustered docs label
+    * themselves) — the input both the quarantine probe and the full
+    * resolution share.
+    */
+  private def labeledSplits(splits: DataFrame, clusters: DataFrame): DataFrame =
+    splits.join(clusters.withColumnRenamed("cluster_id", "cl"),
         Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cl"), col("doc_id")))
       .drop("cl")
-    // quarantined = split census disagrees, or any 'conflict' row at all
-    // (the second clause is defensive: through the serve path a conflict
-    // row always coexists with the ≥ 2 frozen splits that caused it)
-    val quarantined = lab.groupBy(col("cluster_id"))
+
+  /** Quarantined cluster ids: split census disagrees, or any 'conflict'
+    * row at all (the second clause is defensive: through the serve path
+    * a conflict row always coexists with the ≥ 2 frozen splits that
+    * caused it). Quarantine-sized output from one map-side-combining
+    * aggregation — the cheap probe `resolveConflictsInStore` runs
+    * BEFORE committing to the corpus-sized rewrite.
+    */
+  private def quarantineOf(lab: DataFrame): DataFrame =
+    lab.groupBy(col("cluster_id"))
       .agg(collect_set(col("split")).as("ss"))
       .filter(size(col("ss")) >= 2 || array_contains(col("ss"), "conflict"))
       .select(col("cluster_id"))
+
+  def resolveConflicts(splits: DataFrame, clusters: DataFrame): DataFrame = {
+    val lab = labeledSplits(splits, clusters)
+    val quarantined = quarantineOf(lab)
     val votes = lab.join(quarantined, Seq("cluster_id"), "left_semi")
       .filter(col("split") =!= "conflict")
       .groupBy(col("cluster_id"), col("split"))
@@ -361,12 +375,21 @@ object Curation {
     require(store.exists("splits") && store.exists("clusters"),
       "split resolve needs a store with `splits` and `clusters` tables " +
         "(a state dir previous `split serve` waves wrote)")
-    val out = resolveConflicts(store.read("splits"), store.read("clusters"))
-      .localCheckpoint(true)
-    val changed = out.filter(col("changed") === 1L).count()
-    if (changed > 0)
-      store.overwrite("splits", out.select(col("doc_id"), col("split")))
-    changed
+    val splits = store.read("splits")
+    val clusters = store.read("clusters")
+    // replay fast path: the common case (resolve on a cadence, most runs
+    // find nothing quarantined) used to localCheckpoint the full
+    // rewritten assignment just to learn changed == 0 — probe the
+    // quarantine first (one map-side-combining agg, quarantine-sized
+    // output) and skip the corpus-sized materialization entirely
+    if (quarantineOf(labeledSplits(splits, clusters)).isEmpty) 0L
+    else {
+      val out = resolveConflicts(splits, clusters).localCheckpoint(true)
+      val changed = out.filter(col("changed") === 1L).count()
+      if (changed > 0)
+        store.overwrite("splits", out.select(col("doc_id"), col("split")))
+      changed
+    }
   }
 
   /** e2e12's terminal stage as a reusable function: deterministic
@@ -378,6 +401,12 @@ object Curation {
     */
   def shardManifest(toks0: DataFrame, seed: String, budget: Long,
       seqsPerShard: Long): DataFrame = {
+    // a non-positive divisor would make the integer DIVs yield null
+    // seq_id/shard_id rows SILENTLY — fail loudly like the merge/refreeze
+    // verbs validate their parameters
+    require(budget > 0, s"shardManifest: budget must be positive (got $budget)")
+    require(seqsPerShard > 0,
+      s"shardManifest: seqsPerShard must be positive (got $seqsPerShard)")
     val toks = toks0.select(col("doc_id"),
       md5(concat(lit(seed + ":"), col("doc_id").cast(StringType))).as("skey"),
       col("n_tokens"))
@@ -432,7 +461,13 @@ object Curation {
     val gated = batch.join(TextQuality.gopherRules(batch)
         .filter(col("passes") === 1).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val nTok = Par.fan(gated).select(col("doc_id"),
+    // splitServe tolerates duplicate doc_id rows within a wave
+    // (dropDuplicates on its fresh set); the export tables must share
+    // that contract — an un-deduplicated nTok would write duplicated
+    // (doc_id, n_tokens) rows into `gated`/`admitted` (appendFresh's
+    // anti-join only guards against EARLIER waves), permanently
+    // double-counting the shard manifest
+    val nTok = Par.fan(gated.dropDuplicates("doc_id")).select(col("doc_id"),
       TextStats.wsTokenCount(col("text")).cast(LongType).as("n_tokens"))
     val n = splitServe(store, gated, threshold) { assigned =>
       writeAssignments(assigned)

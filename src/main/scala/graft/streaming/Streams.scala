@@ -437,11 +437,26 @@ object Streams {
     * anti-joined, and a replayed wave regenerates the identical
     * manifest.
     */
+  /** `resolveEvery` (0 = off) closes the resolution loop INSIDE the
+    * stream: after every Nth wave the quarantine is adjudicated
+    * (`resolveConflictsInStore`) and admission re-derived under the
+    * resolved splits (`exportReconcile`) — without it, bridge docs
+    * quarantine as 'conflict' forever unless an operator runs the
+    * `split resolve` CLI between waves. Replay-safe like every other
+    * stage: both verbs are fixed points (an empty quarantine is a
+    * cheap no-op probe; a replayed reconcile flips nothing and
+    * regenerates the identical manifest), so a crash anywhere between
+    * serve and resolve replays to the same state. The resolve cadence
+    * composes with the batch lifecycle: N waves + in-stream resolve
+    * lands on the SAME final manifest as serve-all-then-resolve-once
+    * (MediaStreamingSpec pins it), because post-resolution every
+    * census is size 1 and later members adopt.
+    */
   def exportStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
       store: graft.etl.ParquetTableStore, outDir: String,
       checkpointDir: String, threshold: Double = 0.8,
-      budget: Long = 1024L,
-      seqsPerShard: Long = 4L): org.apache.spark.sql.streaming.StreamingQuery = {
+      budget: Long = 1024L, seqsPerShard: Long = 4L,
+      resolveEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Curation
     val schema = spark.read.parquet(docsDir).schema
     spark.readStream.schema(schema).parquet(docsDir)
@@ -452,6 +467,12 @@ object Streams {
           assigned.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }
         if (store.exists("admitted")) store.overwrite("manifest", manifest)
+        if (resolveEvery > 0 && (batchId + 1) % resolveEvery == 0 &&
+            store.exists("splits")) {
+          Curation.resolveConflictsInStore(store)
+          val (_, m2) = Curation.exportReconcile(store, budget, seqsPerShard)
+          store.overwrite("manifest", m2)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -425,6 +425,69 @@ class MediaStreamingSpec extends SparkTestBase {
       "replay grew the admitted table")
   }
 
+  test("export stream --resolve: bridge quarantines, in-stream resolve clears it, later waves adopt, manifest == batch lifecycle") {
+    import graft.operators.Curation
+    // Gopher-passing disjoint-vocabulary texts; two whose label hash
+    // freezes them to DIFFERENT splits (the e2e13/s13 bridge fixture)
+    def text(i: Long) = "the a and of " + (1 to 56).map(j => s"s${i}q$j").mkString(" ")
+    val splitOf = (1L to 30L).toDF("doc_id")
+      .select($"doc_id", Curation.splitOfLabel($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    val (a, b) = (for {
+      x <- (1L to 30L); y <- (1L to 30L)
+      if x < y && splitOf(x) != splitOf(y)
+    } yield (x, y)).head
+    val fillers = (1L to 30L).filter(i => i != a && i != b).take(4)
+    def d(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val wave1 = d((Seq(a, b) ++ fillers).sorted.map(i => i -> text(i)): _*)
+    val wave2 = d(1001L -> (text(a) + " " + text(b))) // bridges a's and b's clusters
+    val wave3 = d(2001L -> text(a))                   // future member of the resolved cluster
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xstream_resolve").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+    val docsDir = s"$tmp/arrivals"
+    def run(): Unit =
+      Streams.exportStream(spark, docsDir, store, s"$tmp/out", s"$tmp/ckpt",
+        threshold = 0.4, budget = 64L, seqsPerShard = 2L, resolveEvery = 1)
+        .awaitTermination(120000)
+    wave1.write.mode("append").parquet(docsDir); run()
+    wave2.write.mode("append").parquet(docsDir); run()
+    // the bridge quarantined on arrival, and the IN-STREAM resolve
+    // adjudicated it before the wave finished: no conflict row survives,
+    // the whole merged cluster sits on the tie-winner split
+    val winner = Seq(splitOf(a), splitOf(b)).min
+    val after2 = store.read("splits").as[(Long, String)].collect().toMap
+    assert(!after2.valuesIterator.contains("conflict"),
+      s"in-stream resolve left a conflict row: $after2")
+    assert(Seq(a, b, 1001L).forall(after2(_) == winner),
+      s"merged cluster must sit on $winner, got $after2")
+    fillers.foreach(i => assert(after2(i) == splitOf(i),
+      "untouched cluster moved"))
+    // wave 3: the new member ADOPTS the resolved split at assignment
+    // time (census is size 1 post-resolution) — through the STREAM
+    wave3.write.mode("append").parquet(docsDir); run()
+    val w3 = spark.read.parquet(s"$tmp/out/batch=2")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(w3 == Map(2001L -> winner),
+      s"wave-3 member must adopt the resolved split, got $w3")
+    // composition: the streamed lifecycle's final manifest equals the
+    // BATCH lifecycle (serve all waves, resolve once, reconcile) on the
+    // same corpus — the e2e13 shape
+    val batchStore = new graft.etl.ParquetTableStore(spark, s"$tmp/batch_state")
+    Seq(wave1, wave2, wave3).foreach(w =>
+      Curation.exportServe(batchStore, w, threshold = 0.4, budget = 64L,
+        seqsPerShard = 2L)(_ => ()))
+    Curation.resolveConflictsInStore(batchStore)
+    val (_, batchManifest) = Curation.exportReconcile(batchStore, 64L, 2L)
+    def mset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, String)].collect().toSet
+    val got = mset(store.read("manifest"))
+    assert(got == mset(batchManifest) && got.nonEmpty,
+      s"streamed-resolve manifest drifted from the batch lifecycle")
+    // and the admitted sets agree doc-for-doc
+    assert(store.read("admitted").select($"doc_id").as[Long].collect().toSet ==
+      batchStore.read("admitted").select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("suffix index stream: each wave's spans equal the as-of recompute; replay is a no-op") {
     import graft.operators.{SuffixDedup, SuffixIndexStore}
     val docs = Tables.documents(spark, sfTiny)
