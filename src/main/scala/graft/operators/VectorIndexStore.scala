@@ -194,6 +194,34 @@ object VectorIndexStore {
     touch(path)
   }
 
+  /** PQ sibling of `writeIvfFrozen`: shard-encode a batch against FROZEN
+    * codebooks (trained ONCE, centrally — Lloyd over shard unions is
+    * summation-order-sensitive, so unlike the exact-cell IVF quantizer
+    * the PQ trainer CANNOT run per shard; the train-once/encode-anywhere
+    * split is the whole protocol). The shard is a complete servable
+    * index and `merge` verifies codebook equality before folding.
+    */
+  def writePqFrozen(path: String, batch: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    writeCodebooks(batch.sparkSession, p(path, "codebooks"), codebooks)
+    PqIndex.buildIndex(batch, codebooks)
+      .write.mode("overwrite").parquet(p(path, "codes"))
+    touch(path)
+  }
+
+  /** IVFPQ sibling: both frozen artifacts (coarse centroids + residual
+    * codebooks) ship to the shard; encoding is a pure projection.
+    */
+  def writeIvfPqFrozen(path: String, batch: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    writeCentroids(batch.sparkSession, p(path, "centroids"), centroids)
+    writeCodebooks(batch.sparkSession, p(path, "codebooks"), codebooks)
+    PqIndex.buildIvfPqIndex(batch, centroids, codebooks)
+      .write.mode("overwrite").parquet(p(path, "codes"))
+    touch(path)
+  }
+
   /** Merge another ANN index INTO this one — flavor-agnostic (pq / ivf /
     * ivfpq share the layout; the artifact dirs present determine the
     * flavor). Preconditions, each rejected loudly: both indexes complete,
@@ -356,6 +384,67 @@ object VectorIndexStore {
           val sp = s"$path-shard${i + 1}"
           writeIvfFrozen(sp, sh, cents)
           merge(spark, path, sp)
+          // transient shard build — folded, deletable (see DedupIndexStore)
+          graft.etl.ParquetTableStore.deleteStoreDir(sp)
+        }
+        java.nio.file.Files.write(ready, Array.emptyByteArray)
+      }
+    }
+    path
+  }
+
+  /** Merged flat-PQ index: `ensureMergedIvf`'s protocol on the PQ leg —
+    * Lloyd codebooks train ONCE over the shard union (deterministic:
+    * the sample is seeded by the lowest vec_ids, so the union trains
+    * identically to the unsharded corpus), shards encode as pure
+    * projections of the frozen codebooks, `merge` verifies codebook
+    * equality bit-for-bit before folding. Registered (ann9) so the
+    * PQ leg of the fold is bench- and PLANS-visible; codes can't hash
+    * (Lloyd floats) — the spec pins merged == unsharded instead.
+    */
+  def ensureMergedPq(corpusDir: String, shards: Seq[DataFrame]): String = {
+    require(shards.nonEmpty, "need at least one shard")
+    val path = s"$cacheRoot/mpq_${shards.size}_${cacheKey(corpusDir)}"
+    val ready = java.nio.file.Paths.get(path, "_graft_merged_ready")
+    ensureLock.synchronized {
+      if (!java.nio.file.Files.exists(ready)) {
+        val spark = shards.head.sparkSession
+        val codebooks = PqIndex.train(shards.reduce(_ unionByName _))
+        writePqFrozen(path, shards.head, codebooks)
+        shards.tail.zipWithIndex.foreach { case (sh, i) =>
+          val sp = s"$path-shard${i + 1}"
+          writePqFrozen(sp, sh, codebooks)
+          merge(spark, path, sp)
+          // transient shard build — folded, deletable (see DedupIndexStore)
+          graft.etl.ParquetTableStore.deleteStoreDir(sp)
+        }
+        java.nio.file.Files.write(ready, Array.emptyByteArray)
+      }
+    }
+    path
+  }
+
+  /** Merged IVFPQ index: both frozen artifacts (Lloyd coarse centroids +
+    * residual codebooks) train once over the shard union; the rest is
+    * the same fold.
+    */
+  def ensureMergedIvfPq(corpusDir: String, shards: Seq[DataFrame]): String = {
+    require(shards.nonEmpty, "need at least one shard")
+    val path = s"$cacheRoot/mivfpq_${shards.size}_${cacheKey(corpusDir)}"
+    val ready = java.nio.file.Paths.get(path, "_graft_merged_ready")
+    ensureLock.synchronized {
+      if (!java.nio.file.Files.exists(ready)) {
+        val spark = shards.head.sparkSession
+        val union = shards.reduce(_ unionByName _)
+        val centroids = IvfIndex.fit(union, 16)
+        val codebooks = PqIndex.trainResiduals(union, centroids)
+        writeIvfPqFrozen(path, shards.head, centroids, codebooks)
+        shards.tail.zipWithIndex.foreach { case (sh, i) =>
+          val sp = s"$path-shard${i + 1}"
+          writeIvfPqFrozen(sp, sh, centroids, codebooks)
+          merge(spark, path, sp)
+          // transient shard build — folded, deletable (see DedupIndexStore)
+          graft.etl.ParquetTableStore.deleteStoreDir(sp)
         }
         java.nio.file.Files.write(ready, Array.emptyByteArray)
       }

@@ -1336,6 +1336,58 @@ object PipelineQueries {
         ORDER BY a.vec_id"""),
       "incremental SemDeDup: frozen cells, batch-only pair delta, ccIncremental merge"),
 
+    // RETRACTION (takedown) through the SEMANTIC-dedup state — the one
+    // persisted state family the round-10 takedown verb skipped: a
+    // deployment dropping a source re-derived lexical clusters correctly
+    // but kept serving stale semantic labels. `semanticRetract`
+    // anti-joins assigned/pairs and RE-CLOSES labels over the remaining
+    // pair graph (full CC — a retracted bridge can SPLIT a cluster,
+    // which the merge-only incremental closure can't express); the
+    // frozen cell quantizer stays (an aggregate statistic of the
+    // training corpus — the PQ/IVF frozen-artifact doctrine;
+    // strict-forget = retrain). The serve equals sem1's oracle with the
+    // retracted vectors excluded AFTER assignment but with centroids
+    // still trained on the FULL corpus — which is exactly what this SQL
+    // replays (cent CTE unrestricted, assigned CTE filtered). At sf0.01
+    // the retraction re-canonicalizes 40 rows (retracted min-id
+    // canonicals hand their clusters to the next member) — the gate is
+    // not vacuous.
+    "sem3_retracted_semdedup" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val st = Similarity.ensureRetractedSemantic(s, d, emb, minCos = 0.3,
+          tag = "full", emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+        Similarity.servedClusters(st).orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent AS (SELECT label AS cell, list(c_val ORDER BY dim) AS cent FROM (
+            SELECT label, i AS dim,
+              CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val
+            FROM emb, UNNEST(range(1, 65)) AS t(i)
+            GROUP BY label, i) GROUP BY label),
+        assigned AS (SELECT vec_id, cell, emb FROM (
+            SELECT e.vec_id, c.cell, e.emb,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
+            FROM emb e, cent c) WHERE rn = 1 AND NOT (vec_id % 7 = 3)),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        cl AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT a.vec_id, a.cell,
+          COALESCE(cl.cluster_id, a.vec_id) AS cluster_id,
+          CAST(CASE WHEN COALESCE(cl.cluster_id, a.vec_id) = a.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM assigned a LEFT JOIN cl USING (vec_id)
+        ORDER BY a.vec_id"""),
+      "semantic takedown serve: retracted vectors forgotten, labels re-closed under frozen cells"),
+
     // ───── similarity search ─────
 
     "ann1_bruteforce_topk" -> Q(
@@ -1444,6 +1496,41 @@ object PipelineQueries {
       },
       None,
       "IVFPQ: coarse cell probing × in-cell ADC over 4-bit codes × exact re-rank"),
+
+    // The PQ legs of the distributed-build fold, registered so
+    // `VectorIndexStore.merge`'s flavor-agnostic PQ/IVFPQ paths sit
+    // under PLANS/BENCH like every other index face (ann8 gates the IVF
+    // leg on ann3's oracle). Rows-only by necessity — Lloyd-trained
+    // codebooks are float-iterative (the ann4/ann5 adjudication) — but
+    // NOT spec-free: merged == unsharded is pinned bit-for-bit in
+    // PipelineOpsSpec ("PQ/IVFPQ merged shards..."), the strongest
+    // statement available for a float index. Codebooks train ONCE over
+    // the shard union (seeded by lowest vec_ids → identical to the
+    // unsharded train), shards encode as pure projections, merge
+    // verifies artifact equality before folding.
+    "ann9_merged_pq_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val idx = graft.operators.VectorIndexStore.ensureMergedPq(d,
+          Seq(emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1)))
+        graft.operators.VectorIndexStore.pqTopK(s, idx, emb.filter(col("vec_id") < 5), k = 3)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      None,
+      "PQ top-k served from a two-shard merged index — frozen codebooks, fold == unsharded"),
+
+    "ann10_merged_ivfpq_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val idx = graft.operators.VectorIndexStore.ensureMergedIvfPq(d,
+          Seq(emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1)))
+        graft.operators.VectorIndexStore.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), k = 3)
+          .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      },
+      None,
+      "IVFPQ top-k served from a two-shard merged index — both artifacts frozen centrally"),
 
     "ann4_pq_topk" -> Q(
       (s, d) => {
@@ -1786,6 +1873,55 @@ object PipelineQueries {
         .orderBy(col("doc_id")),
       Some(bpeEncodeOracle(6)),
       "BPE encode + per-doc fertility under the 6 trained merges"),
+
+    // The SECOND tokenizer family (unigram/WordPiece-style serving
+    // path): greedy longest-match encode under a count-derived piece
+    // vocab. Training a unigram LM proper is EM (float-iterative →
+    // would be no_oracle); the application face is deterministic —
+    // top-200 substring pieces by integer occurrence weight (total-order
+    // tie-break), then a left-to-right longest-match scan folded as ONE
+    // codegen'd `aggregate` per DISTINCT word (corpus touched once; all
+    // later stages vocabulary-sized — the Bpe.encodeVocab doctrine).
+    // Output is bpe4's exact schema, giving its fertility query a
+    // cross-tokenizer comparison face (TokenizerSpec pins it per
+    // source). The oracle replays vocab selection, per-position longest
+    // match, and the greedy scan (recursive CTE) bit for bit.
+    "tok1_unigram_fertility" -> Q(
+      (s, d) => graft.operators.Unigram
+        .encodeFertility(Tables.documents(s, d), 200)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE dw AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(string_split($normSql, ' ')) AS w FROM documents)
+          WHERE length(w) >= 1),
+        wf AS (SELECT w, COUNT(*) AS freq FROM dw WHERE length(w) >= 2 GROUP BY w),
+        pc AS (SELECT piece, SUM(freq) AS n FROM (
+            SELECT substring(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, freq
+            FROM wf, UNNEST(range(1, length(w) + 1)) AS t(i),
+              UNNEST(range(2, 5)) AS u(l)
+            WHERE length(substring(w, CAST(i AS INTEGER), CAST(l AS INTEGER))) = CAST(l AS INTEGER))
+          GROUP BY piece),
+        vocab AS (SELECT piece FROM pc ORDER BY n DESC, piece LIMIT 200),
+        words AS (SELECT DISTINCT w FROM dw),
+        m AS (SELECT c.w, c.pos, MAX(c.l) AS mlen FROM (
+            SELECT wo.w, CAST(i AS INTEGER) AS pos, CAST(l AS INTEGER) AS l,
+              substring(wo.w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+            FROM words wo, UNNEST(range(1, length(wo.w) + 1)) AS t(i),
+              UNNEST(range(2, 5)) AS u(l)) c
+          JOIN vocab v ON v.piece = c.piece
+          WHERE length(c.piece) = c.l
+          GROUP BY c.w, c.pos),
+        tok(w, len, pos, cnt) AS (
+          SELECT w, CAST(length(w) AS INTEGER), 1, 0 FROM words
+          UNION ALL
+          SELECT t.w, t.len, t.pos + COALESCE(m.mlen, 1), t.cnt + 1
+          FROM tok t LEFT JOIN m ON m.w = t.w AND m.pos = t.pos
+          WHERE t.pos <= t.len),
+        nt AS (SELECT w, cnt AS n_tok FROM tok WHERE pos > len)
+        SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(t.n_tok) * 1000 // COUNT(*) AS BIGINT) AS fertility_permille
+        FROM dw d JOIN nt t ON t.w = d.w
+        GROUP BY 1 ORDER BY doc_id"""),
+      "unigram-family greedy longest-match encode + per-doc fertility (top-200 piece vocab)"),
 
     // Per-label embedding centroids (the "domain centroid" a curation
     // pipeline scores documents against): element-wise mean via the a18

@@ -424,6 +424,59 @@ class PipelineOpsSpec extends SparkTestBase {
       prevOnly.get(id).exists(_ != cid) })
   }
 
+  test("semantic retract equals a never-indexed build under frozen cells; unknown ids are a no-op") {
+    val store = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sem-retract").toString)
+    Similarity.buildSemanticState(store, emb, minCos = 0.3)
+    val before = Similarity.servedClusters(store)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val gone = emb.filter($"vec_id" % 7 === 3).select($"vec_id")
+    Similarity.semanticRetract(store, gone)
+    // strongest form: the retracted state EQUALS a never-indexed build
+    // over the remaining corpus under the SAME frozen cells, table by
+    // table (cents untouched — aggregate statistics; strict-forget
+    // would be a retrain)
+    val cents = Similarity.readCents(store)
+    val fullCents = Similarity.labelCentroids(emb)
+    assert(cents.length == fullCents.length && cents.zip(fullCents).forall {
+      case ((c1, v1), (c2, v2)) => c1 == c2 && v1.sameElements(v2)
+    }, "frozen centroids must be untouched by retraction")
+    val remaining = emb.join(gone, Seq("vec_id"), "left_anti")
+    val refA = Similarity.assignCells(remaining, cents)
+    val gotA = store.read("assigned").select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toSet
+    assert(gotA == refA.select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+      && gotA.nonEmpty)
+    val refPairs = Similarity.semanticPairs(refA, refA, minCos = 0.3)
+      .as[(Long, Long)].collect().toSet
+    val gotPairs = store.read("pairs").as[(Long, Long)].collect().toSet
+    assert(gotPairs == refPairs && gotPairs.nonEmpty)
+    val refLabels = TextDedup.connectedComponents(
+        refPairs.toSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val served = Similarity.servedClusters(store)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(served.length == remaining.count())
+    assert(served.forall { case (id, _, cid, kept) =>
+      refLabels.getOrElse(id, id) == cid && kept == (if (cid == id) 1L else 0L)
+    })
+    // non-vacuous: at least one surviving row re-canonicalized (its
+    // retracted min-id canonical handed the cluster to the next member)
+    assert(served.exists { case (id, _, cid, _) =>
+      before.get(id).exists(_ != cid) })
+    // no retracted endpoint survives anywhere in the state
+    val goneIds = gone.as[Long].collect().toSet
+    assert(served.forall { case (id, _, cid, _) => !goneIds(id) && !goneIds(cid) })
+    assert(gotPairs.forall { case (a, b) => !goneIds(a) && !goneIds(b) })
+    // retracting ids the state never held is a no-op
+    val snapshot = Similarity.servedClusters(store)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    Similarity.semanticRetract(store,
+      spark.range(900000, 900010).select($"id".as("vec_id")))
+    assert(Similarity.servedClusters(store)
+      .as[(Long, Int, Long, Long)].collect().toSet == snapshot)
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -675,6 +728,47 @@ class PipelineOpsSpec extends SparkTestBase {
       VectorIndexStore.merge(spark, s"$dir/a", s"$dir/pq"))
     assert(e2.getMessage.contains("identical index flavors"))
     assert(spark.read.parquet(s"$dir/a/codes").count() == nBefore)
+  }
+
+  test("PQ/IVFPQ merged shards fold to the unsharded frozen build; serves agree") {
+    import graft.operators.{IvfIndex, PqIndex, VectorIndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqmrg").toString
+    val q = emb.filter($"vec_id" < 5)
+    def codeSet(pp: String) = spark.read.parquet(s"$pp/codes")
+      .select($"vec_id", $"code".cast("long")).as[(Long, Long)].collect().toSet
+    def topk(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(Long, Long, Double)].collect().toSet
+    // PQ leg: central codebooks, overlapping shards (id-dedup exercised)
+    val cb = PqIndex.train(emb)
+    VectorIndexStore.writePqFrozen(s"$dir/a", emb.filter($"vec_id" % 2 === 0), cb)
+    VectorIndexStore.writePqFrozen(s"$dir/b",
+      emb.filter($"vec_id" % 2 === 1 || $"vec_id" % 4 === 0), cb)
+    VectorIndexStore.merge(spark, s"$dir/a", s"$dir/b")
+    VectorIndexStore.writePqFrozen(s"$dir/full", emb, cb)
+    assert(codeSet(s"$dir/a") == codeSet(s"$dir/full") &&
+      codeSet(s"$dir/a").nonEmpty,
+      "merged PQ codes drifted from the unsharded frozen build")
+    assert(topk(VectorIndexStore.pqTopK(spark, s"$dir/a", q, k = 3)) ==
+      topk(VectorIndexStore.pqTopK(spark, s"$dir/full", q, k = 3)))
+    // IVFPQ leg: BOTH frozen artifacts central
+    val cents = IvfIndex.fit(emb, 16)
+    val rcb = PqIndex.trainResiduals(emb, cents)
+    VectorIndexStore.writeIvfPqFrozen(s"$dir/ia",
+      emb.filter($"vec_id" % 2 === 0), cents, rcb)
+    VectorIndexStore.writeIvfPqFrozen(s"$dir/ib",
+      emb.filter($"vec_id" % 2 === 1 || $"vec_id" % 4 === 0), cents, rcb)
+    VectorIndexStore.merge(spark, s"$dir/ia", s"$dir/ib")
+    VectorIndexStore.writeIvfPqFrozen(s"$dir/ifull", emb, cents, rcb)
+    assert(codeSet(s"$dir/ia") == codeSet(s"$dir/ifull"),
+      "merged IVFPQ codes drifted from the unsharded frozen build")
+    assert(topk(VectorIndexStore.ivfPqTopK(spark, s"$dir/ia", q, k = 3)) ==
+      topk(VectorIndexStore.ivfPqTopK(spark, s"$dir/ifull", q, k = 3)))
+    // and the ensure caches serve the same answers as the explicit fold
+    // (ann9/ann10's serving surface — built from the same shard split)
+    val mp = VectorIndexStore.ensureMergedPq(sfTiny,
+      Seq(emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1)))
+    assert(topk(VectorIndexStore.pqTopK(spark, mp, q, k = 3)) ==
+      topk(VectorIndexStore.pqTopK(spark, s"$dir/full", q, k = 3)))
   }
 
   test("ANN index retract: codes equal a frozen encode of the remaining corpus") {
@@ -1156,6 +1250,48 @@ class PipelineOpsSpec extends SparkTestBase {
     //   1 token/word -> 3 tokens, fertility 1000
     // doc 2: 'aaaa' ×2 -> [aa, aa]: 2 tokens/word -> 4 tokens, 2000
     assert(rows == Map(1L -> ((3L, 3L, 1000L)), 2L -> ((2L, 4L, 2000L))), s"got $rows")
+  }
+
+  test("unigram greedy encode: hand-checked matches, bounds, fertility face vs bpe4") {
+    import graft.operators.{Bpe, Unigram}
+    // hand-checked greedy longest-match on a planted vocab: "abcab" →
+    // greedy takes "abc" (longest at pos 1) then "ab" = 2 tokens — NOT
+    // the 3-token [ab][c][ab] a shortest-first matcher would produce;
+    // "xabcx" → [x][abc][x] = 3; "zzzzz" (no match) → 5 single chars
+    val vocab = Seq("ab", "abc").toDF("piece")
+    val got = Unigram.encodeVocab(
+        Seq("abcab", "xabcx", "zzzzz", "ab").toDF("w"), vocab)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("abcab" -> 2L, "xabcx" -> 3L, "zzzzz" -> 5L, "ab" -> 1L),
+      s"greedy scan drifted: $got")
+    // on the real corpus: every word's count sits in [ceil(len/4), len]
+    // (tokens are 1..4 chars and tile the word exactly)
+    val docs = Tables.documents(spark, sfTiny)
+    val words = docs
+      .select(explode(split(graft.operators.TextDedup.normalizeText($"text"), " ")).as("w"))
+      .filter(length($"w") >= 1).distinct()
+    val enc = Unigram.encodeVocab(words, Unigram.pieceVocab(docs, 200))
+      .as[(String, Long)].collect()
+    assert(enc.nonEmpty && enc.forall { case (w, n) =>
+      n <= w.length && n >= (w.length + Unigram.maxPieceLen - 1) / Unigram.maxPieceLen
+    })
+    assert(enc.exists { case (w, n) => n < w.length },
+      "vocab pieces must actually fire somewhere")
+    // the comparison face: per-source mean fertility under BOTH tokenizer
+    // families, joined on source — every source present on both sides,
+    // every fertility ≥ 1000 permille (≥ 1 token per word by construction)
+    def bySource(f: org.apache.spark.sql.DataFrame) =
+      docs.select($"doc_id", $"source").join(f, Seq("doc_id"))
+        .groupBy($"source").agg(avg($"fertility_permille").as("fert"))
+        .as[(String, Double)].collect().toMap
+    val uni = bySource(Unigram.encodeFertility(docs, 200))
+    val bpe = bySource(Bpe.encodeFertility(docs, 6))
+    assert(uni.keySet == bpe.keySet && uni.nonEmpty)
+    assert(uni.values.forall(_ >= 1000.0) && bpe.values.forall(_ >= 1000.0))
+    // the 200-piece unigram vocab compresses harder than 6 BPE merges on
+    // every source — the comparison the fertility face exists to expose
+    assert(uni.keys.forall(s => uni(s) <= bpe(s)),
+      s"unigram should out-compress 6-merge BPE: uni=$uni bpe=$bpe")
   }
 
   test("bpe encode: in-memory, chunked-distributed and nested-expr paths agree") {

@@ -42,6 +42,31 @@ object ProbeMerge {
     val tF = time(graft.operators.DedupIndexStore.build(f, even, 3, 0.8, 0.8))
     println(f"TIME sf=$sfDir build_shard_a=$tA%.2f build_shard_b=$tB%.2f " +
       f"merge=$tM%.2f fresh_union=$tF%.2f merge_over_fresh=${tM / tF}%.2f")
+    // 3. merged-serve ratio (the d30 surface): an incremental serve from
+    //    the merged store vs from the fresh single-build store — the two
+    //    must cost the same (structurally identical plans) or the fold
+    //    has quietly degraded the serving shape
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    def serveTime(st: graft.etl.ParquetTableStore): Double = {
+      graft.operators.DedupIndexStore.pairsIncremental(st, odd, 3, 0.8).count() // warm
+      (1 to 2).map(_ => time(
+        graft.operators.DedupIndexStore.pairsIncremental(st, odd, 3, 0.8).count())).min
+    }
+    val tSM = serveTime(a); val tSF = serveTime(f)
+    println(f"SERVE sf=$sfDir merged=$tSM%.2f fresh=$tSF%.2f " +
+      f"merged_over_fresh=${tSM / tSF}%.2f")
+    // 4. retract timing (the takedown verb): forget 1/8 of the indexed
+    //    docs from the merged store vs a never-indexed fresh build over
+    //    the remaining corpus — retract must stay cheaper than the
+    //    rebuild it replaces (it re-derives from stored sets, no corpus
+    //    re-read/re-shingle)
+    val goneIds = even.filter(col("doc_id") % 8 === 0).select(col("doc_id"))
+    val tR = time(graft.operators.DedupIndexStore.retract(a, goneIds))
+    val g = fresh("g")
+    val tRB = time(graft.operators.DedupIndexStore.build(g,
+      even.filter(col("doc_id") % 8 =!= 0), 3, 0.8, 0.8))
+    println(f"RETRACT sf=$sfDir retract=$tR%.2f rebuild_without=$tRB%.2f " +
+      f"retract_over_rebuild=${tR / tRB}%.2f")
     spark.stop()
   }
 }
