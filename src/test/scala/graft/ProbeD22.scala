@@ -26,12 +26,13 @@ object ProbeD22 {
         n = 3, minContainment = 0.8, tag = "even")
       val q = graft.operators.TextDedup.containmentKeepIncremental(prev, existing,
         docs.filter(col("doc_id") % 2 === 1), n = 3, minContainment = 0.8)
-      // warmup then min-of-2 (the bench discipline)
+      // warmup then min-of-2, through the BENCH execution path (noop
+      // sink — full plan, no count-side pruning)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val n = q.count()
+        q.write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
-        (t, n)
+        (t, 0L)
       }
       val plan = q.queryExecution.executedPlan.toString
       val exchanges = "Exchange".r.findAllIn(plan).length
