@@ -81,6 +81,9 @@ import graft.marts.Views
   *   index build <emb> <out> [--ivf|--ivfpq] train + persist an ANN index
   *   index append <emb> <out>                encode a new batch, frozen quantizers
   *   index compact <idx> [--splits N]        rewrite append-accumulated code files
+  *   index merge <dst> <src>                 fold a shard-built ANN index into
+  *                                           <dst> (identical frozen quantizers
+  *                                           required; codes union, cell-clustered)
   *   index query <queries> <idx> <res> [--k K]  top-k from the stored index
   *   decon <emb> <out> --benchmark <bench> [--threshold T]
   *                                           flag corpus vectors too close
@@ -100,6 +103,18 @@ import graft.marts.Views
   *                                           labels re-closed (splits OK),
   *                                           kept re-derived; frozen cells
   *                                           stay (aggregate statistics)
+  *   semdedup train <emb> <out>              central quantizer train (one
+  *                                           narrow pass) — shards then
+  *                                           build with --centroids <out>
+  *   semdedup <emb-shard> <out> --centroids <path>
+  *                                           frozen shard build: assign
+  *                                           into the shared cells instead
+  *                                           of training locally
+  *   semdedup merge <dst> <src> [--threshold T]
+  *                                           fold shard states: union +
+  *                                           cross-shard pair scoring,
+  *                                           labels merged incrementally;
+  *                                           == one-shot build over union
   *   export <docs> <out> [--budget B] [--shard-seqs S]
   *                                           materialize deterministic JSONL
   *                                           training shards + md5 manifest
@@ -260,6 +275,10 @@ object Main {
       case "index" :: "retract" :: idx :: ids :: Nil =>
         graft.operators.VectorIndexStore.retract(spark, idx, spark.read.parquet(ids))
         println(s"[graft] index retract: ids in $ids forgotten from $idx (artifacts frozen)")
+      case "index" :: "merge" :: dst :: src :: Nil =>
+        graft.operators.VectorIndexStore.merge(spark, dst, src)
+        println(s"[graft] index merge: $src folded into $dst " +
+          "(identical frozen quantizers verified; codes cell-clustered)")
       case "dedupidx" :: "serve" :: batch :: idx :: out :: rest =>
         dedupIdxServe(spark, batch, idx, out,
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.8),
@@ -340,13 +359,19 @@ object Main {
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.35))
       case "semdedup" :: "retract" :: out :: ids :: Nil =>
         semdedupRetract(spark, out, ids)
+      case "semdedup" :: "train" :: emb :: out :: Nil =>
+        semdedupTrain(spark, emb, out)
+      case "semdedup" :: "merge" :: dst :: src :: rest =>
+        semdedupMerge(spark, dst, src,
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.3))
       case "semdedup" :: emb :: out :: rest if rest.contains("--incremental") =>
         semdedupIncremental(spark, emb, out,
           opt(rest, "--incremental").getOrElse(sys.error("--incremental needs a path")),
           opt(rest, "--threshold").map(_.toDouble).getOrElse(0.3))
       case "semdedup" :: emb :: out :: rest =>
         semdedup(spark, emb, out,
-          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.3))
+          opt(rest, "--threshold").map(_.toDouble).getOrElse(0.3),
+          opt(rest, "--centroids"))
       case "quality" :: "train" :: docs :: model :: Nil =>
         qualityTrain(spark, docs, model)
       case "quality" :: "score" :: docs :: model :: out :: rest =>
@@ -1088,12 +1113,17 @@ object Main {
     * incremental batches assign with), and `<out>/kept`.
     */
   def semdedup(spark: SparkSession, embPath: String, out: String,
-      threshold: Double): Long = {
+      threshold: Double, centroidsPath: Option[String] = None): Long = {
     import graft.operators.{Similarity, TextDedup}
     import spark.implicits._
     val store = new ParquetTableStore(spark, out)
     val emb = spark.read.parquet(embPath)
-    val cents = Similarity.labelCentroids(emb)
+    // `--centroids`: build under a FROZEN quantizer from a central train
+    // (`semdedup train`) or an existing store — the shard-build face of
+    // the distributed protocol (every shard assigns into the SAME cells,
+    // which is what makes `semdedup merge` exact)
+    val cents = centroidsPath.map(readCentroids(spark, _))
+      .getOrElse(Similarity.labelCentroids(emb))
     // centroids + assigned + pair graph + clusters + corpus + kept publish
     // as ONE journaled group commit: the frozen quantizer and the labels
     // it produced can never tear. `assigned`/`pairs`/`corpus` are what
@@ -1204,6 +1234,98 @@ object Main {
     val nKept = store.read("kept").count()
     println(s"[graft] semdedup retract: ids in $idsPath forgotten " +
       s"($nKept vectors kept; frozen cells retained)")
+    nKept
+  }
+
+  /** Central quantizer train — step one of the distributed semdedup
+    * protocol: ONE narrow decimal-sum pass over the full corpus (layout-
+    * free — `labelCentroids` sums are order-exact), written as a
+    * centroids-only store that every shard build then freezes against
+    * (`semdedup <shard> <out_i> --centroids <this>`). The corpus-sized
+    * assignment/pair work never runs here — that is the point: it
+    * distributes across the shard builds.
+    */
+  def semdedupTrain(spark: SparkSession, embPath: String, out: String): Int = {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val store = new ParquetTableStore(spark, out)
+    val cents = Similarity.labelCentroids(spark.read.parquet(embPath))
+    store.stage("centroids",
+      cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cent"))
+    store.commitStaged(Seq("centroids"))
+    println(s"[graft] semdedup train: ${cents.length} cell centroids -> $out")
+    cents.length
+  }
+
+  /** The frozen quantizer from a semdedup store (its `centroids` table)
+    * or a raw (cell, cent) parquet — collected, KB-sized.
+    */
+  private def readCentroids(spark: SparkSession,
+      path: String): Array[(Int, Array[Double])] = {
+    val st = new ParquetTableStore(spark, path)
+    val df = if (st.exists("centroids")) st.read("centroids")
+      else spark.read.parquet(path)
+    df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+  }
+
+  /** Fold `src`'s semdedup state into `dst` — `Similarity.semanticMerge`
+    * doctrine over the CLI store's table names: quantizers must be
+    * IDENTICAL (shards assigned into different cells have incomparable
+    * pair semantics — build shards with `--centroids` from one
+    * `semdedup train`), `assigned`/`corpus` union, `pairs` gains the
+    * CROSS-shard within-cell qualifying pairs neither shard could see
+    * (still cell-bounded), labels merge through the delta-sized
+    * incremental closure (a merge only ever JOINS clusters), and
+    * `kept` re-derives. One journaled group commit; `src` read-only.
+    * The merged store equals a one-shot batch build over the union
+    * under the shared quantizer (AppAndSinksSpec pins it table by
+    * table). `--threshold` is the build threshold — same caller
+    * contract as `--incremental`.
+    */
+  def semdedupMerge(spark: SparkSession, dstPath: String, srcPath: String,
+      threshold: Double): Long = {
+    import graft.operators.{Similarity, TextDedup}
+    val dst = new ParquetTableStore(spark, dstPath)
+    val src = new ParquetTableStore(spark, srcPath)
+    val all = Seq("clusters", "centroids", "assigned", "pairs", "corpus")
+    require(all.forall(dst.exists),
+      s"no complete semdedup state at $dstPath — run batch `semdedup` first")
+    require(all.forall(src.exists),
+      s"no complete semdedup state at $srcPath — run batch `semdedup` first")
+    val cd = readCentroids(spark, dstPath)
+    val cs = readCentroids(spark, srcPath)
+    require(cd.length == cs.length && cd.zip(cs).forall {
+        case ((ca, va), (cb, vb)) => ca == cb && java.util.Arrays.equals(va, vb)
+      },
+      s"semdedup merge needs an identical frozen quantizer (dst ${cd.length} " +
+        s"cells vs src ${cs.length}) — build both shards with --centroids " +
+        "from one `semdedup train`")
+    val dstA = dst.read("assigned")
+    val srcA = src.read("assigned")
+    val assigned = dst.stage("assigned",
+      dstA.unionByName(srcA).dropDuplicates("vec_id"))
+    val cross = Similarity.semanticPairs(dstA, srcA, threshold,
+      lowerOnly = false)
+    val delta = src.read("pairs").unionByName(cross)
+      .dropDuplicates("id_a", "id_b")
+    dst.stage("pairs",
+      dst.read("pairs").unionByName(delta).dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b")))
+    val prev = dst.read("clusters")
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val clusters = dst.stage("clusters",
+      Similarity.clustersFrom(assigned,
+        TextDedup.ccIncremental(prev, delta)
+          .select(col("doc_id"), col("cluster_id"))))
+    val drop = clusters.filter(col("kept") === 0L).select(col("vec_id"))
+    val corpus = dst.stage("corpus",
+      dst.read("corpus").unionByName(src.read("corpus"))
+        .dropDuplicates("vec_id"))
+    dst.stage("kept", corpus.join(drop, Seq("vec_id"), "left_anti"))
+    dst.commitStaged(Seq("assigned", "pairs", "clusters", "corpus", "kept"))
+    val nKept = dst.read("kept").count()
+    println(s"[graft] semdedup merge: $srcPath folded into $dstPath " +
+      s"($nKept vectors kept, threshold $threshold)")
     nKept
   }
 

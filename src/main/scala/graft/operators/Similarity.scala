@@ -385,20 +385,165 @@ object Similarity {
   }
 
   /** The state build body — shared by `ensureSemanticState` and the
-    * build-then-retract cache (`ensureRetractedSemantic`).
+    * build-then-retract cache (`ensureRetractedSemantic`). Trains the
+    * quantizer on its own slice; the distributed protocol instead trains
+    * ONCE centrally and hands each shard the frozen quantizer
+    * (`buildSemanticStateFrozen`).
     */
   private[graft] def buildSemanticState(store: graft.etl.ParquetTableStore,
-      existing: DataFrame, minCos: Double): Unit = {
-    val spark2 = existing.sparkSession
+      existing: DataFrame, minCos: Double): Unit =
+    buildSemanticStateFrozen(store, existing, labelCentroids(existing), minCos)
+
+  /** Shard-build face of the semantic state — the quantizer arrives
+    * FROZEN (trained once, centrally: `labelCentroids` is an order-exact
+    * decimal sum, so the central train costs one narrow aggregation pass
+    * regardless of corpus layout — the IVF/PQ central-quantizer
+    * doctrine). N shards build independently with no cross-shard
+    * shuffle: assignment is a per-row argmax over the shared centroid
+    * literals, pairs are within-shard within-cell. What a shard CANNOT
+    * see — qualifying pairs whose endpoints live in different shards —
+    * is exactly what `semanticMerge` scores, so shard builds + fold ==
+    * the one-shot build (spec-pinned table by table).
+    */
+  private[graft] def buildSemanticStateFrozen(store: graft.etl.ParquetTableStore,
+      slice: DataFrame, cents: Array[(Int, Array[Double])],
+      minCos: Double): Unit = {
+    val spark2 = slice.sparkSession
     import spark2.implicits._
-    val cents = labelCentroids(existing)
     store.stage("cents",
       cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cent"))
-    val oldA = store.stage("assigned", assignCells(existing, cents))
+    val a = store.stage("assigned", assignCells(slice, cents))
     val pairs = store.stage("pairs",
-      cellPairs(oldA, oldA, minCos, lowerOnly = true))
+      cellPairs(a, a, minCos, lowerOnly = true))
     store.stage("labels", TextDedup.connectedComponents(pairs))
     store.commitStaged(Seq("cents", "assigned", "pairs", "labels"))
+  }
+
+  /** Fold `src`'s semantic state into `dst` — the merge verb that
+    * completes the family's deployment matrix (build / serve / append /
+    * retract landed earlier; every lexical and vector index already has
+    * all five). Doctrine matches `DedupIndexStore.merge`:
+    *
+    *   - the frozen quantizers must be IDENTICAL, bit for bit — shards
+    *     assigned into different cells have incomparable pair semantics
+    *     (the VectorIndexStore incomparable-quantizer rule), rejected
+    *     loudly. `minCos` is the build threshold (the state keys it in
+    *     its path, not a table — same caller contract as the CLI's
+    *     `--incremental`);
+    *   - `assigned` is a pure union (cell assignment is a function of
+    *     the frozen quantizer — shard-layout-free);
+    *   - `pairs` adds the one thing neither shard could see: CROSS-shard
+    *     within-cell qualifying pairs, scored here with the operator's
+    *     own arithmetic (`cellPairs`), still cell-bounded — never
+    *     corpus-quadratic. Shard pairs ∪ cross pairs = ALL within-cell
+    *     pairs over the union, the invariant every serve and the retract
+    *     verb rely on;
+    *   - `labels` merges through `TextDedup.ccIncremental` on the
+    *     delta (src pairs + cross) — a merge only ever JOINS clusters,
+    *     so the merge-only incremental closure is exact and the work is
+    *     delta-graph-sized, not accumulated-graph-sized (contrast
+    *     `semanticRetract`, which must re-close fully because forgetting
+    *     can split).
+    *
+    * One journaled group commit; `src` is read-only throughout. Merged
+    * state == `buildSemanticStateFrozen` over the union (spec-pinned).
+    */
+  def semanticMerge(dst: graft.etl.ParquetTableStore,
+      src: graft.etl.ParquetTableStore, minCos: Double): Unit = {
+    val cd = readCents(dst)
+    val cs = readCents(src)
+    require(cd.length == cs.length && cd.zip(cs).forall {
+        case ((ca, va), (cb, vb)) => ca == cb && java.util.Arrays.equals(va, vb)
+      },
+      s"semanticMerge needs an identical frozen quantizer: dst has " +
+        s"${cd.length} cells, src has ${cs.length} — shards must assign " +
+        "into the SAME cells (train once centrally, build shards frozen)")
+    val dstA = dst.read("assigned")
+    val srcA = src.read("assigned")
+    dst.stage("assigned", dstA.unionByName(srcA).dropDuplicates("vec_id"))
+    val cross = cellPairs(dstA, srcA, minCos, lowerOnly = false)
+    val delta = src.read("pairs").unionByName(cross)
+      .dropDuplicates("id_a", "id_b")
+    dst.stage("pairs",
+      dst.read("pairs").unionByName(delta).dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b")))
+    dst.stage("labels",
+      TextDedup.ccIncremental(dst.read("labels")
+          .select(col("doc_id"), col("cluster_id")), delta)
+        .select(col("doc_id"), col("cluster_id")))
+    dst.commitStaged(Seq("assigned", "pairs", "labels"))
+  }
+
+  /** Absorb an embedding batch into a persisted semantic state — the
+    * append verb at the STATE level (the CLI's `--incremental` carries
+    * its own corpus/kept tables; streams and engine callers fold into
+    * the semst2 layout directly). The batch assigns into the FROZEN
+    * cells, only new×new + new×stored pairs are scored (the stored
+    * corpus never self-joins again), and labels merge through the
+    * delta-sized incremental closure — so N appends == the one-shot
+    * build under these cells (the sem2 invariant: accumulated pairs
+    * stay exactly "all within-cell pairs under the frozen quantizer").
+    *
+    * `emit` receives the BATCH's cluster rows (vec_id, cell,
+    * cluster_id, kept — arrival-time labels, from the staged tables)
+    * and runs BEFORE the group commit: a crash between emit and commit
+    * replays to identical output because assignment under frozen cells
+    * is deterministic (the splitServe callback protocol).
+    */
+  def semanticAppend(store: graft.etl.ParquetTableStore, incoming: DataFrame,
+      minCos: Double)(emit: DataFrame => Unit = _ => ()): Unit = {
+    val cents = readCents(store)
+    val oldA = store.read("assigned")
+    val newA = assignCells(incoming, cents)
+    val delta = cellPairs(newA, newA, minCos, lowerOnly = true)
+      .unionByName(cellPairs(newA, oldA, minCos, lowerOnly = false))
+      .dropDuplicates("id_a", "id_b")
+    store.stage("assigned", oldA.unionByName(newA))
+    store.stage("pairs",
+      store.read("pairs").unionByName(delta).dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b")))
+    val labels = store.stage("labels",
+      TextDedup.ccIncremental(store.read("labels"), delta)
+        .select(col("doc_id"), col("cluster_id")))
+    emit(clustersFrom(newA, labels))
+    store.commitStaged(Seq("assigned", "pairs", "labels"))
+  }
+
+  /** Merged semantic state for a corpus dir: the quantizer trains ONCE
+    * on the union (one narrow decimal-sum pass — layout-free), each
+    * slice builds its state independently under the frozen cells, and
+    * the folds run pairwise into the first shard's store — the
+    * distributed-build protocol exercised end-to-end, cached per
+    * (dir, mtime, minCos, shards, tag). Completion is multi-commit, so a
+    * `merged_ok` marker (committed LAST) gates reuse; transient shard
+    * stores are deleted after their fold.
+    */
+  def ensureMergedSemantic(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, slices: Seq[DataFrame], minCos: Double,
+      tag: String): graft.etl.ParquetTableStore = {
+    require(slices.nonEmpty, "need at least one slice")
+    val mtime = new java.io.File(corpusDir, "embeddings.parquet").lastModified
+    val key = corpusDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"$stateRoot/semmrg1_${slices.size}_${tag}_" +
+      s"${(minCos * 1000).toInt}_${key}_$mtime"
+    stateLock.synchronized {
+      val store = new graft.etl.ParquetTableStore(spark, path)
+      if (!store.exists("merged_ok")) {
+        import spark.implicits._
+        val cents = labelCentroids(slices.reduce(_ unionByName _))
+        buildSemanticStateFrozen(store, slices.head, cents, minCos)
+        slices.tail.zipWithIndex.foreach { case (sl, i) =>
+          val tmpPath = s"$path-shard${i + 1}"
+          val tmp = new graft.etl.ParquetTableStore(spark, tmpPath)
+          buildSemanticStateFrozen(tmp, sl, cents, minCos)
+          semanticMerge(store, tmp, minCos)
+          graft.etl.ParquetTableStore.deleteStoreDir(tmpPath)
+        }
+        store.stage("merged_ok", Seq(1).toDF("ok"))
+        store.commitStaged(Seq("merged_ok"))
+      }
+      store
+    }
   }
 
   /** Forget vectors — the takedown verb for the ONE persisted state

@@ -80,6 +80,48 @@ object TextIndexStore {
   def compact(spark: SparkSession, dir: String): Unit =
     store(spark, dir).compactBucketed("postings", bucketCols, nBuckets)
 
+  /** Doc-grain view of the postings (doc_id, dl — one row per indexed
+    * doc): the stream twin's serve guard and exact-stats source. One
+    * narrow column-pruned aggregation over the postings; a deployment
+    * appending at high cadence would persist this as its own bucketed
+    * table (the DedupIndexStore `sets` shape) — at the batch cadences
+    * the twin targets, deriving it per batch is the simpler fixed point.
+    */
+  def indexedDocs(spark: SparkSession, dir: String): DataFrame =
+    store(spark, dir).readBucketed("postings", bucketCols, nBuckets)
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+
+  /** Rewrite `stats` as a pure DERIVATION of the current postings (the
+    * merge/retract re-derivation as its own verb): overwriting with a
+    * derived value is a FIXED POINT, so any torn state — e.g. a crash
+    * between a posting append and its stats bump — heals on the next
+    * call instead of freezing forever.
+    */
+  def healStats(spark: SparkSession, dir: String): Unit = {
+    val m = indexedDocs(spark, dir)
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("dl")).cast(LongType).as("sum_dl"))
+      .collect()(0)
+    import spark.implicits._
+    store(spark, dir).overwrite("stats",
+      Seq((m.getLong(0), m.getLong(1))).toDF("n_docs", "sum_dl"))
+  }
+
+  /** Append with derivation-consistent stats — the stream twin's absorb.
+    * Posting rows append as in `append`, but `stats` re-derives from the
+    * now-complete postings (`healStats`) instead of bumping the stored
+    * row: the incremental bump is two unjournaled commits, fine for an
+    * operator-driven CLI but wrong under replay (a crash between them
+    * leaves stats stale, and the replay's fresh-filter would skip the
+    * batch without ever fixing it — the heal is what makes the replayed
+    * no-op converge).
+    */
+  def appendHealed(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    store(spark, dir).appendBucketed("postings", postings(batch),
+      bucketCols, nBuckets)
+    healStats(spark, dir)
+  }
+
   /** Merge another BM25 index INTO this one — the distributed-build
     * path (shard corpora indexed independently, folded into one serving
     * index). Postings are doc-grain facts, so the merge is a union with

@@ -1388,6 +1388,60 @@ object PipelineQueries {
         ORDER BY a.vec_id"""),
       "semantic takedown serve: retracted vectors forgotten, labels re-closed under frozen cells"),
 
+    // MERGE (distributed build) through the SEMANTIC-dedup state — the
+    // verb that completes the family's deployment matrix (build/serve/
+    // append/retract landed earlier; every lexical and vector index
+    // already has all five). Protocol: the quantizer trains ONCE on the
+    // union (labelCentroids is an order-exact decimal sum — one narrow
+    // pass, layout-free), three vec_id%3 shards build independently
+    // under the frozen cells (no cross-shard shuffle — the
+    // embarrassingly-parallel half), and the fold adds the one thing no
+    // shard could see: CROSS-shard within-cell qualifying pairs, still
+    // cell-bounded. Shard pairs ∪ cross pairs = ALL within-cell pairs
+    // over the union, so the merged state EQUALS the one-shot build —
+    // which is why this query's oracle is sem1's SQL verbatim (the
+    // strongest merge gate available: not "plausible rows" but the
+    // single-build twin, hash-checked). Labels merge through
+    // ccIncremental on the delta (a merge only ever JOINS clusters — no
+    // split — so the merge-only incremental closure is exact and
+    // delta-graph-sized).
+    "sem4_merged_semdedup" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val shards = (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i))
+        val st = Similarity.ensureMergedSemantic(s, d, shards, minCos = 0.3,
+          tag = "m3")
+        Similarity.servedClusters(st).orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent AS (SELECT label AS cell, list(c_val ORDER BY dim) AS cent FROM (
+            SELECT label, i AS dim,
+              CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c_val
+            FROM emb, UNNEST(range(1, 65)) AS t(i)
+            GROUP BY label, i) GROUP BY label),
+        assigned AS (SELECT vec_id, cell, emb FROM (
+            SELECT e.vec_id, c.cell, e.emb,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cell) AS rn
+            FROM emb e, cent c) WHERE rn = 1),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3),
+        und AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        cl AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT a.vec_id, a.cell,
+          COALESCE(cl.cluster_id, a.vec_id) AS cluster_id,
+          CAST(CASE WHEN COALESCE(cl.cluster_id, a.vec_id) = a.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM assigned a LEFT JOIN cl USING (vec_id)
+        ORDER BY a.vec_id"""),
+      "merged SemDeDup: three frozen-cell shard states folded; equals the one-shot build"),
+
     // ───── similarity search ─────
 
     "ann1_bruteforce_topk" -> Q(

@@ -341,6 +341,82 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of the incremental semantic dedup (sem2 / `semdedup
+    * --incremental` as a service): embedding batches arrive as parquet
+    * files; each batch assigns into the state's FROZEN cell quantizer,
+    * scores only new×new + new×stored pairs (the stored corpus never
+    * self-joins again), merges labels through the delta-sized
+    * incremental closure, and its arrival-time cluster rows land at
+    * `outDir/batch=<id>`. State (assigned/pairs/labels) advances in ONE
+    * journaled group commit per batch — N streamed waves == the N-batch
+    * CLI composition == the one-shot build under the frozen cells
+    * (MediaStreamingSpec pins streamed == batch).
+    *
+    * Exactly-once across replays: the fresh-filter anti-joins the
+    * state's `assigned` table, so a batch whose commit landed shrinks
+    * to empty on replay (its `batch=<id>` output survives untouched);
+    * a crash between the output write and the commit replays to an
+    * IDENTICAL rewrite because assignment under frozen cells is
+    * deterministic (`semanticAppend` emits before committing — the
+    * splitServe callback protocol).
+    */
+  def semdedupStream(spark: org.apache.spark.sql.SparkSession, embDir: String,
+      store: graft.etl.ParquetTableStore, outDir: String,
+      checkpointDir: String,
+      minCos: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val schema = spark.read.parquet(embDir).schema
+    spark.readStream.schema(schema).parquet(embDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = batch.dropDuplicates("vec_id")
+          .join(store.read("assigned").select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .localCheckpoint(true) // one verdict for the serve and the absorb
+        if (!fresh.isEmpty)
+          Similarity.semanticAppend(store, fresh, minCos) { clusters =>
+            clusters.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming ingestion twin of the BM25 text index (`search append`
+    * as a service — the last index family without one): arriving
+    * document batches tokenize and append into the stored postings.
+    * Replay-safe without a batch-keyed output: the fresh-filter
+    * anti-joins the postings' doc-grain view, so a replayed batch
+    * shrinks to empty instead of double-appending posting rows; and
+    * `stats` is written as a DERIVATION of the postings
+    * (`TextIndexStore.appendHealed` / `healStats`) rather than an
+    * incremental bump, so a crash between the posting append and the
+    * stats write replays to the same healed fixed point — the
+    * empty-fresh branch still heals, which is exactly the case a torn
+    * append replays into. Compaction stays an out-of-band verb
+    * (`search compact`), as in the batch path.
+    */
+  def searchStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextIndexStore
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = batch.dropDuplicates("doc_id")
+          .join(TextIndexStore.indexedDocs(spark, indexDir).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // one verdict for the guard and the absorb
+        if (!fresh.isEmpty) TextIndexStore.appendHealed(spark, indexDir, fresh)
+        else TextIndexStore.healStats(spark, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of the INDEXED dedup serve loop (`dedupidx serve
     * --append` per micro-batch): each arriving document batch emits its
     * near-dup pair delta against the accumulated corpus — served from the

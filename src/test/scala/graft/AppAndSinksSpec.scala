@@ -225,6 +225,57 @@ class AppAndSinksSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/centroids").count() > 0)
   }
 
+  test("CLI semdedup distributed protocol: train once, frozen shard builds, merge == one-shot") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val fullP = Files.createTempDirectory("graft_sdm_full").toString + "/emb"
+    val evenP = Files.createTempDirectory("graft_sdm_even").toString + "/emb"
+    val oddP = Files.createTempDirectory("graft_sdm_odd").toString + "/emb"
+    emb.write.parquet(fullP)
+    emb.filter($"vec_id" % 2 === 0).write.parquet(evenP)
+    emb.filter($"vec_id" % 2 === 1).write.parquet(oddP)
+    // central train (one narrow pass), then each shard builds FROZEN —
+    // no shard ever sees the other's rows
+    val cen = Files.createTempDirectory("graft_sdm_cen").toString
+    graft.app.Main.semdedupTrain(spark, fullP, cen)
+    val outA = Files.createTempDirectory("graft_sdm_a").toString
+    val outB = Files.createTempDirectory("graft_sdm_b").toString
+    graft.app.Main.semdedup(spark, evenP, outA, 0.3, Some(cen))
+    graft.app.Main.semdedup(spark, oddP, outB, 0.3, Some(cen))
+    val nKept = graft.app.Main.semdedupMerge(spark, outA, outB, 0.3)
+    // the fold must equal a one-shot batch build over the full corpus
+    // (the central cents == a full-corpus train: decimal sums are
+    // layout-free), table by table
+    val outFull = Files.createTempDirectory("graft_sdm_one").toString
+    graft.app.Main.semdedup(spark, fullP, outFull, 0.3)
+    val got = spark.read.parquet(s"$outA/clusters")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val expected = spark.read.parquet(s"$outFull/clusters")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty,
+      "merged CLI clusters drifted from the one-shot batch build")
+    val gotPairs = spark.read.parquet(s"$outA/pairs")
+      .as[(Long, Long)].collect().toSet
+    assert(gotPairs == spark.read.parquet(s"$outFull/pairs")
+      .as[(Long, Long)].collect().toSet)
+    // non-vacuous: the fold scored cross-shard pairs no shard could see
+    assert(gotPairs.exists { case (a, b) => a % 2 != b % 2 })
+    val keptIds = spark.read.parquet(s"$outA/kept").select($"vec_id")
+      .as[Long].collect().toSet
+    assert(keptIds == spark.read.parquet(s"$outFull/kept").select($"vec_id")
+      .as[Long].collect().toSet)
+    assert(nKept == keptIds.size)
+    // a shard trained LOCALLY (different quantizer) must be refused
+    val alien = Files.createTempDirectory("graft_sdm_alien").toString
+    graft.app.Main.semdedup(spark, oddP, alien, 0.3)
+    val e = intercept[IllegalArgumentException] {
+      graft.app.Main.semdedupMerge(spark, outA, alien, 0.3)
+    }
+    assert(e.getMessage.contains("identical frozen quantizer"))
+    // the merged store stays a live state: a later incremental batch
+    // against it works (frozen cells retained through the fold)
+    assert(spark.read.parquet(s"$outA/centroids").count() > 0)
+  }
+
   test("CLI export: JSONL shards round-trip, manifest md5-consistent, reruns byte-identical") {
     val tmp = Files.createTempDirectory("graft_export").toString
     val docsPath = s"$sfTiny/documents.parquet"

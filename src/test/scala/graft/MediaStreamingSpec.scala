@@ -278,6 +278,85 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(store.read("sets").count() == docs.count())
   }
 
+  test("search stream: streamed batches index into the BM25 store == one-shot; torn stats heal") {
+    import graft.operators.TextIndexStore
+    val docs = Tables.documents(spark, sfTiny)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srchs").toString
+    val idx = s"$tmp/idx"
+    // index bootstrapped over the 0-mod-4 docs; the stream delivers the
+    // rest in two waves
+    TextIndexStore.write(idx, docs.filter($"doc_id" % 4 === 0))
+    val docsDir = s"$tmp/arrivals"
+    docs.filter($"doc_id" % 4 === 2).write.mode("append").parquet(docsDir)
+    Streams.searchStream(spark, docsDir, idx, s"$tmp/ckpt").awaitTermination(120000)
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(docsDir)
+    Streams.searchStream(spark, docsDir, idx, s"$tmp/ckpt").awaitTermination(120000)
+    // streamed index == a one-shot build over everything: stats and search
+    val one = s"$tmp/one"
+    TextIndexStore.write(one, docs)
+    val terms = Seq("vector", "hash", "spark")
+    def hits(d: String) = TextIndexStore.search(spark, d, terms, 10)
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect().toSet
+    assert(hits(idx) == hits(one) && hits(idx).nonEmpty)
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .as[(Long, Long)].collect().toSet
+    assert(stats(idx) == stats(one))
+    // full replay (fresh checkpoint, same files): fresh-filter empties
+    // every batch — no double-appended postings, stats unchanged
+    Streams.searchStream(spark, docsDir, idx, s"$tmp/ckpt2").awaitTermination(120000)
+    assert(hits(idx) == hits(one) && stats(idx) == stats(one))
+    assert(spark.read.parquet(s"$idx/postings").count() ==
+      spark.read.parquet(s"$one/postings").count())
+    // torn append (postings landed, stats write lost — simulated by
+    // corrupting stats): the next replayed no-op batch heals it, because
+    // stats is a derivation of the postings, not an accumulator
+    new graft.etl.ParquetTableStore(spark, idx).overwrite("stats",
+      Seq((1L, 1L)).toDF("n_docs", "sum_dl"))
+    Streams.searchStream(spark, docsDir, idx, s"$tmp/ckpt3").awaitTermination(120000)
+    assert(stats(idx) == stats(one), "torn stats did not heal on replay")
+    assert(hits(idx) == hits(one))
+  }
+
+  test("semdedup stream: streamed waves fold into the state, == one-shot under frozen cells") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfTiny)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sds").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+    // state bootstrapped over the even half; the stream delivers the odd
+    // half in two waves (frozen even-corpus cells throughout)
+    val even = emb.filter($"vec_id" % 2 === 0)
+    Similarity.buildSemanticState(store, even, minCos = 0.3)
+    val embDir = s"$tmp/arrivals"
+    emb.filter($"vec_id" % 4 === 1).write.mode("append").parquet(embDir)
+    Streams.semdedupStream(spark, embDir, store, s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    emb.filter($"vec_id" % 4 === 3).write.mode("append").parquet(embDir)
+    Streams.semdedupStream(spark, embDir, store, s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    // two streamed waves == the one-shot incremental API (same frozen
+    // cells, same accumulated within-cell pair set)
+    val expected = Similarity.semanticDedupIncremental(even,
+        emb.filter($"vec_id" % 2 === 1), minCos = 0.3)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val got = Similarity.servedClusters(store)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == expected, "streamed state drifted from the one-shot incremental")
+    assert(expected.exists(_._4 == 0L), "no semantic dups — vacuous test")
+    // batch-keyed outputs cover exactly the streamed rows
+    val outIds = spark.read.parquet(s"$tmp/out").select($"vec_id")
+      .as[Long].collect().toSet
+    assert(outIds == emb.filter($"vec_id" % 2 === 1).select($"vec_id")
+      .as[Long].collect().toSet)
+    // full replay (fresh checkpoint, same files): the fresh-filter
+    // shrinks every delivered batch to empty — state and outputs untouched
+    Streams.semdedupStream(spark, embDir, store, s"$tmp/out", s"$tmp/ckpt2")
+      .awaitTermination(120000)
+    assert(Similarity.servedClusters(store)
+      .as[(Long, Int, Long, Long)].collect().toSet == got)
+    assert(spark.read.parquet(s"$tmp/out").select($"vec_id")
+      .as[Long].collect().toSet == outIds)
+  }
+
   test("band index stream: per-wave pair deltas union to the one-shot band pairs") {
     import graft.operators.{HammingIndexStore, TextDedup}
     val docs = Tables.documents(spark, sfTiny)

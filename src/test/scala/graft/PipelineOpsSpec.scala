@@ -477,6 +477,54 @@ class PipelineOpsSpec extends SparkTestBase {
       .as[(Long, Int, Long, Long)].collect().toSet == snapshot)
   }
 
+  test("semantic merge equals the one-shot build; incomparable quantizers rejected") {
+    def tmpStore(p: String) = new graft.etl.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory(p).toString)
+    // central train (order-exact decimal sums — layout-free), frozen
+    // shard builds over disjoint halves: the distributed protocol
+    val cents = Similarity.labelCentroids(emb)
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val dst = tmpStore("graft-sem-merge-dst")
+    val src = tmpStore("graft-sem-merge-src")
+    Similarity.buildSemanticStateFrozen(dst, even, cents, minCos = 0.3)
+    Similarity.buildSemanticStateFrozen(src, odd, cents, minCos = 0.3)
+    // shard-local labels BEFORE the fold — the merge must change one
+    val shardLabels = (Similarity.servedClusters(dst)
+        .as[(Long, Int, Long, Long)].collect() ++
+      Similarity.servedClusters(src)
+        .as[(Long, Int, Long, Long)].collect()).map(r => r._1 -> r._3).toMap
+    Similarity.semanticMerge(dst, src, minCos = 0.3)
+    // strongest form: the merged state EQUALS a one-shot build over the
+    // union, table by table (labelCentroids(emb) == the central cents)
+    val ref = tmpStore("graft-sem-merge-ref")
+    Similarity.buildSemanticState(ref, emb, minCos = 0.3)
+    assert(dst.read("assigned").select($"vec_id", $"cell")
+        .as[(Long, Int)].collect().toSet ==
+      ref.read("assigned").select($"vec_id", $"cell")
+        .as[(Long, Int)].collect().toSet)
+    val gotPairs = dst.read("pairs").as[(Long, Long)].collect().toSet
+    assert(gotPairs == ref.read("pairs").as[(Long, Long)].collect().toSet
+      && gotPairs.nonEmpty)
+    // non-vacuous: the fold contributed CROSS-shard pairs neither shard
+    // could see, and at least one of them rewired a shard-local label
+    assert(gotPairs.exists { case (a, b) => a % 2 != b % 2 })
+    val served = Similarity.servedClusters(dst)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(served.toSet == Similarity.servedClusters(ref)
+      .as[(Long, Int, Long, Long)].collect().toSet)
+    assert(served.exists { case (id, _, cid, _) =>
+      shardLabels.get(id).exists(_ != cid) })
+    // a quantizer trained on a different slice assigns different cells —
+    // its pair semantics are incomparable; the fold must refuse
+    val alien = tmpStore("graft-sem-merge-alien")
+    Similarity.buildSemanticState(alien, even, minCos = 0.3)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticMerge(dst, alien, minCos = 0.3)
+    }
+    assert(e.getMessage.contains("identical frozen quantizer"))
+  }
+
   test("minhash LSH recovers every high-jaccard pair") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -67,6 +67,35 @@ object ProbeMerge {
       even.filter(col("doc_id") % 8 =!= 0), 3, 0.8, 0.8))
     println(f"RETRACT sf=$sfDir retract=$tR%.2f rebuild_without=$tRB%.2f " +
       f"retract_over_rebuild=${tR / tRB}%.2f")
+    // 5. semantic-state fold (the sem4 surface): central train + frozen
+    //    shard builds + semanticMerge vs a one-shot buildSemanticState
+    //    over the union. The fold re-scores only CROSS-shard cell pairs
+    //    (≈ half the pair work at 2 shards) and re-closes on the delta,
+    //    so it should track the one-shot's pair stage — the scale win is
+    //    the embarrassingly-parallel shard builds upstream, as with the
+    //    lexical index.
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val evenE = emb.filter(col("vec_id") % 2 === 0)
+    val oddE = emb.filter(col("vec_id") % 2 === 1)
+    val cents = graft.operators.Similarity.labelCentroids(emb)
+    val sa = fresh("sema"); val sb = fresh("semb")
+    val tSA = time(graft.operators.Similarity
+      .buildSemanticStateFrozen(sa, evenE, cents, 0.3))
+    val tSB = time(graft.operators.Similarity
+      .buildSemanticStateFrozen(sb, oddE, cents, 0.3))
+    val tSM2 = time(graft.operators.Similarity.semanticMerge(sa, sb, 0.3))
+    val so = fresh("semone")
+    val tSO = time(graft.operators.Similarity.buildSemanticState(so, emb, 0.3))
+    println(f"SEM sf=$sfDir shard_a=$tSA%.2f shard_b=$tSB%.2f merge=$tSM2%.2f " +
+      f"one_shot=$tSO%.2f merge_over_oneshot=${tSM2 / tSO}%.2f")
+    // 6. semantic retract vs never-indexed rebuild (the sem3 claim)
+    val goneE = emb.filter(col("vec_id") % 8 === 0).select(col("vec_id"))
+    val tSR = time(graft.operators.Similarity.semanticRetract(sa, goneE))
+    val sr = fresh("semr")
+    val tSRB = time(graft.operators.Similarity.buildSemanticState(sr,
+      emb.filter(col("vec_id") % 8 =!= 0), 0.3))
+    println(f"SEMRETRACT sf=$sfDir retract=$tSR%.2f rebuild_without=$tSRB%.2f " +
+      f"retract_over_rebuild=${tSR / tSRB}%.2f")
     spark.stop()
   }
 }
