@@ -156,6 +156,74 @@ object IvfIndex {
   def fitExact(corpus: DataFrame): Array[(Int, Array[Double])] =
     Similarity.labelCentroids(corpus)
 
+  // ───── decimal-exact Lloyd (the cl1 graduation) ─────
+  //
+  // The double Lloyd (`fit`) is engine-private: summation order changes
+  // the trained centroids, so a clustering query over it can only be
+  // rows-only checked. This flavor makes the WHOLE Lloyd trajectory
+  // engine-portable, while KEEPING the adaptive cells that `fitExact`
+  // gives up: (1) assignment compares DECIMAL(18,6)-ROUNDED Euclidean
+  // distances with ties to the lower cell id — robust to the ~1e-15
+  // summation-order noise either engine carries (the d5/sem1 cosine
+  // protocol applied to the argmin itself); (2) the update step is the
+  // labelCentroids decimal-sum mean — order-exact by construction;
+  // (3) empty cells keep their previous centroid. Every iteration is
+  // therefore bit-reproducible by an independent engine replaying the
+  // same fixed iteration count, which is what cl1's DuckDB oracle does
+  // (iterations UNROLLED into chained CTE blocks — SQL disallows
+  // aggregates in a recursive term, and `iters` is a constant anyway).
+
+  private def distRounded(v: Column, c: Array[Double]): Column = {
+    // |v−c|² via the native dotp expansion (|v|² − 2v·c + |c|²) — the
+    // nearestCell pattern; the cancellation form can dip ~−1e-16 for
+    // v ≈ c, so clamp before the sqrt (DuckDB's direct Σ(x−c)² is ≥ 0;
+    // the DECIMAL(18,6) rounding absorbs the ≤1e-8 path difference)
+    val c2 = c.map(x => x * x).sum
+    sqrt(greatest(dotp(v, v) - lit(2.0) * dotp(v, typedLit(c.toSeq)) + lit(c2),
+      lit(0.0))).cast(DecimalType(18, 6))
+  }
+
+  private def nearestCellExact(v: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(distRounded(v, c).as("d6"), lit(i).as("cell"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+  }
+
+  /** Engine-portable Lloyd: seeds from the k lowest vec_ids, fixed
+    * `iters` rounds of rounded-argmin assignment + decimal-mean update.
+    * Layout-free AND oracle-replayable — the same trajectory at any
+    * partitioning or engine (cl1 is hash-green on it).
+    */
+  def fitExactLloyd(emb0: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val emb = emb0.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val stats = emb
+        .select(nearestCellExact(col("v"), cents).as("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast(DecimalType(18, 6))).as("s6"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone) // empty cells keep their centroid
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue / r.getLong(3)
+      }
+      cents = next
+    }
+    emb.unpersist()
+    cents
+  }
+
+  /** Assignment under an exact-Lloyd quantizer — the rounded-argmin the
+    * trainer itself uses, so train + assign replay identically.
+    */
+  def assignCellsExact(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    emb.select(col("vec_id"),
+      nearestCellExact(asDouble(col("embedding")), cents).as("cell"))
+
   /** The materialized exact-cell index — same (neighbor_id, nv, cell)
     * contract as `buildIndex`, cells = argmax-cosine label centroid
     * (ties to the lower cell id). Frozen-quantizer appends compose

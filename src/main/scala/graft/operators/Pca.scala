@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
 
 import graft.functions.VectorFunctions
 
@@ -12,9 +12,9 @@ import graft.functions.VectorFunctions
   * sees most of the signal in a quarter of the dimensions.
   *
   * Scale shape: ONE distributed aggregation computes n, Σv and Σvvᵀ
-  * (element-wise partial aggregation via VectorSumAgg — executors stream
-  * rows through a d²-double buffer, the driver receives a single d×d
-  * matrix, KB for d=64). The eigen-decomposition is cyclic Jacobi on that
+  * as order-exact decimal element sums (map-side partial aggregation —
+  * the exchange carries ≤ d+d² rows per partition, the driver receives
+  * a single d×d matrix, KB for d=64). The eigen-decomposition is cyclic Jacobi on that
   * d×d matrix — O(d³) driver-side, independent of row count, same shape
   * as IVF's k-means (driver holds centroids, never rows). Projection is a
   * narrow map: k dot products per row against broadcast literal
@@ -34,22 +34,60 @@ object Pca {
       eigenvalues: Array[Double],
       trace: Double)
 
-  /** Fit the top-`k` principal components of `vecCol` (array<numeric>). */
-  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+  /** Sufficient statistics of a PCA fit — n, Σv, Σvvᵀ — with the sums
+    * carried as order-exact DECIMAL(18,6) element sums (the
+    * labelCentroids doctrine): identical for ANY partitioning of the
+    * rows, and foldable across shards bit-for-bit (`merge`). The 1e-6
+    * per-element rounding moves covariance entries by ≤ 1e-6/n — far
+    * below the float error the eigen-solve already carries — and buys
+    * layout-free determinism plus an EXACT distributed fit in exchange
+    * (the double `VectorSumAgg` fold this replaces depended on
+    * partition order). The outer product explodes to d + d² positions
+    * per row, but map-side partial aggregation absorbs the rows — the
+    * exchange carries ≤ (d + d²) rows per partition, the same shuffle
+    * shape as the centroid trains.
+    */
+  final case class PcaStats(n: Long, s: Array[java.math.BigDecimal],
+      ss: Array[java.math.BigDecimal]) {
+    def merge(o: PcaStats): PcaStats = {
+      require(s.length == o.s.length,
+        s"PcaStats.merge needs matching dims: ${s.length} vs ${o.s.length}")
+      PcaStats(n + o.n,
+        s.lazyZip(o.s).map(_.add(_)).toArray,
+        ss.lazyZip(o.ss).map(_.add(_)).toArray)
+    }
+  }
+
+  /** One aggregation pass: v and its flattened outer product explode
+    * to d + d² positions, decimal-summed per position.
+    */
+  def stats(df: DataFrame, vecCol: String): PcaStats = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    // per-row outer product vvᵀ flattened row-major; VectorSumAgg folds it
-    // element-wise so the shuffle carries one d² buffer per partition
+    val d = df.select(size(v).as("d")).head().getInt(0)
     val outer = flatten(transform(v, x => transform(v, y => x * y)))
-    val r = df.agg(
-      count(lit(1)).as("n"),
-      VectorFunctions.vectorSum(v).as("s"),
-      VectorFunctions.vectorSum(outer).as("ss")).head()
-    val n = r.getAs[Long]("n").toDouble
-    require(n > 1, "PCA needs at least two vectors")
-    val s = r.getAs[Seq[Double]]("s").toArray
-    val ss = r.getAs[Seq[Double]]("ss").toArray
-    val d = s.length
-    val mean = s.map(_ / n)
+    val rows = df.select(posexplode(concat(v, outer)))
+      .groupBy(col("pos"))
+      .agg(sum(col("col").cast(DecimalType(18, 6))).as("sum6"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(rows.length == d + d * d,
+      s"ragged vectors: ${rows.length} positions for dim $d")
+    val n = rows.head.getLong(2)
+    require(rows.forall(_.getLong(2) == n),
+      "ragged vectors: position counts differ")
+    val byPos = rows.map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    PcaStats(n, Array.tabulate(d)(byPos), Array.tabulate(d * d)(i => byPos(d + i)))
+  }
+
+  /** The driver-side tail shared by every fit face: covariance from the
+    * exact statistics, Jacobi eigen-solve, sign-stabilized components.
+    */
+  def fitFromStats(st: PcaStats, k: Int): PcaModel = {
+    require(st.n > 1, "PCA needs at least two vectors")
+    val n = st.n.toDouble
+    val d = st.s.length
+    val mean = st.s.map(_.doubleValue / n)
+    val ss = st.ss.map(_.doubleValue)
     // covariance = E[vvᵀ] − μμᵀ
     val cov = Array.tabulate(d, d)((i, j) => ss(i * d + j) / n - mean(i) * mean(j))
     val (eigVals, eigVecs) = jacobiEigen(cov)
@@ -62,6 +100,46 @@ object Pca {
       if (c(m) < 0) c.map(-_) else c
     }.toArray
     PcaModel(mean, comps, order.map(eigVals).toArray, eigVals.sum)
+  }
+
+  /** Fit the top-`k` principal components of `vecCol` (array<numeric>). */
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel =
+    fitFromStats(stats(df, vecCol), k)
+
+  /** Distributed fit: each shard computes its sufficient statistics
+    * independently (no cross-shard shuffle — the whole corpus-sized
+    * pass parallelizes across source clusters), ONE driver-side fold
+    * adds the decimals exactly, and the d×d eigen-solve runs once.
+    * Because the statistics are order-exact, the merged model equals
+    * `fit` over the union BIT-FOR-BIT (spec-pinned) — the strongest
+    * artifact-equality form of the engine's distributed-build protocol,
+    * available here because PCA's training pass IS an abelian sum,
+    * unlike Lloyd's iterations (PQ/IVF merge verifies frozen artifacts
+    * instead).
+    */
+  def fitMerged(shards: Seq[DataFrame], vecCol: String, k: Int): PcaModel = {
+    require(shards.nonEmpty, "need at least one shard")
+    fitFromStats(shards.map(stats(_, vecCol)).reduce(_ merge _), k)
+  }
+
+  /** Round-trip the sufficient statistics through a store table. The
+    * decimals travel as plain strings — scale-exact for ANY accumulated
+    * precision (a pinned DecimalType would cap the fold's precision at
+    * write time), so persist → merge → persist never loses a digit and
+    * the streamed fold stays bit-identical to the one-shot.
+    */
+  def statsToDf(spark: org.apache.spark.sql.SparkSession,
+      st: PcaStats): DataFrame = {
+    import spark.implicits._
+    Seq((st.n, st.s.map(_.toPlainString).toSeq, st.ss.map(_.toPlainString).toSeq))
+      .toDF("n", "s", "ss")
+  }
+
+  def statsFromDf(df: DataFrame): PcaStats = {
+    val r = df.head()
+    PcaStats(r.getLong(0),
+      r.getSeq[String](1).map(new java.math.BigDecimal(_)).toArray,
+      r.getSeq[String](2).map(new java.math.BigDecimal(_)).toArray)
   }
 
   /** Append pc1..pck projection columns: pcᵢ = (v − μ)·cᵢ, computed as

@@ -143,6 +143,39 @@ object PipelineQueries {
     * same DuckDB derivation: centroids, argmax-cosine cells, probing
     * order, in-cell rescoring.
     */
+  /** cl1's oracle: the exact-Lloyd trajectory with the iterations
+    * UNROLLED into chained CTE blocks (c0 → a1 → c1 → … → c_iters →
+    * final assignment). Each assignment ranks DECIMAL(18,6)-rounded
+    * list_distance with a cell tiebreak — the identical comparison key
+    * the Spark argmin struct uses — and each update is the decimal-sum
+    * mean with empty cells COALESCE-ing to their previous centroid.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def asg(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              CAST(list_distance(e.v, c.cent) AS DECIMAL(18,6)), c.cell) AS rn
+          FROM emb e, $cents c) WHERE rn = 1)"""
+    def upd(name: String, assigned: String, prev: String) =
+      s"""$name AS (SELECT p.cell, COALESCE(m.cent, p.cent) AS cent
+          FROM $prev p LEFT JOIN (
+            SELECT cell, list(cv ORDER BY dim) AS cent FROM (
+              SELECT cell, i AS dim,
+                CAST(SUM(CAST(v[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+              FROM $assigned, UNNEST(range(1, 65)) AS t(i)
+              GROUP BY cell, i) GROUP BY cell) m USING (cell))"""
+    val blocks = (1 to iters).flatMap(i =>
+      Seq(asg(s"a$i", s"c${i - 1}"), upd(s"c$i", s"a$i", s"c${i - 1}")))
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+          v AS cent
+        FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $k)),
+      ${blocks.mkString(",\n      ")},
+      ${asg("afin", s"c$iters")}
+      SELECT vec_id, cell FROM afin ORDER BY vec_id"""
+  }
+
   private def ann3OracleSql: String =
     """WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
         cent AS (SELECT label AS cell, list(c_val ORDER BY dim) AS cent FROM (
@@ -2197,18 +2230,27 @@ object PipelineQueries {
         WHERE sh.doc_id % 2 = 1 GROUP BY sh.doc_id ORDER BY sh.doc_id"""),
       "incremental novelty: batch scored against stored corpus shingle counts"),
 
-    // cl1: corpus clustering — k-means cell assignment (IvfIndex quantizer
-    // reused as a clustering operator). Deterministic training; sizes +
-    // per-cell mean norm. Not SQL-expressible → rows-only.
+    // cl1: corpus clustering — k-means, GRADUATED from rows-only to
+    // hash-green (the ann3 move applied to the trainer itself): the
+    // exact Lloyd (`IvfIndex.fitExactLloyd`) compares DECIMAL(18,6)-
+    // rounded Euclidean distances in the argmin (ties to the lower cell
+    // — robust to either engine's ~1e-15 summation-order noise) and
+    // updates centroids with order-exact decimal-sum means, so the
+    // WHOLE trajectory — seeds, 3 assignment rounds, 3 updates, final
+    // assignment — replays bit-for-bit in DuckDB. The oracle unrolls
+    // the iterations into chained CTE blocks (SQL disallows aggregates
+    // in a recursive term; the count is a constant). Unlike ann3's
+    // fitExact, the cells here stay ADAPTIVE — this is real k-means
+    // under the oracle gate, not label cells.
     "cl1_kmeans_clusters" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        graft.operators.IvfIndex.assignCells(emb, graft.operators.IvfIndex.fit(emb, 8, 3))
-          .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
-          .orderBy(col("cell"))
+        graft.operators.IvfIndex.assignCellsExact(emb,
+            graft.operators.IvfIndex.fitExactLloyd(emb, 8, 3))
+          .orderBy(col("vec_id"))
       },
-      None,
-      "k-means document clustering via the IVF quantizer (8 cells)"),
+      Some(kmeansOracle(k = 8, iters = 3)),
+      "k-means (exact Lloyd, 8 adaptive cells) — trajectory hash-checked end to end"),
 
     // Heavy hitters via Misra–Gries (operators/HeavyHitters): the top-k
     // path whose shuffle is capacity-bounded, not vocabulary-bounded —
@@ -2235,11 +2277,13 @@ object PipelineQueries {
       "Misra-Gries heavy hitters + exact recount == exact top-5"),
 
     // PCA dimensionality reduction (operators/Pca): one distributed
-    // covariance pass (d²-double partial-agg buffers), driver-side Jacobi
-    // on the d×d matrix, narrow DotProduct projection. Rows-only: the
-    // eigen-decomposition is not SQL-expressible; PcaSpec proves
-    // orthonormality, variance ordering, exact full-rank reconstruction
-    // and the deterministic sign convention.
+    // covariance pass carried as order-exact DECIMAL(18,6) sufficient
+    // statistics (layout-free — any partitioning fits the identical
+    // model), driver-side Jacobi on the d×d matrix, narrow DotProduct
+    // projection. Rows-only: the eigen-decomposition is not
+    // SQL-expressible; PcaSpec proves orthonormality, variance ordering,
+    // exact full-rank reconstruction and the deterministic sign
+    // convention.
     "emb1_pca_project" -> Q(
       (s, d) => {
         import graft.operators.{Par, Pca}
@@ -2252,6 +2296,30 @@ object PipelineQueries {
       },
       None,
       "PCA top-4 projection of embeddings (pre-quantization rotation)"),
+
+    // DISTRIBUTED PCA fit (the sem4/ann8 protocol applied to the dense
+    // model): three shards compute sufficient statistics independently
+    // (no cross-shard shuffle), one driver fold adds the decimals
+    // EXACTLY, one Jacobi — and because the statistics are order-exact,
+    // the merged model equals the one-shot BIT-FOR-BIT (PcaSpec), the
+    // strongest artifact-equality form of the merge doctrine (PCA's
+    // training pass is an abelian sum; Lloyd's is not). Rows-only like
+    // emb1 (same eigen-solve), but the projection below is bit-identical
+    // to emb1's by construction — the fold is bench-visible here.
+    "emb3_merged_pca" -> Q(
+      (s, d) => {
+        import graft.operators.{Par, Pca}
+        val emb = Par.fan(Tables.embeddings(s, d))
+        val model = Pca.fitMerged(
+          (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i)),
+          "embedding", k = 4)
+        Pca.project(emb, "embedding", model)
+          .select(col("vec_id"), col("label"),
+            col("pc1"), col("pc2"), col("pc3"), col("pc4"))
+          .orderBy(col("vec_id"))
+      },
+      None,
+      "shard-folded PCA fit == one-shot bit-for-bit; projection under the merged model"),
 
     // int8 scalar quantization (FAISS SQ8): per-dim min/max training
     // (dim-bounded collect, the centroid pattern) + a zero-shuffle narrow

@@ -383,6 +383,52 @@ object Streams {
       .start()
   }
 
+  /** Streaming PCA — EXACT incremental model maintenance: each arriving
+    * embedding batch's sufficient statistics (n, Σv, Σvvᵀ as order-exact
+    * decimal sums — `Pca.stats`) fold into the persisted `pca_stats`
+    * table, and because the fold is an abelian sum, the model fitted
+    * from the accumulated statistics equals `Pca.fit` over everything
+    * that ever arrived BIT-FOR-BIT (MediaStreamingSpec pins it) — no
+    * decay, no approximation, no re-scan of old batches. This is the
+    * stream face of `fitMerged`: waves are shards arriving in time
+    * instead of space.
+    *
+    * Exactly-once across replays: the `pca_seen` id table and the stats
+    * advance in ONE journaled group commit, and the fresh-filter
+    * anti-joins `pca_seen` — so a replayed batch (crash before OR after
+    * the commit, stale checkpoint, full redelivery) shrinks to exactly
+    * the rows not yet folded. Content-based, like every other twin — no
+    * reliance on batch ids surviving a checkpoint loss.
+    */
+  def pcaStream(spark: org.apache.spark.sql.SparkSession, embDir: String,
+      store: graft.etl.ParquetTableStore, checkpointDir: String,
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Pca
+    import spark.implicits._
+    val schema = spark.read.parquet(embDir).schema
+    spark.readStream.schema(schema).parquet(embDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seen = if (store.exists("pca_seen")) store.read("pca_seen")
+          else spark.emptyDataset[Long].toDF("vec_id")
+        val fresh = batch.dropDuplicates("vec_id")
+          .join(seen, Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          val b = Pca.stats(fresh, vecCol)
+          val merged = if (store.exists("pca_stats"))
+            Pca.statsFromDf(store.read("pca_stats")).merge(b)
+          else b
+          store.stage("pca_stats", Pca.statsToDf(spark, merged))
+          store.stage("pca_seen", seen.unionByName(fresh.select(col("vec_id"))))
+          store.commitStaged(Seq("pca_stats", "pca_seen"))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ingestion twin of the BM25 text index (`search append`
     * as a service — the last index family without one): arriving
     * document batches tokenize and append into the stored postings.

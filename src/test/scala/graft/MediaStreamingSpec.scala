@@ -278,6 +278,35 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(store.read("sets").count() == docs.count())
   }
 
+  test("pca stream: waves fold to the one-shot model bit-for-bit; full replay is a no-op") {
+    import graft.operators.Pca
+    val emb = Tables.embeddings(spark, sfTiny)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pcas").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+    val embDir = s"$tmp/arrivals"
+    emb.filter($"vec_id" % 2 === 0).write.mode("append").parquet(embDir)
+    Streams.pcaStream(spark, embDir, store, s"$tmp/ckpt").awaitTermination(120000)
+    emb.filter($"vec_id" % 2 === 1).write.mode("append").parquet(embDir)
+    Streams.pcaStream(spark, embDir, store, s"$tmp/ckpt").awaitTermination(120000)
+    // the accumulated statistics fit the one-shot model EXACTLY — the
+    // decimal fold is abelian, so arrival order and batching are invisible
+    val streamed = Pca.fitFromStats(Pca.statsFromDf(store.read("pca_stats")), 4)
+    val one = Pca.fit(emb, "embedding", 4)
+    assert(streamed.mean.sameElements(one.mean))
+    assert(streamed.eigenvalues.sameElements(one.eigenvalues))
+    for (i <- 0 until 4)
+      assert(streamed.components(i).sameElements(one.components(i)),
+        s"streamed component $i differs from one-shot")
+    // full replay (fresh checkpoint, same files): the seen-filter shrinks
+    // every batch to empty — n does not double-count
+    Streams.pcaStream(spark, embDir, store, s"$tmp/ckpt2").awaitTermination(120000)
+    val after = Pca.statsFromDf(store.read("pca_stats"))
+    assert(after.n == emb.count())
+    val replayed = Pca.fitFromStats(after, 4)
+    for (i <- 0 until 4)
+      assert(replayed.components(i).sameElements(streamed.components(i)))
+  }
+
   test("search stream: streamed batches index into the BM25 store == one-shot; torn stats heal") {
     import graft.operators.TextIndexStore
     val docs = Tables.documents(spark, sfTiny)

@@ -46,9 +46,12 @@ class PcaSpec extends SparkTestBase {
       val want = if (i == j) 1.0 else 0.0
       assert(math.abs(dot - want) < 1e-8, s"c${i}.c${j} = $dot")
     }
-    // eigenvalues descending, non-negative (within float slack)
+    // eigenvalues descending, non-negative within the stats rounding:
+    // the DECIMAL(18,6) element sums round each covariance entry by
+    // ≤ 0.5e-6, which can push a true-zero eigenvalue negative by up to
+    // ~d·0.5e-6 (Weyl) — the price of the layout-free exact statistics
     m.eigenvalues.sliding(2).foreach(p => assert(p(0) >= p(1) - 1e-9))
-    assert(m.eigenvalues.forall(_ > -1e-9))
+    assert(m.eigenvalues.forall(_ > -1e-5 * d))
     // pc1 captures the dominant (3,4) direction: > 99% of total variance
     assert(m.eigenvalues(0) / m.trace > 0.99)
     val c1 = m.components(0)
@@ -103,5 +106,34 @@ class PcaSpec extends SparkTestBase {
     val b = Pca.fit(df, "embedding", 4)
     for (i <- 0 until 4)
       assert(a.components(i).sameElements(b.components(i)), s"component $i differs")
+  }
+
+  test("distributed fit: shard statistics fold to the one-shot model bit-for-bit; fit is layout-free") {
+    val df = Tables.embeddings(spark, sfTiny)
+    val one = Pca.fit(df, "embedding", 4)
+    // three shards, built independently — the fold must reproduce the
+    // one-shot EXACTLY (decimal statistics are order-exact, so merged
+    // covariance is bit-identical and the driver Jacobi is deterministic)
+    val merged = Pca.fitMerged(
+      (0 until 3).map(i => df.filter($"vec_id" % 3 === i)), "embedding", 4)
+    assert(merged.mean.sameElements(one.mean))
+    assert(merged.eigenvalues.sameElements(one.eigenvalues))
+    assert(merged.trace == one.trace)
+    for (i <- 0 until 4)
+      assert(merged.components(i).sameElements(one.components(i)),
+        s"merged component $i differs from one-shot")
+    // layout-free: an adversarial repartition fits the identical model
+    // (the double-sum fold this replaced depended on partition order)
+    val rep = Pca.fit(df.repartition(7), "embedding", 4)
+    for (i <- 0 until 4)
+      assert(rep.components(i).sameElements(one.components(i)),
+        s"repartitioned component $i differs")
+    // mismatched dims refused
+    val e = intercept[IllegalArgumentException] {
+      Pca.stats(df.select($"vec_id", $"embedding"), "embedding").merge(
+        Pca.stats(df.select($"vec_id",
+          slice($"embedding", 1, 8).as("embedding")), "embedding"))
+    }
+    assert(e.getMessage.contains("matching dims"))
   }
 }

@@ -477,6 +477,31 @@ class PipelineOpsSpec extends SparkTestBase {
       .as[(Long, Int, Long, Long)].collect().toSet == snapshot)
   }
 
+  test("exact Lloyd: layout-free trajectory, iterations move assignments off the seeds") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfIndex
+    val cents = IvfIndex.fitExactLloyd(emb, 8, 3)
+    assert(cents.length == 8 && cents.forall(_.forall(x => !x.isNaN)))
+    // layout-free: an adversarial repartition trains the identical
+    // trajectory (rounded argmin + decimal-mean updates — nothing
+    // depends on partition order)
+    val rep = IvfIndex.fitExactLloyd(emb.repartition(7), 8, 3)
+    for (i <- 0 until 8)
+      assert(cents(i).sameElements(rep(i)), s"centroid $i layout-dependent")
+    // the iterations do real work: final assignment differs from the
+    // assignment under the raw seeds (cl1's gate is not vacuous)
+    val fin = IvfIndex.assignCellsExact(emb, cents)
+      .as[(Long, Int)].collect().toMap
+    val seeds = emb.orderBy($"vec_id").limit(8)
+      .select($"embedding".cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val under = IvfIndex.assignCellsExact(emb, seeds)
+      .as[(Long, Int)].collect().toMap
+    assert(fin.exists { case (id, c) => under(id) != c },
+      "Lloyd iterations never moved an assignment")
+    assert(fin.values.toSet.size > 1, "degenerate single-cell clustering")
+  }
+
   test("semantic merge equals the one-shot build; incomparable quantizers rejected") {
     def tmpStore(p: String) = new graft.etl.ParquetTableStore(spark,
       java.nio.file.Files.createTempDirectory(p).toString)
