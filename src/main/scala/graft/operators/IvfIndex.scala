@@ -224,6 +224,26 @@ object IvfIndex {
     emb.select(col("vec_id"),
       nearestCellExact(asDouble(col("embedding")), cents).as("cell"))
 
+  /** The rounded argmin as a raw column — for composition into other
+    * operators' projections (the IVFPQ cell stage).
+    */
+  def nearestCellExactPublic(v: Column, cents: Array[Array[Double]]): Column =
+    nearestCellExact(v, cents)
+
+  /** `nprobe` nearest cells under the rounded protocol (the exact
+    * flavor of `nearestCells`): full sqrt distances cast DECIMAL(18,6),
+    * ties to the lower cell id — engine-portable probe selection, so an
+    * oracle replays the same cell set a query scans.
+    */
+  def nearestCellsExact(v: Column, cents: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(distRounded(v, c).as("d6"), lit(i).as("cell"))
+    }
+    transform(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nprobe),
+      s => s.getField("cell"))
+  }
+
   /** The materialized exact-cell index — same (neighbor_id, nv, cell)
     * contract as `buildIndex`, cells = argmax-cosine label centroid
     * (ties to the lower cell id). Frozen-quantizer appends compose

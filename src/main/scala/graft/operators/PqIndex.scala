@@ -49,9 +49,11 @@ object PqIndex {
   def trainResiduals(corpus: DataFrame, centroids: Array[Array[Double]],
       sampleSize: Int = 10000, iters: Int = 8): Array[Array[Array[Double]]] = {
     val v = asDouble(col("embedding"))
+    // rounded-argmin cell assignment (the engine-portable protocol) so
+    // an oracle derives the identical residual training set
     val sample = corpus.orderBy(col("vec_id")).limit(sampleSize)
       .select(v.as("v"),
-        element_at(IvfIndex.nearestCellsPublic(v, centroids, 1), 1).as("cell"))
+        IvfIndex.nearestCellExactPublic(v, centroids).as("cell"))
       .collect()
       .map { r =>
         val x = r.getSeq[Double](0).toArray
@@ -61,79 +63,100 @@ object PqIndex {
     trainOn(sample, iters)
   }
 
+  /** Per-subspace Lloyd with the ENGINE-PORTABLE arithmetic protocol
+    * (the cl1 graduation applied to the driver-side trainer): the
+    * argmin compares DECIMAL(18,6)-HALF_UP-rounded Euclidean distances
+    * with ties to the lower code (ascending scan keeps the first
+    * minimum), and the update step sums the 1e-6-rounded elements as
+    * exact BigDecimals before ONE double division — the same numbers a
+    * SQL replay computes with `CAST(list_distance(..) AS DECIMAL(18,6))`
+    * ranking and `SUM(CAST(x AS DECIMAL(18,6)))::DOUBLE / COUNT(*)`
+    * means. The trajectory is therefore bit-reproducible by an
+    * independent engine (ann4's oracle replays it); empty cells keep
+    * their previous centroid (COALESCE in the replay).
+    */
   private def trainOn(sample: Array[Array[Double]], iters: Int): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty && sample.head.length == M * SubDim,
       s"expected dim ${M * SubDim}")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r6(x: Double): JBD = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP)
     Array.tabulate(M) { m =>
       val sub = sample.map(_.slice(m * SubDim, (m + 1) * SubDim))
       var cents = sub.take(KSub).map(_.clone)
       for (_ <- 1 to iters) {
-        val sums = Array.fill(KSub, SubDim)(0.0)
-        val counts = Array.fill(KSub)(0)
+        val sums = Array.fill(KSub, SubDim)(JBD.ZERO)
+        val counts = Array.fill(KSub)(0L)
         sub.foreach { x =>
-          var best = 0; var bestD = Double.MaxValue
+          var best = 0; var bestD: JBD = null
           var c = 0
           while (c < cents.length) {
             var d = 0.0; var i = 0
             while (i < SubDim) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c }
+            val rd = r6(math.sqrt(d))
+            if (bestD == null || rd.compareTo(bestD) < 0) { bestD = rd; best = c }
             c += 1
           }
           var i = 0
-          while (i < SubDim) { sums(best)(i) += x(i); i += 1 }
+          while (i < SubDim) { sums(best)(i) = sums(best)(i).add(r6(x(i))); i += 1 }
           counts(best) += 1
         }
         cents = Array.tabulate(KSub)(c =>
-          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+          if (counts(c) == 0L) cents(c)
+          else Array.tabulate(SubDim)(i => sums(c)(i).doubleValue / counts(c)))
       }
       cents
     }
   }
 
-  /** Per-subspace argmin against literal centroids → 4-bit codes packed
-    * into one INT. Narrow, no shuffle; ties break to the lower code via
-    * struct ordering (same convention as IvfIndex.nearestCell).
-    *
-    * Residual mode (`cellAdj` = (cell column, coarse centroids)): encodes
-    * v − centroid[cell] WITHOUT materializing the residual array — the
-    * argmin distance decomposes as |cb|² − 2⟨v_m, cb⟩ + 2⟨c_m, cb⟩, and
-    * the last term is a pure literal per (cell, subspace, entry), looked
-    * up by cell id. Keeps `v` appearing exactly once per codebook entry
-    * (the plan-size discipline NOTES.md mandates; substituting a zip_with
-    * residual subtree here would multiply it M·KSub times).
+  /** Raw-PQ encode with the ENGINE-PORTABLE argmin (the trainOn
+    * protocol at assignment time): ranks the FULL rounded distance
+    * sqrt(|sub|² − 2⟨sub,cb⟩ + |cb|²) as DECIMAL(18,6) with ties to the
+    * lower code — a constant-dropped |cb|²−2⟨sub,cb⟩ ranking is argmin-
+    * equivalent only UNROUNDED; the rounded comparison needs the full
+    * value the oracle's `list_distance` computes. `subNorm(m)` supplies
+    * the per-subspace |sub|² as a STAGED column reference so `v` still
+    * appears exactly once per codebook entry (the plan-size discipline;
+    * the cancellation form can dip ~−1e-16 for sub ≈ cb, clamped ≥ 0
+    * before the sqrt).
     */
-  private def encodeExpr(v: Column, codebooks: Array[Array[Array[Double]]],
-      cellAdj: Option[(Column, Array[Array[Double]])] = None): Column = {
+  private def encodeExprRounded(v: Column, subNorm: Int => Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
     val codes = (0 until M).map { m =>
       val sub = slice(v, m * SubDim + 1, SubDim)
       val scored = codebooks(m).zipWithIndex.map { case (c, i) =>
         val c2 = c.map(x => x * x).sum
-        val base = lit(c2) - lit(2.0) * dotp(sub, typedLit(c.toSeq))
-        val d = cellAdj match {
-          case None => base
-          case Some((cell, cents)) =>
-            // 2⟨centroid_cell[m], cb_i⟩ per cell, as one literal array
-            val adj = cents.map { cent =>
-              2.0 * c.indices.map(j => cent(m * SubDim + j) * c(j)).sum
-            }
-            base + element_at(typedLit(adj.toSeq), cell + 1)
-        }
-        struct(d.as("d"), lit(i).as("code"))
+        val d6 = sqrt(greatest(
+          subNorm(m) - lit(2.0) * dotp(sub, typedLit(c.toSeq)) + lit(c2),
+          lit(0.0))).cast(DecimalType(18, 6))
+        struct(d6.as("d6"), lit(i).as("code"))
       }
-      array_min(array(scored: _*)).getField("code")
+      array_min(array(scored.toIndexedSeq: _*)).getField("code")
     }
     codes.zipWithIndex.map { case (c, m) => shiftleft(c, 4 * m) }
       .reduce(_.bitwiseOR(_)).cast(IntegerType)
   }
 
+  /** Stage (vec_id, v, sn0..sn{M-1}) so the encode expression references
+    * each per-subspace norm once per codebook entry as a cheap column
+    * (CollapseProject keeps non-cheap aliases staged — the
+    * buildIvfPqIndex two-stage pattern).
+    */
+  private def withSubNorms(corpus: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val sns = (0 until M).map { m =>
+      val sub = slice(v, m * SubDim + 1, SubDim)
+      dotp(sub, sub).as(s"sn$m")
+    }
+    corpus.select(col("vec_id") +: v.as("v") +: sns: _*)
+  }
+
   /** (vec_id, code INT, norm DOUBLE): the complete searchable index row —
     * 12 bytes of payload per corpus vector.
     */
-  def encode(corpus: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val v = asDouble(col("embedding"))
-    corpus.select(col("vec_id"), encodeExpr(v, codebooks).as("code"),
-      sqrt(dotp(v, v)).as("norm"))
-  }
+  def encode(corpus: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    withSubNorms(corpus).select(col("vec_id"),
+      encodeExprRounded(col("v"), m => col(s"sn$m"), codebooks).as("code"),
+      sqrt(dotp(col("v"), col("v"))).as("norm"))
 
   /** The persistable PQ index row: codes PLUS the raw vector for the
     * exact re-rank tail (the FAISS IndexRefineFlat layout — the
@@ -141,11 +164,10 @@ object PqIndex {
     * Appending a new batch is THIS projection with the codebooks frozen,
     * so incremental build == batch build by construction.
     */
-  def buildIndex(corpus: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val v = asDouble(col("embedding"))
-    corpus.select(col("vec_id"), encodeExpr(v, codebooks).as("code"),
-      sqrt(dotp(v, v)).as("norm"), v.as("nv"))
-  }
+  def buildIndex(corpus: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    withSubNorms(corpus).select(col("vec_id"),
+      encodeExprRounded(col("v"), m => col(s"sn$m"), codebooks).as("code"),
+      sqrt(dotp(col("v"), col("v"))).as("norm"), col("v").as("nv"))
 
   /** The persistable IVFPQ index row: coarse cell + residual code + norm +
     * raw vector — (vec_id, cell, code, norm, nv). Centroids and codebooks
@@ -154,15 +176,66 @@ object PqIndex {
     */
   def buildIvfPqIndex(corpus: DataFrame, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    // two-stage select: the cell argmin materializes as a column BEFORE
-    // the encode expression references it M·KSub times (CollapseProject
-    // keeps non-cheap aliases staged — NOTES.md plan-size discipline)
+    // three-stage select: (1) the ROUNDED cell argmin + per-subspace
+    // |v_m|² materialize as columns before anything references them;
+    // (2) per-subspace RESIDUAL norms |v_m − c_cell,m|² derive from
+    // those via per-cell literals (v appears once per subspace);
+    // (3) the encode argmin ranks the FULL rounded residual distance
+    // sqrt(rsq_m − 2⟨v_m,cb⟩ + 2⟨c_cell,m,cb⟩ + |cb|²) — the engine-
+    // portable protocol, so an oracle computing the explicit residual
+    // distance replays the identical codes (CollapseProject keeps
+    // non-cheap aliases staged — NOTES.md plan-size discipline)
     val v = asDouble(col("embedding"))
-    val withCell = corpus.select(col("vec_id"), v.as("v"),
-      element_at(IvfIndex.nearestCellsPublic(v, centroids, 1), 1).as("cell"))
-    withCell.select(col("vec_id"), col("cell"),
-      encodeExpr(col("v"), codebooks, Some((col("cell"), centroids))).as("code"),
+    val s1 = corpus.select(col("vec_id") +: v.as("v") +:
+      IvfIndex.nearestCellExactPublic(v, centroids).as("cell") +:
+      (0 until M).map { m =>
+        val sub = slice(v, m * SubDim + 1, SubDim)
+        dotp(sub, sub).as(s"sn$m")
+      }: _*)
+    val s2 = s1.select(col("vec_id") +: col("v") +: col("cell") +:
+      (0 until M).map { m =>
+        val sub = slice(col("v"), m * SubDim + 1, SubDim)
+        val cellSubs = typedLit(centroids.map(
+          _.slice(m * SubDim, (m + 1) * SubDim).toSeq).toSeq)
+        val cellSubN = typedLit(centroids.map(c =>
+          c.slice(m * SubDim, (m + 1) * SubDim).map(x => x * x).sum).toSeq)
+        (col(s"sn$m") - lit(2.0) * dotp(sub, element_at(cellSubs, col("cell") + 1))
+          + element_at(cellSubN, col("cell") + 1)).as(s"rsq$m")
+      }: _*)
+    s2.select(col("vec_id"), col("cell"),
+      encodeExprRoundedResidual(col("v"), m => col(s"rsq$m"), col("cell"),
+        centroids, codebooks).as("code"),
       sqrt(dotp(col("v"), col("v"))).as("norm"), col("v").as("nv"))
+  }
+
+  /** Residual flavor of `encodeExprRounded`: ranks the full rounded
+    * residual distance via the expansion |r_m − cb|² = rsq_m −
+    * 2⟨v_m,cb⟩ + 2⟨c_cell,m,cb⟩ + |cb|², with rsq_m staged and the
+    * cell-dependent term a per-(cell, entry) literal lookup — `v`
+    * appears exactly once per codebook entry. The expansion and the
+    * oracle's explicit Σ(r−cb)² differ by ~1e-14 cancellation noise;
+    * the DECIMAL(18,6) rounding absorbs it (the ann4 protocol).
+    */
+  private def encodeExprRoundedResidual(v: Column, rsq: Int => Column,
+      cell: Column, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val codes = (0 until M).map { m =>
+      val sub = slice(v, m * SubDim + 1, SubDim)
+      val scored = codebooks(m).zipWithIndex.map { case (cb, i) =>
+        val cb2 = cb.map(x => x * x).sum
+        val adj = centroids.map { cent =>
+          2.0 * cb.indices.map(j => cent(m * SubDim + j) * cb(j)).sum
+        }
+        val d6 = sqrt(greatest(
+          rsq(m) - lit(2.0) * dotp(sub, typedLit(cb.toSeq))
+            + element_at(typedLit(adj.toSeq), cell + 1) + lit(cb2),
+          lit(0.0))).cast(DecimalType(18, 6))
+        struct(d6.as("d6"), lit(i).as("code"))
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("code")
+    }
+    codes.zipWithIndex.map { case (c, m) => shiftleft(c, 4 * m) }
+      .reduce(_.bitwiseOR(_)).cast(IntegerType)
   }
 
   /** Narrow 3-column projection before the shortlist window: the LUT and
@@ -226,7 +299,11 @@ object PqIndex {
     val exact = shortlist.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
       .withColumn("cos", dotp(col("qv"), col("nv")) /
         sqrt(dotp(col("qv"), col("qv")) * dotp(col("nv"), col("nv"))))
-    val wf = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    // rank on the ROUNDED cosine (ties → neighbor_id): the raw double
+    // differs between engines at ~1e-16 summation-order noise, which an
+    // oracle replay must not be able to flip at the rank-k boundary
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").cast(DecimalType(18, 6)).desc, col("neighbor_id"))
     exact.withColumn("rn", row_number().over(wf)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("cos").cast(DecimalType(18, 6)).cast(DoubleType).as("cos"))
@@ -241,8 +318,11 @@ object PqIndex {
     val luts = queryLuts(queries, codebooks)
     val scored = index.join(broadcast(luts), col("query_id") =!= col("vec_id"))
       .withColumn("approx_cos", adcDotExpr / (col("qnorm") * col("norm")))
+    // shortlist membership ranks on the ROUNDED ADC score (ties →
+    // vec_id) so an oracle replay selects the identical refine·k set —
+    // the raw double carries engine-private summation-order noise
     val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .orderBy(col("approx_cos").cast(DecimalType(18, 6)).desc, col("vec_id"))
     val shortlist = perPartitionTopN(scored, k * refine)
       .withColumn("rn", row_number().over(wa))
       .filter(col("rn") <= k * refine)
@@ -262,7 +342,7 @@ object PqIndex {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       kClusters: Int = 16, nprobe: Int = 4, refine: Int = 32): DataFrame = {
-    val centroids = IvfIndex.fit(corpus, kClusters)
+    val centroids = IvfIndex.fitExactLloyd(corpus, kClusters, iters = 5)
     val codebooks = trainResiduals(corpus, centroids)
     ivfPqTopKIndexed(queries, buildIvfPqIndex(corpus, centroids, codebooks),
       centroids, codebooks, k, nprobe, refine)
@@ -286,8 +366,10 @@ object PqIndex {
         val q = r.getSeq[Double](1).toArray
         (r.getLong(0), centroids.map(c => c.indices.map(i => q(i) * c(i)).sum).toSeq)
       }.toSeq.toDF("query_id", "qc")
+    // probe selection under the rounded protocol — the oracle replays
+    // the identical cell set (nearestCellsExact)
     val probes = queries.select(col("vec_id").as("query_id"),
-        explode(IvfIndex.nearestCellsPublic(asDouble(col("embedding")), centroids, nprobe))
+        explode(IvfIndex.nearestCellsExact(asDouble(col("embedding")), centroids, nprobe))
           .as("cell"))
       .join(luts, Seq("query_id")).join(qcs, Seq("query_id"))
 
@@ -297,7 +379,7 @@ object PqIndex {
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("approx_cos", adcDot / (col("qnorm") * col("norm")))
     val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .orderBy(col("approx_cos").cast(DecimalType(18, 6)).desc, col("vec_id"))
     val shortlist = perPartitionTopN(scored, k * refine)
       .withColumn("rn", row_number().over(wa))
       .filter(col("rn") <= k * refine)

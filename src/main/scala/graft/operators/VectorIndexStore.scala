@@ -92,7 +92,7 @@ object VectorIndexStore {
     */
   def writeIvfPq(path: String, corpus: DataFrame, kClusters: Int = 16,
       sampleSize: Int = 10000, iters: Int = 8): Unit = {
-    val centroids = IvfIndex.fit(corpus, kClusters)
+    val centroids = IvfIndex.fitExactLloyd(corpus, kClusters, iters = 5)
     val codebooks = PqIndex.trainResiduals(corpus, centroids, sampleSize, iters)
     writeCentroids(corpus.sparkSession, p(path, "centroids"), centroids)
     writeCodebooks(corpus.sparkSession, p(path, "codebooks"), codebooks)
@@ -337,7 +337,7 @@ object VectorIndexStore {
 
   /** Stored-PQ path for a corpus dir, building it on first use. */
   def ensurePq(corpusDir: String, corpus: DataFrame): String = {
-    val path = s"$cacheRoot/pq_${cacheKey(corpusDir)}"
+    val path = s"$cacheRoot/pqx1_${cacheKey(corpusDir)}"
     ensureLock.synchronized { if (!exists(path)) writePq(path, corpus) }
     path
   }
@@ -355,7 +355,7 @@ object VectorIndexStore {
 
   /** Stored-IVFPQ path for a corpus dir, building it on first use. */
   def ensureIvfPq(corpusDir: String, corpus: DataFrame): String = {
-    val path = s"$cacheRoot/ivfpq_${cacheKey(corpusDir)}"
+    val path = s"$cacheRoot/ivfpqx1_${cacheKey(corpusDir)}"
     ensureLock.synchronized { if (!exists(path)) writeIvfPq(path, corpus) }
     path
   }
@@ -404,7 +404,7 @@ object VectorIndexStore {
     */
   def ensureMergedPq(corpusDir: String, shards: Seq[DataFrame]): String = {
     require(shards.nonEmpty, "need at least one shard")
-    val path = s"$cacheRoot/mpq_${shards.size}_${cacheKey(corpusDir)}"
+    val path = s"$cacheRoot/mpqx1_${shards.size}_${cacheKey(corpusDir)}"
     val ready = java.nio.file.Paths.get(path, "_graft_merged_ready")
     ensureLock.synchronized {
       if (!java.nio.file.Files.exists(ready)) {
@@ -430,13 +430,13 @@ object VectorIndexStore {
     */
   def ensureMergedIvfPq(corpusDir: String, shards: Seq[DataFrame]): String = {
     require(shards.nonEmpty, "need at least one shard")
-    val path = s"$cacheRoot/mivfpq_${shards.size}_${cacheKey(corpusDir)}"
+    val path = s"$cacheRoot/mivfpqx1_${shards.size}_${cacheKey(corpusDir)}"
     val ready = java.nio.file.Paths.get(path, "_graft_merged_ready")
     ensureLock.synchronized {
       if (!java.nio.file.Files.exists(ready)) {
         val spark = shards.head.sparkSession
         val union = shards.reduce(_ unionByName _)
-        val centroids = IvfIndex.fit(union, 16)
+        val centroids = IvfIndex.fitExactLloyd(union, 16, iters = 5)
         val codebooks = PqIndex.trainResiduals(union, centroids)
         writeIvfPqFrozen(path, shards.head, centroids, codebooks)
         shards.tail.zipWithIndex.foreach { case (sh, i) =>

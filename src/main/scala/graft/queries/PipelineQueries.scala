@@ -152,13 +152,13 @@ object PipelineQueries {
     */
   private def kmeansOracle(k: Int, iters: Int): String = {
     def asg(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, v, cell FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id, v, cell FROM (
           SELECT e.vec_id, e.v, c.cell,
             row_number() OVER (PARTITION BY e.vec_id ORDER BY
               CAST(list_distance(e.v, c.cent) AS DECIMAL(18,6)), c.cell) AS rn
           FROM emb e, $cents c) WHERE rn = 1)"""
     def upd(name: String, assigned: String, prev: String) =
-      s"""$name AS (SELECT p.cell, COALESCE(m.cent, p.cent) AS cent
+      s"""$name AS MATERIALIZED (SELECT p.cell, COALESCE(m.cent, p.cent) AS cent
           FROM $prev p LEFT JOIN (
             SELECT cell, list(cv ORDER BY dim) AS cent FROM (
               SELECT cell, i AS dim,
@@ -167,13 +167,193 @@ object PipelineQueries {
               GROUP BY cell, i) GROUP BY cell) m USING (cell))"""
     val blocks = (1 to iters).flatMap(i =>
       Seq(asg(s"a$i", s"c${i - 1}"), upd(s"c$i", s"a$i", s"c${i - 1}")))
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
           v AS cent
         FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $k)),
       ${blocks.mkString(",\n      ")},
       ${asg("afin", s"c$iters")}
       SELECT vec_id, cell FROM afin ORDER BY vec_id"""
+  }
+
+  /** ann4's oracle: the ENTIRE raw-PQ pipeline replayed — per-subspace
+    * Lloyd training (iterations unrolled like `kmeansOracle`, all M
+    * subspaces riding one chain via the `m` column), rounded-argmin
+    * encode over the full corpus, per-query LUTs, ADC scoring with the
+    * ROUNDED approx-cosine shortlist rank, and the exact-cosine
+    * re-rank. Every comparison key is DECIMAL(18,6)-rounded with an id
+    * tiebreak (the cl1 protocol), so neither engine's ~1e-16
+    * summation-order noise can flip an assignment, a shortlist
+    * boundary, or a rank — which is what lets a Lloyd-trained
+    * quantizer sit under the hash gate at all.
+    */
+  private def pqOracle(k: Int, refine: Int, sampleSize: Int, iters: Int,
+      m: Int, subDim: Int, kSub: Int): String = {
+    def asg(name: String, cents: String, src: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, m, sv, code FROM (
+          SELECT s.vec_id, s.m, s.sv, c.code,
+            row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+              CAST(list_distance(s.sv, c.cent) AS DECIMAL(18,6)), c.code) AS rn
+          FROM $src s JOIN $cents c ON s.m = c.m) WHERE rn = 1)"""
+    def upd(name: String, assigned: String, prev: String) =
+      s"""$name AS MATERIALIZED (SELECT p.m, p.code, COALESCE(u.cent, p.cent) AS cent
+          FROM $prev p LEFT JOIN (
+            SELECT m, code, list(cv ORDER BY dim) AS cent FROM (
+              SELECT m, code, i AS dim,
+                CAST(SUM(CAST(sv[CAST(i AS INTEGER)] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+              FROM $assigned, UNNEST(range(1, $subDim + 1)) AS t(i)
+              GROUP BY m, code, i) GROUP BY m, code) u USING (m, code))"""
+    val blocks = (1 to iters).flatMap(i =>
+      Seq(asg(s"a$i", s"c${i - 1}", "subs"), upd(s"c$i", s"a$i", s"c${i - 1}")))
+    val sl = s"CAST(m*$subDim+1 AS INTEGER):CAST(m*$subDim+$subDim AS INTEGER)"
+    val slc = s"CAST(c.m*$subDim+1 AS INTEGER):CAST(c.m*$subDim+$subDim AS INTEGER)"
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      samp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $sampleSize),
+      subs AS MATERIALIZED (SELECT vec_id, CAST(m AS INTEGER) AS m, v[$sl] AS sv
+        FROM samp, UNNEST(range(0, $m)) AS t(m)),
+      c0 AS MATERIALIZED (SELECT m, CAST(rn - 1 AS INTEGER) AS code, sv AS cent FROM (
+          SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+          FROM subs) WHERE rn <= $kSub),
+      ${blocks.mkString(",\n      ")},
+      fsubs AS MATERIALIZED (SELECT vec_id, CAST(m AS INTEGER) AS m, v[$sl] AS sv
+        FROM emb, UNNEST(range(0, $m)) AS t(m)),
+      codes AS MATERIALIZED (SELECT vec_id, m, code FROM (
+          SELECT f.vec_id, f.m, c.code,
+            row_number() OVER (PARTITION BY f.vec_id, f.m ORDER BY
+              CAST(list_distance(f.sv, c.cent) AS DECIMAL(18,6)), c.code) AS rn
+          FROM fsubs f JOIN c$iters c ON f.m = c.m) WHERE rn = 1),
+      norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS norm FROM emb),
+      q AS (SELECT vec_id AS query_id, v AS qv,
+          sqrt(list_inner_product(v, v)) AS qnorm FROM emb WHERE vec_id < 5),
+      luts AS (SELECT q.query_id, c.m, c.code,
+          list_inner_product(q.qv[$slc], c.cent) AS ip
+        FROM q, c$iters c),
+      adc AS (SELECT l.query_id, co.vec_id,
+          CAST(SUM(l.ip) / (ANY_VALUE(q.qnorm) * ANY_VALUE(n.norm)) AS DECIMAL(18,6)) AS approx_cos
+        FROM codes co JOIN luts l ON co.m = l.m AND co.code = l.code
+        JOIN norms n ON n.vec_id = co.vec_id
+        JOIN q ON q.query_id = l.query_id
+        WHERE l.query_id != co.vec_id
+        GROUP BY l.query_id, co.vec_id),
+      shortlist AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_cos DESC, vec_id) AS rn FROM adc)
+        WHERE rn <= ${k * refine})
+      SELECT s.query_id, s.vec_id AS neighbor_id,
+        CAST(CAST(list_cosine_similarity(q.qv, e.v) AS DECIMAL(18,6)) AS DOUBLE) AS cos
+      FROM shortlist s JOIN q USING (query_id) JOIN emb e ON e.vec_id = s.vec_id
+      QUALIFY row_number() OVER (PARTITION BY s.query_id
+        ORDER BY CAST(list_cosine_similarity(q.qv, e.v) AS DECIMAL(18,6)) DESC, s.vec_id) <= $k
+      ORDER BY query_id, cos DESC, neighbor_id"""
+  }
+
+  /** ann5's oracle: the ENTIRE IVFPQ pipeline replayed — unrolled coarse
+    * k-means over full vectors (kc chain), rounded cell assignment,
+    * residual subvectors of the training sample, unrolled per-subspace
+    * residual Lloyd (pc chain, all M subspaces on one chain via the `m`
+    * column), full-corpus residual encode, rounded nprobe probe
+    * selection, coarse-corrected ADC (⟨q,c_cell⟩ + Σ lut) with the
+    * rounded shortlist rank, and the exact re-rank. Every CTE is
+    * MATERIALIZED: the kc/pc chains nest ~26 deep and each level is
+    * referenced twice, so default inlining would multiply the base scan
+    * exponentially (observed as fd exhaustion); materialization bounds
+    * it to one scan per block.
+    */
+  private def ivfPqOracle(k: Int, refine: Int, nprobe: Int, kClusters: Int,
+      coarseIters: Int, sampleSize: Int, resIters: Int,
+      m: Int, subDim: Int, kSub: Int): String = {
+    val dim = m * subDim
+    def kasg(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              CAST(list_distance(e.v, c.cent) AS DECIMAL(18,6)), c.cell) AS rn
+          FROM emb e, $cents c) WHERE rn = 1)"""
+    def kupd(name: String, assigned: String, prev: String) =
+      s"""$name AS MATERIALIZED (SELECT p.cell, COALESCE(u.cent, p.cent) AS cent
+          FROM $prev p LEFT JOIN (
+            SELECT cell, list(cv ORDER BY dim) AS cent FROM (
+              SELECT cell, i AS dim,
+                CAST(SUM(CAST(v[CAST(i AS INTEGER)] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+              FROM $assigned, UNNEST(range(1, $dim + 1)) AS t(i)
+              GROUP BY cell, i) GROUP BY cell) u USING (cell))"""
+    def pasg(name: String, cents: String, src: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, m, rsv, code FROM (
+          SELECT s.vec_id, s.m, s.rsv, c.code,
+            row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+              CAST(list_distance(s.rsv, c.cent) AS DECIMAL(18,6)), c.code) AS rn
+          FROM $src s JOIN $cents c ON s.m = c.m) WHERE rn = 1)"""
+    def pupd(name: String, assigned: String, prev: String) =
+      s"""$name AS MATERIALIZED (SELECT p.m, p.code, COALESCE(u.cent, p.cent) AS cent
+          FROM $prev p LEFT JOIN (
+            SELECT m, code, list(cv ORDER BY dim) AS cent FROM (
+              SELECT m, code, i AS dim,
+                CAST(SUM(CAST(rsv[CAST(i AS INTEGER)] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+              FROM $assigned, UNNEST(range(1, $subDim + 1)) AS t(i)
+              GROUP BY m, code, i) GROUP BY m, code) u USING (m, code))"""
+    val kBlocks = (1 to coarseIters).flatMap(i =>
+      Seq(kasg(s"ka$i", s"kc${i - 1}"), kupd(s"kc$i", s"ka$i", s"kc${i - 1}")))
+    val pBlocks = (1 to resIters).flatMap(i =>
+      Seq(pasg(s"pa$i", s"pc${i - 1}", "rsubs"), pupd(s"pc$i", s"pa$i", s"pc${i - 1}")))
+    val rsvExpr = s"""list_transform(range(1, $subDim + 1),
+            i -> s.v[CAST(t.m*$subDim+i AS INTEGER)] - kc.cent[CAST(t.m*$subDim+i AS INTEGER)])"""
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      kc0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+          v AS cent
+        FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $kClusters)),
+      ${kBlocks.mkString(",\n      ")},
+      cells AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              CAST(list_distance(e.v, c.cent) AS DECIMAL(18,6)), c.cell) AS rn
+          FROM emb e, kc$coarseIters c) WHERE rn = 1),
+      rsubs AS MATERIALIZED (SELECT s.vec_id, CAST(t.m AS INTEGER) AS m, $rsvExpr AS rsv
+        FROM (SELECT vec_id, v, cell FROM cells ORDER BY vec_id LIMIT $sampleSize) s
+        JOIN kc$coarseIters kc USING (cell), UNNEST(range(0, $m)) AS t(m)),
+      pc0 AS MATERIALIZED (SELECT m, CAST(rn - 1 AS INTEGER) AS code, rsv AS cent FROM (
+          SELECT m, rsv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+          FROM rsubs) WHERE rn <= $kSub),
+      ${pBlocks.mkString(",\n      ")},
+      frsubs AS MATERIALIZED (SELECT s.vec_id, s.cell, CAST(t.m AS INTEGER) AS m, $rsvExpr AS rsv
+        FROM cells s JOIN kc$coarseIters kc USING (cell), UNNEST(range(0, $m)) AS t(m)),
+      codes AS MATERIALIZED (SELECT vec_id, cell, m, code FROM (
+          SELECT f.vec_id, f.cell, f.m, c.code,
+            row_number() OVER (PARTITION BY f.vec_id, f.m ORDER BY
+              CAST(list_distance(f.rsv, c.cent) AS DECIMAL(18,6)), c.code) AS rn
+          FROM frsubs f JOIN pc$resIters c ON f.m = c.m) WHERE rn = 1),
+      norms AS MATERIALIZED (SELECT vec_id, sqrt(list_inner_product(v, v)) AS norm FROM emb),
+      q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv,
+          sqrt(list_inner_product(v, v)) AS qnorm FROM emb WHERE vec_id < 5),
+      probes AS MATERIALIZED (SELECT query_id, cell, qc FROM (
+          SELECT q.query_id, c.cell,
+            list_inner_product(q.qv, c.cent) AS qc,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              CAST(list_distance(q.qv, c.cent) AS DECIMAL(18,6)), c.cell) AS rn
+          FROM q, kc$coarseIters c) WHERE rn <= $nprobe),
+      luts AS MATERIALIZED (SELECT q.query_id, c.m, c.code,
+          list_inner_product(q.qv[CAST(c.m*$subDim+1 AS INTEGER):CAST(c.m*$subDim+$subDim AS INTEGER)], c.cent) AS ip
+        FROM q, pc$resIters c),
+      adc AS MATERIALIZED (SELECT p.query_id, co.vec_id,
+          CAST((ANY_VALUE(p.qc) + SUM(l.ip)) / (ANY_VALUE(q.qnorm) * ANY_VALUE(n.norm)) AS DECIMAL(18,6)) AS approx_cos
+        FROM probes p
+        JOIN codes co ON co.cell = p.cell
+        JOIN luts l ON l.query_id = p.query_id AND l.m = co.m AND l.code = co.code
+        JOIN norms n ON n.vec_id = co.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE p.query_id != co.vec_id
+        GROUP BY p.query_id, co.vec_id),
+      shortlist AS MATERIALIZED (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_cos DESC, vec_id) AS rn FROM adc)
+        WHERE rn <= ${k * refine})
+      SELECT s.query_id, s.vec_id AS neighbor_id,
+        CAST(CAST(list_cosine_similarity(q.qv, e.v) AS DECIMAL(18,6)) AS DOUBLE) AS cos
+      FROM shortlist s JOIN q USING (query_id) JOIN emb e ON e.vec_id = s.vec_id
+      QUALIFY row_number() OVER (PARTITION BY s.query_id
+        ORDER BY CAST(list_cosine_similarity(q.qv, e.v) AS DECIMAL(18,6)) DESC, s.vec_id) <= $k
+      ORDER BY query_id, cos DESC, neighbor_id"""
   }
 
   private def ann3OracleSql: String =
@@ -1574,6 +1754,15 @@ object PipelineQueries {
     // deployment cost model (training amortizes over the index lifetime,
     // not per query). Deterministic either way: training is seeded by
     // the lowest vec_ids, so stored == inline codebooks.
+    // ann5 — GRADUATED with ann4: the exact-arithmetic protocol through
+    // the ENTIRE IVFPQ chain — exact-Lloyd coarse quantizer (the cl1
+    // trainer at k=16), rounded cell assignment, residual codebooks
+    // trained on rounded-assigned sample residuals, rounded residual
+    // encode (the expansion rsq − 2⟨v,cb⟩ + 2⟨c,cb⟩ + |cb|² vs the
+    // oracle's explicit Σ(r−cb)² differ by ~1e-14 cancellation noise,
+    // absorbed by the DECIMAL(18,6) keys), rounded nprobe probe
+    // selection, coarse-corrected ADC shortlist, exact re-rank. The
+    // deepest oracle in the suite: 26 chained MATERIALIZED CTE blocks.
     "ann5_ivfpq_topk" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -1581,8 +1770,10 @@ object PipelineQueries {
         graft.operators.VectorIndexStore.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), k = 3)
           .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       },
-      None,
-      "IVFPQ: coarse cell probing × in-cell ADC over 4-bit codes × exact re-rank"),
+      Some(ivfPqOracle(k = 3, refine = 32, nprobe = 4, kClusters = 16,
+        coarseIters = 5, sampleSize = 10000, resIters = 8,
+        m = 8, subDim = 8, kSub = 16)),
+      "IVFPQ: coarse probing × in-cell residual ADC × exact re-rank — trajectory hash-checked"),
 
     // The PQ legs of the distributed-build fold, registered so
     // `VectorIndexStore.merge`'s flavor-agnostic PQ/IVFPQ paths sit
@@ -1619,6 +1810,16 @@ object PipelineQueries {
       None,
       "IVFPQ top-k served from a two-shard merged index — both artifacts frozen centrally"),
 
+    // ann4 — GRADUATED from rows-only to hash-green: the cl1 exact-
+    // arithmetic protocol applied to the whole PQ pipeline. Codebooks
+    // train with rounded-argmin + decimal-mean Lloyd (PqIndex.trainOn),
+    // the encode ranks the FULL rounded distance (a constant-dropped
+    // |cb|²−2⟨v,cb⟩ ranking is argmin-equivalent only unrounded), and
+    // both the ADC shortlist and the exact re-rank order on
+    // DECIMAL(18,6) keys with id tiebreaks — so the oracle replays
+    // training, encoding, scanning and ranking end to end (pqOracle:
+    // 8 unrolled Lloyd iterations, all 8 subspaces on one CTE chain).
+    // A Lloyd-trained quantizer under the hash gate.
     "ann4_pq_topk" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -1626,8 +1827,9 @@ object PipelineQueries {
         graft.operators.VectorIndexStore.pqTopK(s, idx, emb.filter(col("vec_id") < 5), k = 3)
           .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       },
-      None,
-      "product-quantization top-k: 4-bit×8 codes + ADC scan + exact re-rank"),
+      Some(pqOracle(k = 3, refine = 32, sampleSize = 10000, iters = 8,
+        m = 8, subDim = 8, kSub = 16)),
+      "product-quantization top-k: 4-bit×8 codes + ADC scan + exact re-rank — trajectory hash-checked"),
 
     // ───── sequence packing (training-batch construction) ─────
     // Pack documents into fixed token-budget training sequences by

@@ -525,10 +525,18 @@ object Streams {
     * (self-consistent), and the splits append anti-joins docs already
     * assigned.
     */
+  /** `resolveEvery` (0 = off): the exportStream resolve cadence on the
+    * standalone assignment service — after every Nth wave the
+    * quarantine is adjudicated (`resolveConflictsInStore`), so bridge
+    * docs don't sit 'conflict' forever waiting for an operator to run
+    * the `split resolve` CLI between waves. The verb is a fixed point
+    * (empty quarantine = cheap no-op probe), so replays are safe, and
+    * post-resolution every census is size 1 — later waves adopt.
+    */
   def splitStream(spark: org.apache.spark.sql.SparkSession, docsDir: String,
       store: graft.etl.ParquetTableStore, outDir: String,
-      checkpointDir: String,
-      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String, threshold: Double = 0.8,
+      resolveEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Curation
     val schema = spark.read.parquet(docsDir).schema
     spark.readStream.schema(schema).parquet(docsDir)
@@ -540,6 +548,9 @@ object Streams {
         Curation.splitServe(store, batch, threshold) { assigned =>
           assigned.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }
+        if (resolveEvery > 0 && (batchId + 1) % resolveEvery == 0 &&
+            store.exists("splits"))
+          Curation.resolveConflictsInStore(store)
         ()
       }
       .option("checkpointLocation", checkpointDir)

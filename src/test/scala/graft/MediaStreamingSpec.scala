@@ -473,6 +473,45 @@ class MediaStreamingSpec extends SparkTestBase {
       "replay appended duplicate assignments")
   }
 
+  test("split stream --resolve: bridge quarantines, in-stream resolve clears it, wave 3 adopts") {
+    import graft.operators.Curation
+    // the export-stream resolve fixture, one level down: the standalone
+    // assignment service must not leave bridges 'conflict' forever
+    def text(i: Long) = (1 to 40).map(j => s"p${i}z$j").mkString(" ")
+    val splitOf = (1L to 30L).toDF("doc_id")
+      .select($"doc_id", Curation.splitOfLabel($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    val (a, b) = (for {
+      x <- (1L to 30L); y <- (1L to 30L)
+      if x < y && splitOf(x) != splitOf(y)
+    } yield (x, y)).head
+    val fillers = (1L to 30L).filter(i => i != a && i != b).take(4)
+    def d(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val wave1 = d((Seq(a, b) ++ fillers).sorted.map(i => i -> text(i)): _*)
+    val wave2 = d(1001L -> (text(a) + " " + text(b)))
+    val wave3 = d(2001L -> text(a))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sstream_resolve").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+    val docsDir = s"$tmp/arrivals"
+    def run(): Unit =
+      Streams.splitStream(spark, docsDir, store, s"$tmp/out", s"$tmp/ckpt",
+        threshold = 0.4, resolveEvery = 1).awaitTermination(120000)
+    wave1.write.mode("append").parquet(docsDir); run()
+    wave2.write.mode("append").parquet(docsDir); run()
+    val winner = Seq(splitOf(a), splitOf(b)).min
+    val after2 = store.read("splits").as[(Long, String)].collect().toMap
+    assert(!after2.valuesIterator.contains("conflict"),
+      s"in-stream resolve left a conflict row: $after2")
+    assert(Seq(a, b, 1001L).forall(after2(_) == winner))
+    fillers.foreach(i => assert(after2(i) == splitOf(i), "untouched cluster moved"))
+    // wave 3 adopts the resolved split through the stream
+    wave3.write.mode("append").parquet(docsDir); run()
+    val w3 = spark.read.parquet(s"$tmp/out/batch=2")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(w3 == Map(2001L -> winner),
+      s"wave-3 member must adopt the resolved split, got $w3")
+  }
+
   test("export stream: ascending waves regenerate the one-shot e2e12 manifest; replay no-op") {
     import graft.operators.{Curation, Par, TextDedup, TextQuality, TextStats}
     // planted corpus: ≥50-word Gopher-passing docs with disjoint

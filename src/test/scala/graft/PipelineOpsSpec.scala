@@ -874,7 +874,8 @@ class PipelineOpsSpec extends SparkTestBase {
     VectorIndexStore.appendIvfPq(spark, s"$dir/ivfpq", neu)
     val cents = VectorIndexStore.readCentroids(spark, s"$dir/ivfpq/centroids")
     val cb = VectorIndexStore.readCodebooks(spark, s"$dir/ivfpq/codebooks")
-    assert(cents.map(_.toSeq).toSeq == IvfIndex.fit(old, 16).map(_.toSeq).toSeq,
+    assert(cents.map(_.toSeq).toSeq ==
+      IvfIndex.fitExactLloyd(old, 16, iters = 5).map(_.toSeq).toSeq,
       "centroid parquet roundtrip drifted")
     val appended = spark.read.parquet(s"$dir/ivfpq/codes")
       .select($"vec_id", $"cell", $"code").as[(Long, Int, Int)].collect().toSet
