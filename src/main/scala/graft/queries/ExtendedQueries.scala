@@ -297,6 +297,83 @@ object ExtendedQueries {
       None,
       "approx_percentile sketch quartiles — the no-sort quantile path"),
 
+    // a7's ENGINE-PORTABLE twin: the KMV (k-minimum-values) distinct
+    // sketch over the t24 md5 hash protocol — the synopsis is the k
+    // smallest distinct 48-bit hashes, so the SKETCH ITSELF replays in
+    // DuckDB and the estimate is hash-gated, not error-gated (the
+    // Spark HLL++ buffer in a7 is engine-private by construction —
+    // this is the auditable flavor a cross-engine deployment wants).
+    // Mergeable EXACTLY: bottom-k(A∪B) = bottom-k(bottom-k(A) ∪
+    // bottom-k(B)) — SketchesSpec pins the shard fold == one-shot.
+    // Scale: one narrow hash projection + TakeOrderedAndProject (k
+    // rows per partition ride the exchange), never a full sort.
+    "a23_kmv_distinct" -> Q(
+      (s, d) => {
+        import graft.operators.Sketches
+        val li = Tables.lineitem(s, d)
+        Sketches.kmvDistinct(li, col("l_orderkey"), k = 1024, salt = "o",
+            outName = "est_orders")
+          .crossJoin(Sketches.kmvDistinct(li, col("l_partkey"), k = 1024,
+            salt = "p", outName = "est_parts"))
+      },
+      Some("""WITH ho AS (SELECT DISTINCT
+            CAST(concat('0x', substr(md5('o:' || CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+          FROM lineitem),
+        ko AS (SELECT max(h) AS hk, count(*) AS n
+          FROM (SELECT h FROM ho ORDER BY h LIMIT 1024)),
+        hp AS (SELECT DISTINCT
+            CAST(concat('0x', substr(md5('p:' || CAST(l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+          FROM lineitem),
+        kp AS (SELECT max(h) AS hk, count(*) AS n
+          FROM (SELECT h FROM hp ORDER BY h LIMIT 1024))
+        SELECT
+          CASE WHEN ko.n < 1024 THEN ko.n
+            ELSE CAST(FLOOR(1023e0 * 281474976710656e0 / CAST(ko.hk AS DOUBLE)) AS BIGINT)
+          END AS est_orders,
+          CASE WHEN kp.n < 1024 THEN kp.n
+            ELSE CAST(FLOOR(1023e0 * 281474976710656e0 / CAST(kp.hk AS DOUBLE)) AS BIGINT)
+          END AS est_parts
+        FROM ko, kp"""),
+      "KMV distinct sketch (k=1024) — the hash-gated twin of a7's HLL"),
+
+    // a13's ENGINE-PORTABLE twin: per-group bottom-k sampling (the k
+    // rows with the smallest salted row-key hashes — a deterministic
+    // uniform sample) + rank-selection quartiles over the sample,
+    // ranked by (value, hash) so ties cannot reorder between engines.
+    // Groups smaller than k are sampled whole → exact quartiles; the
+    // sample itself merges exactly across shards (SketchesSpec).
+    // Scale: WindowGroupLimit bounds the rank window to ≤ k rows per
+    // group per partition; the quantile pass sorts k rows per group,
+    // never the corpus.
+    "a24_bottomk_quantiles" -> Q(
+      (s, d) => {
+        import graft.operators.Sketches
+        val li = Tables.lineitem(s, d)
+        Sketches.bottomKQuantiles(
+            Sketches.bottomKSample(li, col("l_returnflag"),
+              concat(col("l_orderkey").cast(StringType), lit("-"),
+                col("l_linenumber").cast(StringType)),
+              col("l_quantity"), k = 256, salt = "q"),
+            qs = Seq(0.25, 0.5, 0.75))
+          .withColumnRenamed("g", "l_returnflag")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH s AS (SELECT l_returnflag, l_quantity,
+            CAST(concat('0x', substr(md5('q:' || CAST(l_orderkey AS VARCHAR) || '-' ||
+              CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+          FROM lineitem
+          QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h) <= 256),
+        r AS (SELECT l_returnflag, l_quantity, h,
+            row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, h) AS rn,
+            COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+          FROM s)
+        SELECT l_returnflag,
+          CAST(MAX(CASE WHEN rn = CAST(CEIL(0.25 * cnt) AS BIGINT) THEN l_quantity END) AS DOUBLE) AS q25,
+          CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * cnt) AS BIGINT) THEN l_quantity END) AS DOUBLE) AS q50,
+          CAST(MAX(CASE WHEN rn = CAST(CEIL(0.75 * cnt) AS BIGINT) THEN l_quantity END) AS DOUBLE) AS q75
+        FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "bottom-k sample quartiles (k=256/group) — the hash-gated twin of a13's KLL"),
+
     // ───── stratified sampling (balanced per-class subsets) ─────
     // k docs per language, chosen by deterministic content-hash order —
     // the balanced-dataset construction step of a training pipeline.
