@@ -429,6 +429,38 @@ object Streams {
       .start()
   }
 
+  /** Streaming KMV distinct sketch: each arriving batch's hash synopsis
+    * folds into the persisted `kmv` table (union → distinct → k
+    * smallest — `Sketches.kmvSynopsis` over the union). The synopsis is
+    * a JOIN-SEMILATTICE (bottom-k set union: commutative, associative,
+    * IDEMPOTENT), so this twin needs NO replay guard at all — a
+    * replayed batch folds to the identical synopsis by absorption, the
+    * only stream in the file whose exactly-once property is algebraic
+    * rather than engineered (contrast pcaStream's seen-guard: sums are
+    * not idempotent). N waves == the one-shot synopsis bit-for-bit
+    * (MediaStreamingSpec), so the streamed estimate never drifts.
+    */
+  def kmvStream(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      store: graft.etl.ParquetTableStore, checkpointDir: String,
+      colName: String, k: Int,
+      salt: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Sketches
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = Sketches.kmvSynopsis(batch, col(colName), k, salt)
+        val merged = if (store.exists("kmv"))
+          store.read("kmv").unionByName(fresh).distinct()
+            .orderBy(col("h")).limit(k)
+        else fresh
+        store.overwrite("kmv", merged.localCheckpoint(true))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ingestion twin of the BM25 text index (`search append`
     * as a service — the last index family without one): arriving
     * document batches tokenize and append into the stored postings.

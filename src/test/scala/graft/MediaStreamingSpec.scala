@@ -278,6 +278,36 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(store.read("sets").count() == docs.count())
   }
 
+  test("kmv stream: waves fold to the one-shot synopsis bit-for-bit; replay absorbs") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, sfTiny)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmvs").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+    val dir = s"$tmp/arrivals"
+    li.filter($"l_orderkey" % 2 === 0).write.mode("append").parquet(dir)
+    Streams.kmvStream(spark, dir, store, s"$tmp/ckpt", "l_orderkey", 256, "s")
+      .awaitTermination(120000)
+    li.filter($"l_orderkey" % 2 === 1).write.mode("append").parquet(dir)
+    Streams.kmvStream(spark, dir, store, s"$tmp/ckpt", "l_orderkey", 256, "s")
+      .awaitTermination(120000)
+    val one = Sketches.kmvSynopsis(li, $"l_orderkey", 256, "s")
+      .as[Long].collect().toSeq
+    val got = store.read("kmv").orderBy($"h").as[Long].collect().toSeq
+    assert(got == one && one.length == 256,
+      "streamed synopsis drifted from the one-shot")
+    // full replay (fresh checkpoint, same files, NO guard anywhere):
+    // the fold is idempotent — absorption, not bookkeeping
+    Streams.kmvStream(spark, dir, store, s"$tmp/ckpt2", "l_orderkey", 256, "s")
+      .awaitTermination(120000)
+    assert(store.read("kmv").orderBy($"h").as[Long].collect().toSeq == one)
+    // and the streamed estimate equals the one-shot estimate exactly
+    val eStream = Sketches.kmvEstimate(store.read("kmv"), 256, "est")
+      .head().getLong(0)
+    val eOne = Sketches.kmvEstimate(Sketches.kmvSynopsis(li, $"l_orderkey",
+      256, "s"), 256, "est").head().getLong(0)
+    assert(eStream == eOne)
+  }
+
   test("pca stream: waves fold to the one-shot model bit-for-bit; full replay is a no-op") {
     import graft.operators.Pca
     val emb = Tables.embeddings(spark, sfTiny)
