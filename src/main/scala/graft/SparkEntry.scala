@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered queries, name → Q(fn, oracle, doc). */
   def registry: Map[String, Q] =
     CoreQueries.all ++ PipelineQueries.all ++ EndToEndQueries.all ++
-      ExtendedQueries.all ++ CurationQueries.all ++ QualityQueries.all
+      ExtendedQueries.all ++ CurationQueries.all ++ QualityQueries.all ++
+      TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -18,7 +18,8 @@ class CoreQueriesSpec extends SparkTestBase {
   test("registry maps never collide on a key (a collision silently drops a query)") {
     import graft.queries._
     val sizes = Seq(CoreQueries.all, PipelineQueries.all, EndToEndQueries.all,
-      ExtendedQueries.all, CurationQueries.all, QualityQueries.all).map(_.size)
+      ExtendedQueries.all, CurationQueries.all, QualityQueries.all,
+      TpchQueries.all).map(_.size)
     assert(SparkEntry.registry.size == sizes.sum,
       s"registry ${SparkEntry.registry.size} != ${sizes.sum} — duplicate query name")
   }

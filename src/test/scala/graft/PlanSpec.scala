@@ -58,6 +58,48 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("tpch suite: every shape is hash-joined — no nested loop except 1-row scalar broadcasts") {
+    // q11/q15/q22 carry a 1-row scalar aggregate via broadcast cross
+    // join (plans as BroadcastNestedLoopJoin over exactly one broadcast
+    // row — the sanctioned PLANS.md exception); everything else must be
+    // hash joins. CartesianProduct is banned everywhere.
+    val scalarCross = Set("q11_important_parts", "q15_top_supplier", "q22_global_sales")
+    val names = SparkEntry.registry.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted
+    assert(names.size == 22, s"expected the full 22-shape suite, got $names")
+    names.foreach { n =>
+      val p = planOf(q(n))
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
+      if (!scalarCross(n))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested loop")
+    }
+  }
+
+  test("q6: all three predicates reach the parquet scan; 4-column read") {
+    // the compact toString elides long PushedFilters lists — use the
+    // formatted explain (what PLANS.md shows) for the full pushdown list.
+    // Another suite may have cached lineitem (Spark substitutes any
+    // matching plan fragment with the InMemoryRelation, hiding the
+    // parquet scan) — drop caches so the assert sees the real scan.
+    spark.catalog.clearCache()
+    val p = q("q6_forecast_revenue").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,") &&
+      p.contains("LessThan(l_quantity,24.0)") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"), p)
+  }
+
+  test("q4/q16/q22: existence probes plan as semi/anti hash joins") {
+    assert(planOf(q("q4_order_priority")).contains("LeftSemi"), "q4 lost the semi join")
+    assert(planOf(q("q16_supplier_counts")).contains("LeftAnti"), "q16 lost the anti join")
+    assert(planOf(q("q22_global_sales")).contains("LeftAnti"), "q22 lost the anti join")
+  }
+
+  test("q18/q10: top-k after aggregation plans as TakeOrderedAndProject") {
+    assert(planOf(q("q10_returned_items")).contains("TakeOrderedAndProject"), "q10")
+    assert(planOf(q("q18_large_orders")).contains("TakeOrderedAndProject"), "q18")
+  }
+
   test("j5: as-of join is one shuffle by user, no theta join") {
     val p = planOf(q("j5_asof_join"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
