@@ -59,6 +59,24 @@ object Unigram {
       .groupBy(col("piece")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("piece")).limit(k)
 
+  /** Per-word position→longest-match-length map against a bounded
+    * vocabulary: the shared first stage of the greedy scan (`encodeVocab`)
+    * and the usage replay (`consumedPieces`). Broadcast join against the
+    * top-k piece table; distinct-word-sized throughout.
+    */
+  private def matchMap(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val matches = words
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("pos"),
+        explode(sequence(lit(2), lit(maxPieceLen))).as("l"))
+      .withColumn("piece", col("w").substr(col("pos"), col("l")))
+      .filter(length(col("piece")) === col("l"))
+      .join(broadcast(vocab.select(col("piece"))), Seq("piece"))
+      .groupBy(col("w"), col("pos")).agg(max(col("l")).as("mlen"))
+    matches.groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("mlen")))).as("m"))
+  }
+
   /** Greedy longest-match token count per distinct word. Two stages:
     * (1) per (word, position), the longest vocab piece starting there —
     * a broadcast join against the bounded vocab, aggregated to a
@@ -69,16 +87,7 @@ object Unigram {
     * whole-stage codegen, no UDF.
     */
   def encodeVocab(words: DataFrame, vocab: DataFrame): DataFrame = {
-    val matches = words
-      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("pos"))
-      .select(col("w"), col("pos"),
-        explode(sequence(lit(2), lit(maxPieceLen))).as("l"))
-      .withColumn("piece", col("w").substr(col("pos"), col("l")))
-      .filter(length(col("piece")) === col("l"))
-      .join(broadcast(vocab.select(col("piece"))), Seq("piece"))
-      .groupBy(col("w"), col("pos")).agg(max(col("l")).as("mlen"))
-    val marr = matches.groupBy(col("w"))
-      .agg(map_from_entries(collect_list(struct(col("pos"), col("mlen")))).as("m"))
+    val marr = matchMap(words, vocab)
     words.join(marr, Seq("w"), "left")
       .withColumn("n_tokens_w",
         aggregate(sequence(lit(1), length(col("w"))),
@@ -92,12 +101,63 @@ object Unigram {
       .select(col("w"), col("n_tokens_w"))
   }
 
+  /** The pieces the greedy scan actually CONSUMES, one row per consumed
+    * multi-char step per distinct word — the E-step observation of the
+    * hard-EM trainer. Same fold as `encodeVocab`, but the accumulator
+    * collects the match positions instead of counting them; the consumed
+    * piece is re-derived from (position, map) after the explode, so the
+    * fold state stays a flat int array.
+    */
+  def consumedPieces(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val marr = matchMap(words, vocab)
+    words.join(marr, Seq("w"), "left")
+      .withColumn("ps",
+        aggregate(sequence(lit(1), length(col("w"))),
+          struct(lit(1).as("pos"), array().cast("array<int>").as("ps")),
+          (acc, x) => when(x === acc.getField("pos"),
+              struct((acc.getField("pos") +
+                  coalesce(element_at(col("m"), x), lit(1))).as("pos"),
+                concat(acc.getField("ps"), array(x)).as("ps")))
+            .otherwise(acc),
+          acc => acc.getField("ps")))
+      .select(col("w"), col("m"), explode(col("ps")).as("cpos"))
+      .withColumn("ml", coalesce(element_at(col("m"), col("cpos")), lit(1)))
+      .filter(col("ml") >= 2)
+      .select(col("w"), col("w").substr(col("cpos"), col("ml")).as("piece"))
+  }
+
+  /** Hard-EM vocabulary refinement (the SentencePiece prune idea with
+    * the EM hardened to the greedy segmenter, so every quantity is an
+    * integer and the whole trainer sits under the hash gate):
+    * seed with the `k0` most frequent candidate pieces, segment the
+    * corpus under them (E-step), count how often each piece is actually
+    * CONSUMED weighted by word frequency, and keep the `k` most used
+    * (M-step; usage desc, piece asc — a total order). Long candidates
+    * cannibalize their substrings' raw counts but only earn usage when
+    * the scan truly picks them — the refined vocabulary differs from the
+    * count-top-k one exactly where raw frequency overstates utility.
+    */
+  def hardEmVocab(docs: DataFrame, k0: Int, k: Int): DataFrame = {
+    val wf = Bpe.wordFreq(docs)
+    val cand = pieceVocab(docs, k0)
+    consumedPieces(wf.select(col("w")), cand)
+      .join(wf, Seq("w"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("usage"))
+      .orderBy(col("usage").desc, col("piece")).limit(k)
+  }
+
   /** Per-doc token counts + fertility (tokens per 1000 words) under the
     * top-k piece vocabulary — bpe4's exact output schema, so the two
     * tokenizer families compare row for row.
     */
-  def encodeFertility(docs: DataFrame, k: Int): DataFrame = {
-    val vocab = pieceVocab(docs, k)
+  def encodeFertility(docs: DataFrame, k: Int): DataFrame =
+    fertilityUnder(docs, pieceVocab(docs, k))
+
+  /** `encodeFertility` under the hard-EM-refined vocabulary. */
+  def hardEmFertility(docs: DataFrame, k0: Int, k: Int): DataFrame =
+    fertilityUnder(docs, hardEmVocab(docs, k0, k))
+
+  private def fertilityUnder(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val words = Par.fan(docs)
       .select(col("doc_id"),
         explode(split(TextDedup.normalizeText(col("text")), " ")).as("w"))

@@ -1778,14 +1778,16 @@ object PipelineQueries {
     // The PQ legs of the distributed-build fold, registered so
     // `VectorIndexStore.merge`'s flavor-agnostic PQ/IVFPQ paths sit
     // under PLANS/BENCH like every other index face (ann8 gates the IVF
-    // leg on ann3's oracle). Rows-only by necessity — Lloyd-trained
-    // codebooks are float-iterative (the ann4/ann5 adjudication) — but
-    // NOT spec-free: merged == unsharded is pinned bit-for-bit in
-    // PipelineOpsSpec ("PQ/IVFPQ merged shards..."), the strongest
-    // statement available for a float index. Codebooks train ONCE over
-    // the shard union (seeded by lowest vec_ids → identical to the
-    // unsharded train), shards encode as pure projections, merge
-    // verifies artifact equality before folding.
+    // leg on ann3's oracle). HASH-GREEN since round 12, on ann4/ann5's
+    // own oracles: once the PQ family graduated via the exact-arithmetic
+    // protocol (rounded-argmin Lloyd + decimal means is layout-free —
+    // training on the shard UNION equals training on the unsharded
+    // corpus, and frozen-artifact encode is a pure projection), the
+    // merged serve answers bit-for-bit like the unsharded serve
+    // (PipelineOpsSpec "PQ/IVFPQ merged shards..." pins the artifact
+    // equality), so the d30/ann8 shared-oracle pattern applies: the
+    // strongest available statement that the distributed build changes
+    // NOTHING about query semantics.
     "ann9_merged_pq_topk" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -1795,7 +1797,8 @@ object PipelineQueries {
         graft.operators.VectorIndexStore.pqTopK(s, idx, emb.filter(col("vec_id") < 5), k = 3)
           .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       },
-      None,
+      Some(pqOracle(k = 3, refine = 32, sampleSize = 10000, iters = 8,
+        m = 8, subDim = 8, kSub = 16)),
       "PQ top-k served from a two-shard merged index — frozen codebooks, fold == unsharded"),
 
     "ann10_merged_ivfpq_topk" -> Q(
@@ -1807,7 +1810,9 @@ object PipelineQueries {
         graft.operators.VectorIndexStore.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), k = 3)
           .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       },
-      None,
+      Some(ivfPqOracle(k = 3, refine = 32, nprobe = 4, kClusters = 16,
+        coarseIters = 5, sampleSize = 10000, resIters = 8,
+        m = 8, subDim = 8, kSub = 16)),
       "IVFPQ top-k served from a two-shard merged index — both artifacts frozen centrally"),
 
     // ann4 — GRADUATED from rows-only to hash-green: the cl1 exact-
@@ -2211,6 +2216,75 @@ object PipelineQueries {
         FROM dw d JOIN nt t ON t.w = d.w
         GROUP BY 1 ORDER BY doc_id"""),
       "unigram-family greedy longest-match encode + per-doc fertility (top-200 piece vocab)"),
+
+    // Unigram-family TRAINING face — hard-EM vocabulary refinement (the
+    // SentencePiece prune step with the EM hardened to the greedy
+    // segmenter, so the whole trainer is integer arithmetic under the
+    // hash gate, not a float-iterative no_oracle): seed with the top-400
+    // candidate pieces by raw count, SEGMENT the corpus under them
+    // (E-step — the same greedy walk as tok1, with the fold collecting
+    // consumed positions), count actual consumption weighted by word
+    // frequency, keep the top-200 by usage (M-step), and encode under
+    // the refined vocabulary. Long candidates cannibalize their
+    // substrings' raw counts but only earn usage when the scan truly
+    // picks them — the refined vocab differs from tok1's exactly where
+    // raw frequency overstates utility (TokenizerSpec pins fertility ≤
+    // tok1's on this corpus). The oracle replays candidate selection,
+    // BOTH walks, and the usage re-rank bit for bit (two recursive CTEs).
+    "tok2_unigram_hardem" -> Q(
+      (s, d) => graft.operators.Unigram
+        .hardEmFertility(Tables.documents(s, d), 400, 200)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE dw AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(string_split($normSql, ' ')) AS w FROM documents)
+          WHERE length(w) >= 1),
+        wf AS (SELECT w, COUNT(*) AS freq FROM dw WHERE length(w) >= 2 GROUP BY w),
+        pc AS (SELECT piece, SUM(freq) AS n FROM (
+            SELECT substring(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, freq
+            FROM wf, UNNEST(range(1, length(w) + 1)) AS t(i),
+              UNNEST(range(2, 5)) AS u(l)
+            WHERE length(substring(w, CAST(i AS INTEGER), CAST(l AS INTEGER))) = CAST(l AS INTEGER))
+          GROUP BY piece),
+        cand AS (SELECT piece FROM pc ORDER BY n DESC, piece LIMIT 400),
+        m0 AS (SELECT c.w, c.pos, MAX(c.l) AS mlen FROM (
+            SELECT wo.w, CAST(i AS INTEGER) AS pos, CAST(l AS INTEGER) AS l,
+              substring(wo.w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+            FROM wf wo, UNNEST(range(1, length(wo.w) + 1)) AS t(i),
+              UNNEST(range(2, 5)) AS u(l)) c
+          JOIN cand v ON v.piece = c.piece
+          WHERE length(c.piece) = c.l
+          GROUP BY c.w, c.pos),
+        walk0(w, len, pos, cpos, ml) AS (
+          SELECT w, CAST(length(w) AS INTEGER), 1, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM wf
+          UNION ALL
+          SELECT t.w, t.len, t.pos + COALESCE(m0.mlen, 1), t.pos, COALESCE(m0.mlen, 1)
+          FROM walk0 t LEFT JOIN m0 ON m0.w = t.w AND m0.pos = t.pos
+          WHERE t.pos <= t.len),
+        use_n AS (SELECT substring(c.w, c.cpos, c.ml) AS piece, SUM(f.freq) AS u_n
+          FROM walk0 c JOIN wf f ON f.w = c.w
+          WHERE c.ml >= 2 GROUP BY 1),
+        vocab AS (SELECT piece FROM use_n ORDER BY u_n DESC, piece LIMIT 200),
+        words AS (SELECT DISTINCT w FROM dw),
+        m AS (SELECT c.w, c.pos, MAX(c.l) AS mlen FROM (
+            SELECT wo.w, CAST(i AS INTEGER) AS pos, CAST(l AS INTEGER) AS l,
+              substring(wo.w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+            FROM words wo, UNNEST(range(1, length(wo.w) + 1)) AS t(i),
+              UNNEST(range(2, 5)) AS u(l)) c
+          JOIN vocab v ON v.piece = c.piece
+          WHERE length(c.piece) = c.l
+          GROUP BY c.w, c.pos),
+        tok(w, len, pos, cnt) AS (
+          SELECT w, CAST(length(w) AS INTEGER), 1, 0 FROM words
+          UNION ALL
+          SELECT t.w, t.len, t.pos + COALESCE(m.mlen, 1), t.cnt + 1
+          FROM tok t LEFT JOIN m ON m.w = t.w AND m.pos = t.pos
+          WHERE t.pos <= t.len),
+        nt AS (SELECT w, cnt AS n_tok FROM tok WHERE pos > len)
+        SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(t.n_tok) * 1000 // COUNT(*) AS BIGINT) AS fertility_permille
+        FROM dw d JOIN nt t ON t.w = d.w
+        GROUP BY 1 ORDER BY doc_id"""),
+      "unigram hard-EM trained vocab (usage-pruned top-400→200) + per-doc fertility"),
 
     // Per-label embedding centroids (the "domain centroid" a curation
     // pipeline scores documents against): element-wise mean via the a18

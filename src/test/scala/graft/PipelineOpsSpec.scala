@@ -1368,6 +1368,41 @@ class PipelineOpsSpec extends SparkTestBase {
       s"unigram should out-compress 6-merge BPE: uni=$uni bpe=$bpe")
   }
 
+  test("unigram hard-EM: usage pruning beats raw counts, never hurts a doc") {
+    import graft.operators.Unigram
+    // hand-checked E-step observation: greedy on "abcab" under {ab, abc}
+    // consumes [abc]@1 then [ab]@4 — the fold must report exactly those
+    // two pieces (and nothing for a word with no match)
+    val vocab = Seq("ab", "abc").toDF("piece")
+    val consumed = Unigram.consumedPieces(
+        Seq("abcab", "zzzzz").toDF("w"), vocab)
+      .as[(String, String)].collect().toSet
+    assert(consumed == Set(("abcab", "abc"), ("abcab", "ab")), s"got $consumed")
+    // hand-checked M-step divergence: in a corpus of only "abc", the
+    // candidates ab/bc/abc tie on raw count (5 each), but the greedy scan
+    // always takes the longer abc — so usage keeps abc and DROPS ab/bc.
+    // Raw-count ranking could never make that call.
+    val docs5 = Seq.tabulate(5)(i => (i.toLong, "abc")).toDF("doc_id", "text")
+    val refined = Unigram.hardEmVocab(docs5, 10, 2)
+      .as[(String, Long)].collect().toMap
+    assert(refined == Map("abc" -> 5L), s"usage prune drifted: $refined")
+    // on the real corpus: the usage-refined vocab never tokenizes any doc
+    // WORSE than the raw-count vocab (greedy under a vocabulary the scan
+    // actually uses), and strictly improves the corpus total — the
+    // property the training face exists to deliver
+    val docs = Tables.documents(spark, sfTiny)
+    val base = Unigram.encodeFertility(docs, 200)
+      .select($"doc_id", $"n_tokens".as("base_tokens"))
+    val em = Unigram.hardEmFertility(docs, 400, 200)
+      .select($"doc_id", $"n_tokens".as("em_tokens"))
+    val both = base.join(em, Seq("doc_id"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.nonEmpty && both.forall { case (_, b, e) => e <= b },
+      "a doc tokenized worse under the refined vocab")
+    assert(both.map(_._3).sum < both.map(_._2).sum,
+      "hard-EM refinement should strictly improve the corpus total")
+  }
+
   test("bpe encode: in-memory, chunked-distributed and nested-expr paths agree") {
     import graft.operators.Bpe
     val docs = Tables.documents(spark, sfTiny)
