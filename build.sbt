@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream forked program output RAW (no "[info] " logger prefix): the
+// bench/verify mains print one machine-parseable JSON line that the
+// round driver reads from the captured tail — the logger prefix broke
+// that parse every round (BENCH_r*.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
