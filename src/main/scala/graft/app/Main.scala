@@ -158,6 +158,16 @@ import graft.marts.Views
   *                                           list (driver-bounded loop)
   *   bpe encode <docs> <mergesDir> <out>     per-doc token counts +
   *                                           fertility under stored merges
+  *   mart build <lineitem> <state> [--cutoff D]
+  *                                           persist Q1 decimal partials
+  *                                           through D (+ cutoff meta)
+  *   mart serve <lineitem> <state> <out> [--upper D]
+  *                                           state ⊕ delta slice == the
+  *                                           full recompute, bit for bit
+  *   mart advance <lineitem> <state> --to D  nightly commit: fold the
+  *                                           delta, move the cutoff
+  *   mart retract <state> <rows>             subtract a retracted slice's
+  *                                           partials (exact — abelian)
   *   monitor <events> <out> [--window N] [--min-n M] [--cusum]
   *                                           robust median/MAD anomaly flags
   *                                           per user over an event series;
@@ -178,7 +188,8 @@ object Main {
     * itself is testable (AppAndSinksSpec drives the real CLI surface
     * without tearing down the shared session).
     */
-  def route(spark: SparkSession, args: List[String]): Unit =
+  def route(spark: SparkSession, args: List[String]): Unit = {
+    import spark.implicits._
     args match {
       case "run" :: root :: rest => runElt(spark, root, opt(rest, "--source"), rest.contains("--test"))
       case "load" :: root :: csv :: rest => load(spark, root, csv, opt(rest, "--source").getOrElse("csv"))
@@ -221,6 +232,43 @@ object Main {
           .filter(store.exists)
         done.foreach(t => store.overwrite(t, store.read(t).coalesce(k)))
         println(s"[graft] split compact: ${done.mkString(", ")} rewritten to <= $k files each")
+      // ── incremental mart (TpchMart): the distributive-aggregate
+      //    deployment verbs — build state through a cutoff, serve
+      //    state ⊕ delta, commit the nightly advance, forget a
+      //    retracted slice (exact decimal subtraction). The cutoff
+      //    rides a 1-row q1_meta table so serve/advance need no flag.
+      case "mart" :: "build" :: li :: state :: rest =>
+        val cutoff = opt(rest, "--cutoff").getOrElse("1998-01-01")
+        val store = new ParquetTableStore(spark, state)
+        store.stage("q1_state", graft.marts.TpchMart.q1Partials(
+          spark.read.parquet(li)
+            .filter(col("l_shipdate") < lit(cutoff).cast("timestamp"))))
+        store.stage("q1_meta", Seq(cutoff).toDF("cutoff"))
+        store.commitStaged(Seq("q1_state", "q1_meta"))
+        println(s"[graft] mart build: q1 partials through $cutoff in $state")
+      case "mart" :: "serve" :: li :: state :: out :: rest =>
+        val store = new ParquetTableStore(spark, state)
+        val cutoff = store.read("q1_meta").head().getString(0)
+        val upper = opt(rest, "--upper").getOrElse("9999-12-31")
+        val delta = spark.read.parquet(li)
+          .filter(col("l_shipdate") >= lit(cutoff).cast("timestamp") &&
+            col("l_shipdate") <= lit(upper).cast("timestamp"))
+        graft.marts.TpchMart.renderQ1(graft.marts.TpchMart.foldPartials(
+            store.read("q1_state"), graft.marts.TpchMart.q1Partials(delta)))
+          .write.mode("overwrite").parquet(out)
+        println(s"[graft] mart serve: state($cutoff) + delta(..$upper) -> $out")
+      case "mart" :: "advance" :: li :: state :: rest =>
+        val store = new ParquetTableStore(spark, state)
+        val cutoff = store.read("q1_meta").head().getString(0)
+        val to = opt(rest, "--to").getOrElse(
+          sys.error("mart advance needs --to <new-cutoff>"))
+        graft.marts.TpchMart.advance(store, spark.read.parquet(li), cutoff, to)
+        store.overwrite("q1_meta", Seq(to).toDF("cutoff"))
+        println(s"[graft] mart advance: state moved $cutoff -> $to")
+      case "mart" :: "retract" :: state :: rows :: Nil =>
+        val store = new ParquetTableStore(spark, state)
+        graft.marts.TpchMart.retract(store, spark.read.parquet(rows))
+        println(s"[graft] mart retract: rows in $rows subtracted from $state")
       case "bpe" :: "train" :: docs :: out :: rest =>
         bpeTrain(spark, docs, out,
           opt(rest, "--merges").map(_.toInt).getOrElse(1000))
@@ -400,8 +448,9 @@ object Main {
           if (rest.contains("--mmr"))
             Some(opt(rest, "--page").map(_.toInt).getOrElse(5))
           else None)
-      case other => sys.error(s"usage: run|load|check|analyze|dedup[idx]|semdedup|decon|bpe|index|quality|search|curate|export|monitor ... (got $other)")
+      case other => sys.error(s"usage: run|load|check|analyze|dedup[idx]|semdedup|decon|bpe|mart|index|quality|search|curate|export|monitor ... (got $other)")
     }
+  }
 
   private def opt(rest: List[String], flag: String): Option[String] =
     rest.dropWhile(_ != flag).drop(1).headOption

@@ -111,4 +111,23 @@ object TpchMart {
     store.overwrite("q1_state",
       foldPartials(store.read("q1_state"), q1Partials(delta)))
   }
+
+  /** Takedown for the mart family: subtract the retracted rows' partials
+    * from the state — decimal negation is exact, so the retracted state
+    * equals a never-included rebuild BIT-FOR-BIT (the d33 doctrine, here
+    * by algebra rather than re-derivation: the partials form an abelian
+    * GROUP, not just a monoid, so forgetting is subtraction). Groups
+    * whose last row leaves drop out entirely (cnt = 0 filter) — exactly
+    * what a rebuild would show.
+    */
+  def retract(store: ParquetTableStore, retracted: DataFrame): Unit = {
+    val neg = q1Partials(retracted).select(
+      col("l_returnflag"), col("l_linestatus"),
+      (-col("qty_d")).cast(DecimalType(38, 4)).as("qty_d"),
+      (-col("base_d")).cast(DecimalType(38, 4)).as("base_d"),
+      (-col("disc_d")).cast(DecimalType(38, 8)).as("disc_d"),
+      (-col("cnt")).as("cnt"))
+    store.overwrite("q1_state",
+      foldPartials(store.read("q1_state"), neg).filter(col("cnt") > 0))
+  }
 }

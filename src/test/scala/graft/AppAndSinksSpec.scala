@@ -1101,4 +1101,42 @@ class AppAndSinksSpec extends SparkTestBase {
     val maxN = got.agg(max($"n")).head().getLong(0)
     assert(maxN <= events.select($"payload_hash").distinct().count())
   }
+
+  test("mart CLI: build/serve/advance/retract round-trip equals recompute") {
+    import graft.marts.TpchMart
+    val tmp = java.nio.file.Files.createTempDirectory("graft_martcli").toString
+    val li = Tables.lineitem(spark, sfTiny)
+    val liP = s"$tmp/li"; li.write.mode("overwrite").parquet(liP)
+    val state = s"$tmp/state"; val out = s"$tmp/served"
+
+    graft.app.Main.route(spark, List("mart", "build", liP, state, "--cutoff", "1998-01-01"))
+    graft.app.Main.route(spark, List("mart", "serve", liP, state, out, "--upper", "1998-09-02"))
+    val served = spark.read.parquet(out)
+      .orderBy($"l_returnflag", $"l_linestatus").collect().map(_.toString).toSeq
+    val full = SparkEntry.registry("q1_pricing_summary").fn(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    assert(served == full, "CLI serve drifted from the q1 recompute")
+
+    // advance moves the cutoff; the next serve reads a smaller delta but
+    // answers identically
+    graft.app.Main.route(spark, List("mart", "advance", liP, state, "--to", "1998-06-01"))
+    graft.app.Main.route(spark, List("mart", "serve", liP, state, out, "--upper", "1998-09-02"))
+    val served2 = spark.read.parquet(out)
+      .orderBy($"l_returnflag", $"l_linestatus").collect().map(_.toString).toSeq
+    assert(served2 == full, "post-advance serve drifted")
+
+    // retract a slice that lies INSIDE the advanced state; the bare state
+    // render equals the never-included rebuild through the new cutoff
+    val goneP = s"$tmp/gone"
+    val gone = li.filter($"l_shipdate" < lit("1998-06-01").cast("timestamp") &&
+      $"l_orderkey" % 10 === 3)
+    gone.write.mode("overwrite").parquet(goneP)
+    graft.app.Main.route(spark, List("mart", "retract", state, goneP))
+    val bare = TpchMart.renderQ1(new graft.etl.ParquetTableStore(spark, state)
+      .read("q1_state")).collect().map(_.toString).toSeq
+    val without = TpchMart.renderQ1(TpchMart.q1Partials(
+      li.filter($"l_shipdate" < lit("1998-06-01").cast("timestamp") &&
+        $"l_orderkey" % 10 =!= 3))).collect().map(_.toString).toSeq
+    assert(bare == without, "CLI retract differs from never-included build")
+  }
 }

@@ -308,6 +308,36 @@ class MediaStreamingSpec extends SparkTestBase {
     assert(eStream == eOne)
   }
 
+  test("q1 mart stream: waves fold to the one-shot partials; replay no-ops; retract == never-included") {
+    import graft.marts.TpchMart
+    val li = Tables.lineitem(spark, sfTiny)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q1s").toString
+    val store = new graft.etl.ParquetTableStore(spark, s"$tmp/state")
+    val dir = s"$tmp/arrivals"
+    li.filter($"l_orderkey" % 2 === 0).write.mode("append").parquet(dir)
+    Streams.q1MartStream(spark, dir, store, s"$tmp/ckpt").awaitTermination(120000)
+    li.filter($"l_orderkey" % 2 === 1).write.mode("append").parquet(dir)
+    Streams.q1MartStream(spark, dir, store, s"$tmp/ckpt").awaitTermination(120000)
+    // two waves == the one-shot partials, compared on the RENDERED view
+    // (the oracle contract: decimal folds are abelian, batching invisible)
+    def rendered() = TpchMart.renderQ1(store.read("q1_state"))
+      .collect().map(_.toString).toSeq
+    val one = TpchMart.renderQ1(TpchMart.q1Partials(li)).collect().map(_.toString).toSeq
+    assert(rendered() == one, "streamed mart drifted from the one-shot")
+    // full replay (fresh checkpoint, same files): the seen-guard shrinks
+    // every batch to empty — sums are not idempotent, bookkeeping is load-bearing
+    Streams.q1MartStream(spark, dir, store, s"$tmp/ckpt2").awaitTermination(120000)
+    assert(rendered() == one, "replayed wave double-counted")
+    // takedown: subtracting one order-key slice's partials equals the
+    // never-included rebuild bit-for-bit (abelian GROUP — forgetting is
+    // subtraction, not re-derivation)
+    val gone = li.filter($"l_orderkey" % 10 === 3)
+    TpchMart.retract(store, gone)
+    val without = TpchMart.renderQ1(TpchMart.q1Partials(
+      li.filter($"l_orderkey" % 10 =!= 3))).collect().map(_.toString).toSeq
+    assert(rendered() == without, "retracted state differs from never-included build")
+  }
+
   test("pca stream: waves fold to the one-shot model bit-for-bit; full replay is a no-op") {
     import graft.operators.Pca
     val emb = Tables.embeddings(spark, sfTiny)

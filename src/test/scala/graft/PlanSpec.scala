@@ -65,7 +65,8 @@ class PlanSpec extends SparkTestBase {
     // hash joins. CartesianProduct is banned everywhere.
     val scalarCross = Set("q11_important_parts", "q15_top_supplier", "q22_global_sales")
     val names = SparkEntry.registry.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted
-    assert(names.size == 22, s"expected the full 22-shape suite, got $names")
+    // 22 canonical shapes + the Q1 incremental-mart twin
+    assert(names.size == 23, s"expected the 22-shape suite + q1 mart, got $names")
     names.foreach { n =>
       val p = planOf(q(n))
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
