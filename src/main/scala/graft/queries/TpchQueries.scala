@@ -22,13 +22,20 @@ import graft.Tables
   * anti-joined exclusion under a distinct count (Q16), semi-join volume
   * threshold (Q20).
   *
-  * Scale doctrine (the point of the file): every dim join is an explicit
-  * `broadcast` at these SFs with AQE free to pick SMJ when a dim outgrows
-  * the threshold on a cluster; every fact-side aggregate is
-  * decimal-exact with map-side partial agg; correlated subqueries arrive
-  * DECORRELATED (the Q17 adjudication) — per-group aggregates computed
-  * once and joined back, never re-evaluated per probe row; scalar
-  * subqueries are 1-row broadcast cross joins, never collected.
+  * Scale doctrine (the point of the file): `broadcast` hints ONLY on
+  * frames whose cardinality does not grow with scale factor — nation
+  * (25), region (5), and 1-row scalar aggregates. customer/part/
+  * supplier GROW with SF, and Spark honors an explicit hint even when
+  * the build side no longer fits — at 100 TB a hard-coded
+  * broadcast(customer) is an OOM, so those joins are left to the
+  * optimizer: statistics pick broadcast at these SFs (the plans below
+  * are all-BHJ), AQE flips to sort-merge when a dim outgrows the
+  * threshold, and PlanSpec pins that the flip changes no answers.
+  * Every fact-side aggregate is decimal-exact with map-side partial
+  * agg; correlated subqueries arrive DECORRELATED (the Q17
+  * adjudication) — per-group aggregates computed once and joined back,
+  * never re-evaluated per probe row; scalar subqueries are 1-row
+  * broadcast cross joins, never collected.
   *
   * Oracle parity: money sums render via decStr (exact decimal strings —
   * scale-8 unscaled values exceed 2^53 at sf0.1, where double conversion
@@ -48,8 +55,9 @@ object TpchQueries {
     // The shipped-pairs dedup (distinct l_partkey × l_suppkey) is the
     // partsupp surrogate; the correlated MIN subquery is decorrelated
     // into one per-part aggregate joined back on equality — computed
-    // once, not per candidate row. part and the EUROPE supplier slice
-    // broadcast; the only fact-sized shuffle is the pair dedup itself.
+    // once, not per candidate row. The part slice and the EUROPE
+    // supplier slice broadcast by statistics at these SFs; the only
+    // fact-sized shuffle is the pair dedup itself.
     "q2_min_cost_supplier" -> Q(
       (s, d) => {
         val ps = Tables.lineitem(s, d)
@@ -62,8 +70,8 @@ object TpchQueries {
         val p = Tables.part(s, d).filter(col("p_size") === 15)
           .select(col("p_partkey"), col("p_name"))
         val cand = ps
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(supEu, col("l_suppkey") === col("s_suppkey"))
         val mn = cand.groupBy(col("p_partkey").as("mp"))
           .agg(min(col("s_acctbal")).as("min_bal"))
         cand.join(mn, col("p_partkey") === col("mp") && col("s_acctbal") === col("min_bal"))
@@ -155,8 +163,8 @@ object TpchQueries {
           .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
             col("l_extendedprice"), col("l_discount"))
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
             (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
           .groupBy(col("supp_nation"), col("cust_nation"),
@@ -207,10 +215,10 @@ object TpchQueries {
             col("l_extendedprice"), col("l_discount"))
         val rev = revenue(col("l_extendedprice"), col("l_discount"))
         val d186 = (c: Column) => dbl(c.cast(DecimalType(18, 6)))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(custEu), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .join(custEu, col("o_custkey") === col("c_custkey"))
+          .join(suppN, col("l_suppkey") === col("s_suppkey"))
           .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
           .agg(dec38(coalesce(sum(when(col("supp_nation") === "NATION_8", rev)), lit(0)), 8).as("num_d"),
             dec38(sum(rev), 8).as("den_d"),
@@ -260,9 +268,9 @@ object TpchQueries {
             col("l_quantity"), col("l_extendedprice"), col("l_discount"))
         val profit = revenue(col("l_extendedprice"), col("l_discount")) -
           dec(col("p_retailprice")) * dec(col("l_quantity"), 10, 4)
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .join(suppN, col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("n_name").as("nation"),
             year(col("o_orderdate")).cast(LongType).as("o_year"))
           .agg(decStr(dec38(sum(profit), 8)).as("sum_profit"), count(lit(1)).as("n_lines"))
@@ -295,7 +303,7 @@ object TpchQueries {
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
           .agg(dec38(sum(revenue(col("l_extendedprice"), col("l_discount"))), 8).as("rev_d"))
           .orderBy(col("rev_d").desc, col("c_custkey"))
@@ -334,8 +342,8 @@ object TpchQueries {
         val value = dec(col("l_quantity"), 10, 4) * dec(col("p_retailprice"))
         val vals = Tables.lineitem(s, d)
           .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(supN, col("l_suppkey") === col("s_suppkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
           .groupBy(col("l_partkey"))
           .agg(dec38(sum(value), 8).as("value_d"))
         val tot = vals.agg(dbl(dec(sum(col("value_d")), 18, 2)).as("total"))
@@ -428,7 +436,7 @@ object TpchQueries {
           .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
         val rev = revenue(col("l_extendedprice"), col("l_discount"))
         val d186 = (c: Column) => dbl(c.cast(DecimalType(18, 6)))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
           .agg(dec38(coalesce(sum(when(col("p_type") === "PROMO", rev)), lit(0)), 8).as("num_d"),
             dec38(sum(rev), 8).as("den_d"), count(lit(1)).as("n_lines"))
           .select(decStr(col("num_d")).as("promo_revenue"),
@@ -458,7 +466,7 @@ object TpchQueries {
           .agg(dec38(sum(revenue(col("l_extendedprice"), col("l_discount"))), 8).as("rev_d"))
         val mx = r.agg(max(col("rev_d")).as("mx"))
         r.crossJoin(broadcast(mx)).filter(col("rev_d") === col("mx"))
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"), decStr(col("rev_d")).as("total_revenue"))
           .orderBy(col("s_suppkey"))
       },
@@ -491,8 +499,8 @@ object TpchQueries {
           .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
             col("p_size").isin(1, 5, 9, 15, 21, 28, 36, 45))
           .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
-        ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        ps.join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(p, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"), col("p_type"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -517,7 +525,7 @@ object TpchQueries {
         val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
         val li = Tables.lineitem(s, d)
           .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
           .filter(
             (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
               col("l_quantity").between(1, 11)) ||
@@ -549,7 +557,7 @@ object TpchQueries {
           .select(col("p_partkey"))
         val shipped = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
           .groupBy(col("l_suppkey"), col("l_partkey"))
           .agg(dec38(sum(dec(col("l_quantity"), 10, 4))).as("qty"))
           .filter(col("qty") > 50)

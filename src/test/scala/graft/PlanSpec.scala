@@ -75,6 +75,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q8/q4: fact-fact joins degrade to sort-merge without broadcast — same answers") {
+    // the un-hinted joins (lineitem ⋈ orders, the q4 semi probe) pick
+    // broadcast at tiny SF via AQE; at cluster scale the same plan must
+    // flip to SMJ. Pin the flip AND result equality — the plan is an
+    // optimizer choice, never a correctness dependency.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def run(name: String) = SparkEntry.registry(name).fn(spark, sfTiny)
+    val base8 = run("q8_market_share").collect().map(_.toString).toSeq
+    val base4 = run("q4_order_priority").collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df8 = run("q8_market_share")
+      df8.collect() // materialize so AQE finalizes the plan
+      assert(df8.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "q8 fact-fact join did not degrade to SMJ")
+      assert(run("q8_market_share").collect().map(_.toString).toSeq == base8,
+        "q8 answers changed under SMJ")
+      assert(run("q4_order_priority").collect().map(_.toString).toSeq == base4,
+        "q4 answers changed under SMJ")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q6: all three predicates reach the parquet scan; 4-column read") {
     // the compact toString elides long PushedFilters lists — use the
     // formatted explain (what PLANS.md shows) for the full pushdown list.
