@@ -64,6 +64,9 @@ object Bench {
       // execution cost. A FAILED run must not contribute a (typically
       // fast) elapsed time — report NaN and skip the second run.
       var failed = false
+      // §1.5 of the optimization playbook: label jobs so the UI/event
+      // log attributes every job to its query (measurement aid only)
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val times = (1 to 2).flatMap { run =>
         if (failed) None
         else {
@@ -92,6 +95,7 @@ object Bench {
           }
         }
       }
+      spark.sparkContext.setJobDescription(null)
       name -> times
     }
     val mins = results.map { case (k, ts) =>

@@ -32,6 +32,16 @@ object GraftSession {
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE sizes post-shuffle partitions by BYTES; the dedup/verify
+      // stages carry CPU-dense rows (shingle/embedding arrays where one
+      // MB costs ~100× its scan time in intersects), so the default 1 MB
+      // coalesce floor folds them onto 1-2 cores (measured: 2-4.5 s
+      // single-task verify stages while 31 cores idle). Lower the floor
+      // so the max(totalBytes/parallelism, floor) rule keeps parallelism;
+      // at cluster scale totalBytes/parallelism ≫ any floor, so this only
+      // matters exactly where it should — small/CPU-dense shuffles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       // reference dict-comprehension semantics: later duplicate key wins

@@ -58,6 +58,66 @@ case class IntersectSize(left: Expression, right: Expression)
     if (probe.numElements() < build.numElements()) {
       val t = build; build = probe; probe = t
     }
+    // Per-element ArrayData.get(i, dataType) routes through
+    // PhysicalDataType.apply — a per-ELEMENT allocation + dispatch that
+    // profiling showed dominating the verify stage. Specialize the two
+    // element types the engine intersects (shingle strings, hash longs);
+    // anything else takes the generic path. Semantics are identical.
+    elemType match {
+      case StringType => evalString(build, probe)
+      case LongType   => evalLong(build, probe)
+      case _          => evalGeneric(build, probe)
+    }
+  }
+
+  private def evalString(build: ArrayData, probe: ArrayData): Int = {
+    val nb = build.numElements()
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      Math.max(8, nb * 2))
+    var buildHasNull = false
+    var i = 0
+    while (i < nb) {
+      if (build.isNullAt(i)) buildHasNull = true
+      else set.add(build.getUTF8String(i))
+      i += 1
+    }
+    var count = 0
+    var nullCounted = false
+    val np = probe.numElements()
+    i = 0
+    while (i < np) {
+      if (probe.isNullAt(i)) {
+        if (buildHasNull && !nullCounted) { count += 1; nullCounted = true }
+      } else if (set.remove(probe.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  private def evalLong(build: ArrayData, probe: ArrayData): Int = {
+    val nb = build.numElements()
+    val set = new java.util.HashSet[java.lang.Long](Math.max(8, nb * 2))
+    var buildHasNull = false
+    var i = 0
+    while (i < nb) {
+      if (build.isNullAt(i)) buildHasNull = true
+      else set.add(build.getLong(i))
+      i += 1
+    }
+    var count = 0
+    var nullCounted = false
+    val np = probe.numElements()
+    i = 0
+    while (i < np) {
+      if (probe.isNullAt(i)) {
+        if (buildHasNull && !nullCounted) { count += 1; nullCounted = true }
+      } else if (set.remove(probe.getLong(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  private def evalGeneric(build: ArrayData, probe: ArrayData): Int = {
     val set = new java.util.HashSet[Any](Math.max(8, build.numElements() * 2))
     var buildHasNull = false
     var i = 0

@@ -101,6 +101,38 @@ case class ShingleArray(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Position-level n-token windows of a text column, stride 1,
+  * MULTIPLICITY KEPT (unlike `ShingleArray`'s distinct set) →
+  * array<string>. Replaces the
+  * `transform(sequence(0, size(w)-n), i -> array_join(slice(w, i+1, n)))`
+  * formulation, which evaluates an interpreted Catalyst lambda plus a
+  * slice allocation per POSITION — this is one eval per document with a
+  * tight loop. Same output: split on single spaces keeping empties,
+  * windows joined with ' ', docs shorter than n tokens → empty array.
+  */
+case class SpanArray(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanArray =
+    copy(child = newChild)
+}
+
 /** 64-component MinHash signature over distinct word n-gram shingles →
   * array<long>. One narrow eval per doc — no explode, no shuffle.
   */
@@ -247,6 +279,8 @@ case class BBitAgree(left: Expression, right: Expression)
 object TextSketches {
   def shingleArray(text: Column, n: Int): Column =
     Bridge.column(ShingleArray(Bridge.expression(text), n))
+  def spanArray(text: Column, n: Int): Column =
+    Bridge.column(SpanArray(Bridge.expression(text), n))
   def minhashSig(text: Column, n: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(text), n))
   def simhash64(text: Column): Column =

@@ -57,6 +57,44 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** v ++ flatten(v vᵀ) — the d + d² moment vector one PCA/covariance pass
+  * posexplodes and decimal-sums. The nested-transform formulation
+  * (`flatten(transform(v, x => transform(v, y => x*y)))`) evaluates an
+  * interpreted lambda per CELL (d² per row, with d inner array
+  * allocations); this is one eval per row with a tight double loop.
+  * Entry order (v first, then row-major outer) and the x*y IEEE products
+  * are identical, so the downstream exact-decimal sums are unchanged.
+  */
+case class SelfOuterWithVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) { x(i) = v.getDouble(i); i += 1 }
+    val out = new Array[Double](d + d * d)
+    System.arraycopy(x, 0, out, 0, d)
+    var k = d
+    i = 0
+    while (i < d) {
+      val xi = x(i)
+      var j = 0
+      while (j < d) { out(k) = xi * x(j); j += 1; k += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SelfOuterWithVec =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.functions.col
   import org.apache.spark.sql.types.ArrayType
@@ -66,6 +104,11 @@ object VectorFunctions {
     Bridge.column(DotProduct(
       Bridge.expression(a.cast(ArrayType(DoubleType))),
       Bridge.expression(b.cast(ArrayType(DoubleType)))))
+
+  /** v ++ flatten(v vᵀ) in one per-row eval (input cast to array<double>). */
+  def selfOuterWithVec(v: Column): Column =
+    Bridge.column(SelfOuterWithVec(
+      Bridge.expression(v.cast(ArrayType(DoubleType)))))
 
   /** Element-wise vector-sum aggregate over array<double> (inputs cast).
     * Map-side partial aggregation reduces each partition to ONE buffer per

@@ -150,11 +150,17 @@ object DedupIndexStore {
     */
   private def prefixFrozen(sh: DataFrame, frozenFreq: DataFrame, t: Double): DataFrame = {
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df0"), col("s"))
-    val wSize = Window.partitionBy(col("doc_id"))
-    sh.join(frozenFreq, Seq("s"), "left")
+    // serve paths hand in SIZED shingle rows (sz carried from the array
+    // at explode time); build/refreeze read staged (doc_id, s) postings
+    // and pay the unordered-count window once per (re)build — never per
+    // serve. The sz values are identical (distinct-shingle array size ==
+    // per-doc row count), so prefixes and the sizeOk filter match.
+    val sized =
+      if (sh.columns.contains("sz")) sh
+      else sh.withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    sized.join(frozenFreq, Seq("s"), "left")
       .withColumn("df0", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(wRank))
-      .withColumn("sz", count(lit(1)).over(wSize))
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
       .select(col("doc_id"), col("s"), col("sz"))
   }
@@ -367,11 +373,11 @@ object DedupIndexStore {
     val fresh = incoming.join(
       readB(store, "sets").select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // pin the guard's verdict before tables move
-    val sh = TextDedup.shingleRows(fresh, n)
+    val sh = TextDedup.shingleRowsSized(fresh, n)
     val freq = readB(store, "freq")
     def appB(name: String, df: DataFrame): Unit =
       store.appendBucketed(name, df, bucketCols(name), nBuckets)
-    appB("postings", sh)
+    appB("postings", sh.select(col("doc_id"), col("s")))
     appB("prefix_jac", prefixFrozen(sh, freq, tJac))
     appB("prefix_cont", prefixFrozen(sh, freq, tCont))
     appB("sets", shingleSets(fresh, n))
@@ -391,7 +397,7 @@ object DedupIndexStore {
     // re-running the batch's upstream plan
     val inc = incoming.localCheckpoint(true)
     val prune = smallBatch(store, inc.count())
-    val shNew = TextDedup.shingleRows(inc, n)
+    val shNew = TextDedup.shingleRowsSized(inc, n)
     val pNew = prefixFrozen(shNew, readB(store, "freq"), minJaccard)
     val a = pNew.as("a")
     // PPJoin length filter: J(A,B) ≥ t forces |A∩B| ≥ t·|A∪B|, and with
@@ -425,7 +431,7 @@ object DedupIndexStore {
     requireParams(store, n, minContainment, contSide = true)
     val inc = incoming.localCheckpoint(true)
     val prune = smallBatch(store, inc.count())
-    val shNew = TextDedup.shingleRows(inc, n)
+    val shNew = TextDedup.shingleRowsSized(inc, n)
     val pNew = prefixFrozen(shNew, readB(store, "freq"), minContainment)
     // (no pair-level length filter here: containment only bounds the
     // container from BELOW — |B| ≥ t·|A| — and the posting side carries

@@ -64,8 +64,10 @@ object Pca {
   def stats(df: DataFrame, vecCol: String): PcaStats = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val d = df.select(size(v).as("d")).head().getInt(0)
-    val outer = flatten(transform(v, x => transform(v, y => x * y)))
-    val rows = df.select(posexplode(concat(v, outer)))
+    // one native eval per row (graft.functions.SelfOuterWithVec) — the
+    // nested-transform outer product ran an interpreted lambda per CELL
+    val rows = df.select(posexplode(
+        graft.functions.VectorFunctions.selfOuterWithVec(v)))
       .groupBy(col("pos"))
       .agg(sum(col("col").cast(DecimalType(18, 6))).as("sum6"),
         count(lit(1)).as("n"))

@@ -42,6 +42,19 @@ object TextDedup {
   def shingleRows(docs: DataFrame, n: Int): DataFrame =
     Par.fan(docs).select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
 
+  /** `shingleRows` + the per-doc set size attached at EXPLODE time
+    * (doc_id, s, sz). sz == size of the distinct-shingle array == what a
+    * count() window over the exploded rows would compute — carrying it
+    * from the array removes a corpus-sized Sort+Window pass from every
+    * prefix projection (the unordered count window planned as its own
+    * WindowExec + sort next to the row_number one). The two-step select
+    * keeps the shingle array evaluated ONCE (CollapseProject refuses to
+    * inline a non-cheap alias referenced by both size() and explode()).
+    */
+  def shingleRowsSized(docs: DataFrame, n: Int): DataFrame =
+    Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).cast(LongType).as("sz"))
+
   /** Exact n-gram Jaccard near-dup pairs with similarity ≥ minJaccard.
     * Output jac_micro = floor(1e6 · |A∩B| / |A∪B|) as BIGINT — integer
     * micro-units so the oracle compare never hits a float-tie: both engines
@@ -49,7 +62,10 @@ object TextDedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     val sh = shingleRows(docs, n)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // |shingles| from the array — narrow, no explode+shuffle+agg; inner
+    // joins below only see docs with ≥1 shingle, so output is equal
+    val cnt = Par.fan(docs).select(col("doc_id"),
+      size(shingles(col("text"), n)).cast(LongType).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -96,10 +112,15 @@ object TextDedup {
     // iteration (exponential — OOMs the driver around round 10). Eager
     // checkpointing materializes each round's labels and restarts the
     // lineage, the standard shape for iterative graph algorithms.
+    // pre-partition by v: every round's neighborhood join keys edges on
+    // v, so materializing them v-partitioned once removes a full edge
+    // shuffle from EVERY round (localCheckpoint preserves the physical
+    // partitioning; only the round's label table still moves)
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
+      .repartition(col("v"))
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -235,22 +256,27 @@ object TextDedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(
-          xxhash64(least(col("u"), col("v")), greatest(col("u"), col("v")))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // the (count, xor-of-hashes) convergence checksum rides the SAME job
+    // that materializes each round's edge set via observe() — the old
+    // formulation ran a second agg job per round, pure fixed cost at any
+    // scale (the min-label loop's n_changed observation, applied here)
+    def checkpointWithChecksum(e: DataFrame, tag: String): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation(tag)
+      val out = e.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(bit_xor(
+            xxhash64(least(col("u"), col("v")), greatest(col("u"), col("v")))), lit(0L)).as("x"))
+        .localCheckpoint(true)
+      (out, (obs.get("n").asInstanceOf[Long], obs.get("x").asInstanceOf[Long]))
     }
-    var edges = pairs
+    var (edges, prev) = checkpointWithChecksum(pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
-    var prev = checksum(edges)
+      .filter(col("u") =!= col("v")).distinct(), "star_init")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      val cur = checksum(edges)
+      val (next, cur) = checkpointWithChecksum(smallStar(largeStar(edges)), s"star_$i")
+      edges = next
       converged = cur == prev
       prev = cur
       i += 1
@@ -288,13 +314,11 @@ object TextDedup {
     * its window count; sum of k per g = the corpus-wide span count.
     */
   def spanPostings(docs: DataFrame, n: Int): DataFrame = {
-    val w = split(normalizeText(col("text")), " ")
+    // native one-eval-per-doc window expression — the transform/slice/
+    // array_join lambda formulation evaluated interpreted per POSITION
     Par.fan(docs)
-      .select(col("doc_id"), w.as("w"))
-      .where(size(col("w")) >= n) // sequence(0, size-n) flips direction if negative
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
-        .as("g"))
+      .select(col("doc_id"),
+        explode(TextSketches.spanArray(normalizeText(col("text")), n)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("k"))
   }
 
@@ -367,9 +391,9 @@ object TextDedup {
     val toks = Par.fan(docs).select(col("doc_id"), w.as("w"))
     val tokRows = toks.select(col("doc_id"), posexplode(col("w")))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
-    val wins = toks.where(size(col("w")) >= n)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))")))
+    val wins = Par.fan(docs)
+      .select(col("doc_id"),
+        posexplode(TextSketches.spanArray(normalizeText(col("text")), n)))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("g"))
     val dupG = wins.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select(col("g"))
@@ -528,7 +552,7 @@ object TextDedup {
     * (narrow array_intersect) makes the output relational.
     */
   def containmentPairs(docs: DataFrame, n: Int, minContainment: Double): DataFrame = {
-    val sh = shingleRows(docs, n)
+    val sh = shingleRowsSized(docs, n)
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = dfPrefixRows(sh, freq, minContainment)
     val cands = prefix.as("a").join(sh.as("b"),
@@ -591,8 +615,8 @@ object TextDedup {
     */
   def containmentPairsIncremental(existing: DataFrame, incoming: DataFrame,
       n: Int, minContainment: Double): DataFrame = {
-    val shNew = shingleRows(incoming, n)
-    val shOld = shingleRows(existing, n)
+    val shNew = shingleRowsSized(incoming, n)
+    val shOld = shingleRowsSized(existing, n)
     val freq = shNew.unionByName(shOld)
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val pNew = dfPrefixRows(shNew, freq, minContainment)
@@ -616,8 +640,13 @@ object TextDedup {
     * decision is one aggregation over the containment pairs.
     */
   def containmentKeep(docs: DataFrame, n: Int, minContainment: Double): DataFrame = {
-    val sizes = shingleRows(docs, n).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"))
+    // |shingles(doc)| read off the array — a narrow projection; the
+    // explode + groupBy count it replaces shuffled every shingle row
+    // just to recover the array length. (Zero-shingle docs gain an
+    // n_sh=0 row the old agg dropped; both joins below are inner on
+    // pair endpoints, which always have shingles, so output is equal.)
+    val sizes = Par.fan(docs).select(col("doc_id"),
+      size(shingles(col("text"), n)).cast(LongType).as("n_sh"))
     val pairs = containmentPairs(docs, n, minContainment)
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"),
         Seq("id_a"))
@@ -653,8 +682,9 @@ object TextDedup {
   def containmentKeepIncremental(prevDecisions: DataFrame, existing: DataFrame,
       incoming: DataFrame, n: Int, minContainment: Double): DataFrame = {
     val union = existing.unionByName(incoming)
-    val sizes = shingleRows(union, n).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"))
+    // narrow |shingles| projection — see containmentKeep
+    val sizes = Par.fan(union).select(col("doc_id"),
+      size(shingles(col("text"), n)).cast(LongType).as("n_sh"))
     val prev = prevDecisions
     val delta = containmentPairsIncremental(existing, incoming, n, minContainment)
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"),
@@ -734,7 +764,7 @@ object TextDedup {
     // + row-format blocks cost more than re-running the codegen'd
     // explode (4.2 s vs 2.7 s at sf0.1). Revisit only if the shingle
     // pass itself becomes the bottleneck at scale.
-    val sh = shingleRows(docs, n)
+    val sh = shingleRowsSized(docs, n)
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = dfPrefixRows(sh, freq, minJaccard)
     val a = prefix.as("a"); val b = prefix.as("b")
@@ -747,16 +777,16 @@ object TextDedup {
 
   /** Rarest-first prefix rows under a given document-frequency order:
     * rank each doc's shingles by (df asc, shingle), keep the first
-    * |s| − ⌈t·|s|⌉ + 1 — the doc-sized window + one join against the
-    * frequency table.
+    * |s| − ⌈t·|s|⌉ + 1 — one doc-sized window + one join against the
+    * frequency table. Input must be SIZED shingle rows
+    * (`shingleRowsSized`): the per-doc set size rides along from the
+    * array instead of a second (unordered-count) window pass.
     */
   private def dfPrefixRows(sh: DataFrame, freq: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val wSize = Window.partitionBy(col("doc_id"))
     sh.join(freq, Seq("s"))
       .withColumn("rn", row_number().over(wRank))
-      .withColumn("sz", count(lit(1)).over(wSize))
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
       .select(col("doc_id"), col("s"))
   }
@@ -780,8 +810,8 @@ object TextDedup {
     */
   def prefixFilterPairsIncremental(existing: DataFrame, incoming: DataFrame,
       n: Int, minJaccard: Double): DataFrame = {
-    val shNew = shingleRows(incoming, n)
-    val shOld = shingleRows(existing, n)
+    val shNew = shingleRowsSized(incoming, n)
+    val shOld = shingleRowsSized(existing, n)
     val freq = shNew.unionByName(shOld)
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val pNew = dfPrefixRows(shNew, freq, minJaccard)
@@ -883,8 +913,8 @@ object TextDedup {
     */
   def incrementalClusters(existing: DataFrame, incoming: DataFrame,
       n: Int, minJaccard: Double): DataFrame = {
-    val shNew = shingleRows(incoming, n)
-    val shOld = shingleRows(existing, n)
+    val shNew = shingleRowsSized(incoming, n)
+    val shOld = shingleRowsSized(existing, n)
     val freq = shNew.unionByName(shOld)
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val pNew = dfPrefixRows(shNew, freq, minJaccard)
