@@ -40,8 +40,13 @@ object GraftSession {
       // so the max(totalBytes/parallelism, floor) rule keeps parallelism;
       // at cluster scale totalBytes/parallelism ≫ any floor, so this only
       // matters exactly where it should — small/CPU-dense shuffles.
+      // 128k, not lower: an A/B at 64k clawed back ~1s on each iterative
+      // many-stage query (pagerank rounds, drift windows) whose per-round
+      // shuffles are byte-tiny AND cpu-cheap — there AQE's byte model is
+      // right and over-splitting just multiplies task overhead. 128k keeps
+      // ~95% of the verify-stage win at half the iteration tax.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "128k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       // reference dict-comprehension semantics: later duplicate key wins

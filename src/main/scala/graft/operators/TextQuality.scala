@@ -305,7 +305,11 @@ object TextQuality {
   def nbScoreWith(model: NbModel, batch: DataFrame): DataFrame = {
     val occ = Par.fan(batch)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val docLen = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    // |tokens| read off the split array — narrow, no explode+shuffle+agg;
+    // identical to the per-doc occurrence count (split keeps empties, so
+    // even an empty text yields 1 both ways)
+    val docLen = Par.fan(batch).select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
     val total = model.classStats.agg(sum(col("n_docs_c")).as("n_docs"))
     val consts = model.classStats.crossJoin(total).crossJoin(model.vocab)
       .select(col("label"),
