@@ -70,15 +70,38 @@ case class IntersectSize(left: Expression, right: Expression)
     }
   }
 
+  // Open-addressing index tables over a per-thread reusable scratch
+  // buffer (IntersectSize.scratch): the java.util.HashSet formulation
+  // allocated a hash node per build element per ROW — across ~10⁵
+  // verify pairs × ~200 shingles × 32 concurrent tasks that allocation
+  // rate was the verify stage's GC bill (guide §5). The table stores
+  // INDICES into the build array (-1 empty, -2 tombstone); equality is
+  // re-checked against the build array on every hit, so the semantics
+  // stay exact (distinct-element count, not hash-collision-approximate).
+  // Tombstones only appear during the probe sweep (the "remove" that
+  // dedupes repeated probe elements), and lookups walk past them, so
+  // probe chains stay intact.
+
   private def evalString(build: ArrayData, probe: ArrayData): Int = {
     val nb = build.numElements()
-    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
-      Math.max(8, nb * 2))
+    val s = IntersectSize.scratch.get()
+    val mask = s.acquire(nb)
+    val table = s.table
     var buildHasNull = false
     var i = 0
     while (i < nb) {
       if (build.isNullAt(i)) buildHasNull = true
-      else set.add(build.getUTF8String(i))
+      else {
+        val e = build.getUTF8String(i)
+        var slot = e.hashCode() & mask
+        var done = false
+        while (!done) {
+          val idx = table(slot)
+          if (idx == -1) { table(slot) = i; done = true }
+          else if (build.getUTF8String(idx).equals(e)) done = true // dup
+          else slot = (slot + 1) & mask
+        }
+      }
       i += 1
     }
     var count = 0
@@ -88,7 +111,18 @@ case class IntersectSize(left: Expression, right: Expression)
     while (i < np) {
       if (probe.isNullAt(i)) {
         if (buildHasNull && !nullCounted) { count += 1; nullCounted = true }
-      } else if (set.remove(probe.getUTF8String(i))) count += 1
+      } else {
+        val e = probe.getUTF8String(i)
+        var slot = e.hashCode() & mask
+        var done = false
+        while (!done) {
+          val idx = table(slot)
+          if (idx == -1) done = true
+          else if (idx >= 0 && build.getUTF8String(idx).equals(e)) {
+            count += 1; table(slot) = -2; done = true
+          } else slot = (slot + 1) & mask
+        }
+      }
       i += 1
     }
     count
@@ -96,12 +130,24 @@ case class IntersectSize(left: Expression, right: Expression)
 
   private def evalLong(build: ArrayData, probe: ArrayData): Int = {
     val nb = build.numElements()
-    val set = new java.util.HashSet[java.lang.Long](Math.max(8, nb * 2))
+    val s = IntersectSize.scratch.get()
+    val mask = s.acquire(nb)
+    val table = s.table
     var buildHasNull = false
     var i = 0
     while (i < nb) {
       if (build.isNullAt(i)) buildHasNull = true
-      else set.add(build.getLong(i))
+      else {
+        val v = build.getLong(i)
+        var slot = IntersectSize.mixLong(v) & mask
+        var done = false
+        while (!done) {
+          val idx = table(slot)
+          if (idx == -1) { table(slot) = i; done = true }
+          else if (build.getLong(idx) == v) done = true // dup
+          else slot = (slot + 1) & mask
+        }
+      }
       i += 1
     }
     var count = 0
@@ -111,7 +157,18 @@ case class IntersectSize(left: Expression, right: Expression)
     while (i < np) {
       if (probe.isNullAt(i)) {
         if (buildHasNull && !nullCounted) { count += 1; nullCounted = true }
-      } else if (set.remove(probe.getLong(i))) count += 1
+      } else {
+        val v = probe.getLong(i)
+        var slot = IntersectSize.mixLong(v) & mask
+        var done = false
+        while (!done) {
+          val idx = table(slot)
+          if (idx == -1) done = true
+          else if (idx >= 0 && build.getLong(idx) == v) {
+            count += 1; table(slot) = -2; done = true
+          } else slot = (slot + 1) & mask
+        }
+      }
       i += 1
     }
     count
@@ -141,6 +198,42 @@ case class IntersectSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectSize =
     copy(left = newLeft, right = newRight)
+}
+
+object IntersectSize {
+  /** Per-thread reusable open-addressing scratch. One instance per task
+    * thread; grows monotonically (next power of two ≥ 2× the build-side
+    * cardinality, min 16) and is re-zeroed per row over just the slots in
+    * use — zero steady-state allocation in the verify hot path. Safe to
+    * share across expression instances on a thread: eval is not reentrant
+    * (both operand arrays are fully materialized before nullSafeEval
+    * runs, and nothing inside the loops evaluates another expression).
+    */
+  private[functions] final class Scratch {
+    var table: Array[Int] = new Array[Int](16)
+    private var cap: Int = 16
+    /** Clear ≥ max(16, 2n) power-of-two slots; return the slot mask. */
+    def acquire(n: Int): Int = {
+      var need = 16
+      while (need < n * 2) need <<= 1
+      if (need > cap) { cap = need; table = new Array[Int](cap) }
+      java.util.Arrays.fill(table, 0, cap, -1)
+      cap - 1
+    }
+  }
+
+  private[functions] val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** Finalizing mix for long keys (splitmix-style) — ArrayData longs are
+    * often sequential hashes; a raw modulo would cluster.
+    */
+  @inline private[functions] def mixLong(v: Long): Int = {
+    var h = v * -7046029254386353131L
+    h ^= (h >>> 32)
+    h.toInt
+  }
 }
 
 /** Optimizer rule: `size(array_intersect(a, b))` → `intersect_size(a, b)`

@@ -155,6 +155,14 @@ object DedupIndexStore {
     // and pay the unordered-count window once per (re)build — never per
     // serve. The sz values are identical (distinct-shingle array size ==
     // per-doc row count), so prefixes and the sizeOk filter match.
+    // CONTRACT (dispatch is on the column's presence): an `sz` column, if
+    // present, MUST be the per-doc distinct-shingle count, i.e. the frame
+    // came from TextDedup.shingleRowsSized or this store's own tables —
+    // an unrelated `sz` would silently shrink/grow every prefix. Enforced
+    // shape-wise here; callers are package-local and spec-pinned
+    // (DedupIndexSpec serve == from-scratch equalities would catch drift).
+    require(sh.columns.count(_ == "sz") <= 1,
+      "prefixFrozen: ambiguous duplicate 'sz' columns")
     val sized =
       if (sh.columns.contains("sz")) sh
       else sh.withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))

@@ -52,14 +52,16 @@ object Dsir {
     * explode (narrow — evaluated once per doc row, not per gram).
     */
   def features(docs: DataFrame, b: Int, extra: Seq[String]): DataFrame = {
-    val words = split(TextDedup.normalizeText(col("text")), " ")
+    val norm = TextDedup.normalizeText(col("text"))
+    val words = split(norm, " ")
     val unigrams = filter(words, w => length(w) > 0)
-    // guard the bigram sequence: sequence(1, 0) is DESCENDING in Spark,
-    // so a 1-word doc must short-circuit to an empty array instead
-    val bigrams = when(size(words) >= 2,
-        transform(sequence(lit(1), size(words) - 1),
-          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    // bigrams = every 2-token window of the normalized text, one native
+    // eval per doc (SpanArray) — the transform/element_at/concat_ws
+    // lambda it replaces evaluated interpreted per POSITION. Equal by
+    // construction: normalized text has single-space separators, so the
+    // window set matches the old sequence-indexed concat exactly (a
+    // 1-word doc yields the same empty array the old guard produced).
+    val bigrams = graft.functions.TextSketches.spanArray(norm, 2)
     Par.fan(docs)
       .select(col("doc_id") +: extra.map(col) :+ explode(concat(unigrams, bigrams)).as("g"): _*)
       .select(col("doc_id") +: extra.map(col) :+ bucketOf(col("g"), b).as("bucket"): _*)

@@ -81,7 +81,6 @@ object SuffixIndexStore {
     * source.
     */
   private def suffixKeys(docs: DataFrame, minLen: Int, maxLen: Int): DataFrame = {
-    val w = split(TextDedup.normalizeText(col("text")), " ")
     // doc_id ≥ 0 is a CONTRACT, enforced here (every build/append/serve
     // path derives keys through this): serveUnion marks stored-side rows
     // with sentinel doc_id = −1 and servedSpans emits only rows with
@@ -92,10 +91,12 @@ object SuffixIndexStore {
         "raise_error('SuffixIndexStore: doc_id must be non-negative " +
         "(-1 is the stored-row sentinel in serveUnion)')"))
       .otherwise(col("doc_id"))
+    // one native eval per doc (shared-token-view suffix arrays) — the
+    // transform/slice lambda ran interpreted per position
     Par.fan(docs)
-      .select(guardedId.as("doc_id"), w.as("w"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(w)), p -> slice(w, p, $maxLen))")))
+      .select(guardedId.as("doc_id"), posexplode(
+        graft.functions.TextSketches.suffixWindows(
+          TextDedup.normalizeText(col("text")), maxLen)))
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"),
         col("col").as("key"))
       .filter(size(col("key")) >= minLen)
@@ -246,37 +247,46 @@ object SuffixIndexStore {
     val keyIdx = schema.fieldIndex("key")
     val docIdx = schema.fieldIndex("doc_id")
     val pIdx = schema.fieldIndex("p")
-    val out = parted.rdd.mapPartitions { it =>
-      val buf = it.buffered
-      new Iterator[Row] {
-        private var prevPfx: String = null
-        private var prevKey: IndexedSeq[String] = null
-        private var ready: Row = null
-        private def advance(): Unit = {
-          while (ready == null && buf.hasNext) {
-            val r = buf.next()
-            val pfx = r.getString(pfxIdx)
-            val k = r.getSeq[String](keyIdx).toIndexedSeq
-            val mPrev =
-              if (prevPfx != null && prevPfx == pfx) SuffixDedup.lcp(k, prevKey)
-              else 0
-            val mNext =
-              if (buf.hasNext && buf.head.getString(pfxIdx) == pfx)
-                SuffixDedup.lcp(k, buf.head.getSeq[String](keyIdx).toIndexedSeq)
-              else 0
-            prevPfx = pfx; prevKey = k
-            val best = math.max(mPrev, mNext)
-            if (r.getLong(docIdx) >= 0L && best >= minLen)
-              ready = Row(r.getLong(docIdx), r.getLong(pIdx), best.toLong)
+    // INTERNAL rows (see SuffixDedup): UTF8String prefix/key compares,
+    // no per-token String decode, no Seq copies. Rows are copied out of
+    // the sorter's reused buffer because the scan holds current + next.
+    val out = org.apache.spark.sql.graftbridge.Bridge.toInternalRdd(parted)
+      .mapPartitions { rawIt =>
+        val buf = rawIt.map(_.copy()).buffered
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+          private var prevPfx: org.apache.spark.unsafe.types.UTF8String = null
+          private var prevKey: org.apache.spark.sql.catalyst.util.ArrayData = null
+          private var ready: org.apache.spark.sql.catalyst.InternalRow = null
+          private def advance(): Unit = {
+            while (ready == null && buf.hasNext) {
+              val r = buf.next()
+              val pfx = r.getUTF8String(pfxIdx)
+              val k = r.getArray(keyIdx)
+              val mPrev =
+                if (prevPfx != null && prevPfx.equals(pfx))
+                  SuffixDedup.lcpData(k, prevKey)
+                else 0
+              val mNext =
+                if (buf.hasNext && buf.head.getUTF8String(pfxIdx).equals(pfx))
+                  SuffixDedup.lcpData(k, buf.head.getArray(keyIdx))
+                else 0
+              prevPfx = pfx; prevKey = k
+              val best = math.max(mPrev, mNext)
+              if (r.getLong(docIdx) >= 0L && best >= minLen)
+                ready = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](r.getLong(docIdx), r.getLong(pIdx), best.toLong))
+            }
+          }
+          override def hasNext: Boolean = { advance(); ready != null }
+          override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+            advance(); val r = ready; ready = null; r
           }
         }
-        override def hasNext: Boolean = { advance(); ready != null }
-        override def next(): Row = { advance(); val r = ready; ready = null; r }
       }
-    }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("doc_id", LongType), StructField("p", LongType),
-      StructField("match_len", LongType))))
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, out,
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("p", LongType),
+        StructField("match_len", LongType))))
   }
 
   /** Scrub an arriving batch against the indexed corpus: served spans →
@@ -298,10 +308,7 @@ object SuffixIndexStore {
       .distinct()
     val w = split(TextDedup.normalizeText(col("text")), " ")
     val toks = Par.fan(incoming).select(col("doc_id"), w.as("w"))
-    val tokRows = toks.select(col("doc_id"), posexplode(col("w")))
-      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"),
-        col("col").as("tok"))
-    TextDedup.rebuildExcluding(toks, tokRows, covered)
+    TextDedup.rebuildExcluding(toks, covered)
   }
 
   /** The serve path's relational stage — everything before the neighbor

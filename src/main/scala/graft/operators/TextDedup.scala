@@ -389,8 +389,6 @@ object TextDedup {
   def scrubDuplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
     val w = split(normalizeText(col("text")), " ")
     val toks = Par.fan(docs).select(col("doc_id"), w.as("w"))
-    val tokRows = toks.select(col("doc_id"), posexplode(col("w")))
-      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
     val wins = Par.fan(docs)
       .select(col("doc_id"),
         posexplode(TextSketches.spanArray(normalizeText(col("text")), n)))
@@ -401,26 +399,36 @@ object TextDedup {
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(n - 1))).as("p"))
       .distinct()
-    rebuildExcluding(toks, tokRows, covered)
+    rebuildExcluding(toks, covered)
   }
 
   /** Rebuild docs with `covered` (doc_id, p) token positions stripped —
     * the shared tail of every scrub flavor (d16's window scrub, the
-    * suffix-index serve scrub). The rebuild is a per-doc collect_list
-    * bounded by doc length; fully-covered docs survive as empty text.
+    * suffix-index serve scrub). Covered positions fold to one
+    * doc-length-bounded set per doc (duplication-sized input), and the
+    * rebuild is one native eval per doc (ExcludePositionsJoin) against
+    * the token array — the corpus's TOKENS are never shuffled (guide
+    * §2.3: shuffle the positions that decide, not the token payload; the
+    * old shape anti-joined and then re-aggregated every token row).
+    * Covered positions are always within [1, doc length] (window starts
+    * and span extents are position-bounded), so n_kept can be read off
+    * the set sizes. Fully-covered docs survive as empty text; null-text
+    * docs keep the old contract (n_tokens null, n_kept 0, md5('')).
     */
-  private[operators] def rebuildExcluding(toks: DataFrame, tokRows: DataFrame,
+  private[operators] def rebuildExcluding(toks: DataFrame,
       covered: DataFrame): DataFrame = {
-    val kept = tokRows.join(covered, Seq("doc_id", "p"), "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-          x => x.getField("tok")), " ").as("clean"))
-    toks.select(col("doc_id"), size(col("w")).cast(LongType).as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left") // fully-covered docs have no kept rows
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("clean"), lit(""))).as("clean_hash"))
+    val covSets = covered.groupBy(col("doc_id"))
+      .agg(collect_list(col("p").cast(LongType)).as("cov"))
+    toks.join(covSets, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("n_tokens"),
+        when(col("w").isNull, 0L)
+          .otherwise(size(col("w")).cast(LongType) -
+            // NOT coalesce(size(cov), 0): with ANSI off size(NULL) is -1
+            // (legacy), which is non-null and would add a phantom token
+            when(col("cov").isNull, 0L)
+              .otherwise(size(col("cov")).cast(LongType))).as("n_kept"),
+        md5(coalesce(TextSketches.excludePositionsJoin(col("w"), col("cov")),
+          lit(""))).as("clean_hash"))
   }
 
   // ───── MinHash + LSH ─────

@@ -131,14 +131,18 @@ object TextQuality {
 
   /** Occurrence-grained (doc_id, tri, ctx) rows — the LM's event stream. */
   private def triRows(docs: DataFrame): DataFrame =
+    // trigram strings from one native eval per doc (SpanArray — the
+    // transform/element_at/concat lambda it replaces ran interpreted per
+    // position); ctx is the trigram minus its last token, i.e. the first
+    // two space-separated fields (tokens themselves never contain ' '),
+    // so substring_index reads it back without touching the token array.
+    // Docs with < 3 tokens yield an empty span array and vanish at the
+    // explode, exactly like the old size(w) >= 3 filter.
     Par.fan(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), i -> named_struct(" +
-          "'tri', concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)), " +
-          "'ctx', concat(element_at(w, i), ' ', element_at(w, i + 1))))")).as("t"))
-      .select(col("doc_id"), col("t.tri").as("tri"), col("t.ctx").as("ctx"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextSketches.spanArray(col("text"), 3)).as("tri"))
+      .select(col("doc_id"), col("tri"),
+        substring_index(col("tri"), " ", 2).as("ctx"))
 
   /** Train the trigram LM on a corpus (two hash aggs + a 1-row vocab agg). */
   def lmTrain(corpus: DataFrame): LmModel = {
@@ -274,12 +278,20 @@ object TextQuality {
   def nbTrain(corpus: DataFrame, labelCol: String = "lang"): NbModel = {
     val toks = Par.fan(corpus)
       .select(col(labelCol).as("label"), explode(split(col("text"), " ")).as("tok"))
+    // tokenCounts is the ONE occurrence-grained aggregation; t_c and the
+    // vocab size are exact rollups of it (t_c = Σ_tok cnt per label, v =
+    // |distinct tok| = |distinct tok over the (label, tok) pairs|), so
+    // all three model tables share the same (label, tok) Exchange — the
+    // corpus is exploded once per plan (ReuseExchange dedups the
+    // identical subtree), not three times.
+    val tokenCounts = toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("cnt"))
     NbModel(
       classStats = corpus.groupBy(col(labelCol).as("label"))
         .agg(count(lit(1)).as("n_docs_c"))
-        .join(toks.groupBy(col("label")).agg(count(lit(1)).as("t_c")), Seq("label")),
-      tokenCounts = toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("cnt")),
-      vocab = toks.agg(countDistinct(col("tok")).as("v")))
+        .join(tokenCounts.groupBy(col("label")).agg(sum(col("cnt")).as("t_c")),
+          Seq("label")),
+      tokenCounts = tokenCounts,
+      vocab = tokenCounts.agg(countDistinct(col("tok")).as("v")))
   }
 
   /** Score a batch under a (frozen) NB model and pick the argmax class —
@@ -303,13 +315,21 @@ object TextQuality {
     * Output: (doc_id, pred_label, score_micro).
     */
   def nbScoreWith(model: NbModel, batch: DataFrame): DataFrame = {
-    val occ = Par.fan(batch)
+    // (doc, tok, k) term frequencies, not raw occurrences: the scoring
+    // join multiplies every joined row by the token's matching labels,
+    // so collapsing repeats BEFORE the join shrinks both the join input
+    // and the (doc, label) shuffle (guide §2.3 aggregate-before-shuffle).
+    // Σ_occ lnw6 = Σ_tok k·lnw6 exactly — decimal products and sums.
+    val tf = Par.fan(batch)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
     // |tokens| read off the split array — narrow, no explode+shuffle+agg;
     // identical to the per-doc occurrence count (split keeps empties, so
-    // even an empty text yields 1 both ways)
-    val docLen = Par.fan(batch).select(col("doc_id"),
-      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+    // even an empty text yields 1 both ways). Null-text docs are dropped
+    // — the explode-based docLen emitted no row for them, and a null
+    // n_toks would otherwise survive the crossJoin and emit a null score.
+    val docLen = Par.fan(batch).where(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_toks"))
     val total = model.classStats.agg(sum(col("n_docs_c")).as("n_docs"))
     val consts = model.classStats.crossJoin(total).crossJoin(model.vocab)
       .select(col("label"),
@@ -319,8 +339,9 @@ object TextQuality {
           .cast(DecimalType(18, 6)).as("lnden6"))
     val w = model.tokenCounts.select(col("label"), col("tok"),
       log((col("cnt") + lit(1L)).cast(DoubleType)).cast(DecimalType(18, 6)).as("lnw6"))
-    val s2 = occ.join(w, Seq("tok"))
-      .groupBy(col("doc_id"), col("label")).agg(sum(col("lnw6")).as("s2"))
+    val s2 = tf.join(w, Seq("tok"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("lnw6") * col("k").cast(DecimalType(12, 0))).as("s2"))
     val wArg = Window.partitionBy(col("doc_id")).orderBy(col("sc6").desc, col("label"))
     docLen.crossJoin(broadcast(consts))
       .join(s2, Seq("doc_id", "label"), "left")

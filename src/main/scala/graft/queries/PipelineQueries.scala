@@ -2319,12 +2319,12 @@ object PipelineQueries {
     // to top-k.
     "t13_trigram_lm" -> Q(
       (s, d) => {
-        val w = graft.operators.Par.fan(Tables.documents(s, d))
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 3)
-        val tris = w.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 2), i -> " +
-          "concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("tri"))
+        // trigrams from one native eval per doc (SpanArray) — same
+        // strings as the old transform/element_at/concat lambda; < 3
+        // token docs vanish at the explode like the old size filter
+        val tris = graft.operators.Par.fan(Tables.documents(s, d))
+          .select(col("doc_id"), explode(
+            graft.functions.TextSketches.spanArray(col("text"), 3)).as("tri"))
         tris.groupBy(col("tri"))
           .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("ndocs"))
           .filter(col("c") >= 5)

@@ -21,6 +21,27 @@ object Bridge {
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** The query's RDD of INTERNAL rows — `df.rdd` pays a full
+    * InternalRow → external Row conversion (every UTF8String decoded to
+    * java.lang.String, every array copied into a Seq) that the suffix
+    * neighbor-LCP scans were spending most of their time in; this keeps
+    * rows in Tungsten format. CAUTION: iterators reuse row objects —
+    * callers must copy() anything they hold across next().
+    */
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.toRdd
+
+  /** Wrap an RDD of InternalRows as a DataFrame (the inverse of
+    * `toInternalRdd`; `createDataFrame(RDD[Row])` would re-serialize
+    * every row through the external format).
+    */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Planned scan-task count of a pure file-scan pipeline, from the
     * PHYSICAL plan's leaves — the number Spark's bin-packing actually
     * produced (small files pack many-per-split, large files split by
