@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Commit the heap up front (-Xms == -Xmx): a 32-core local-mode JVM is
+  // driver + executor in one process, and G1 growing lazily from a tiny
+  // committed heap forced humongous-allocation concurrent-mark cycles
+  // during the allocation-dense verify stages (GC logs showed them at a
+  // ~2.9 GiB committed heap with 8 GiB available). Standard executor
+  // sizing, env-tunable like the max.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
 )

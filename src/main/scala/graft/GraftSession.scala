@@ -48,6 +48,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "128k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // The whole-stage-codegen class cache holds 100 entries by default;
+      // a session that runs the full 228-query suite generates far more
+      // fragments than that, so each timed run recompiles fragments its
+      // warmup already compiled (Janino, ~10-50 ms per fragment, driver-
+      // side). Scale-neutral: it bounds a driver-side metadata cache, not
+      // a data path; 10k compiled classes is tens of MB of metaspace.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.sql.ansi.enabled", "false")
       // reference dict-comprehension semantics: later duplicate key wins
       // (src/transform.py:112 in the reference)

@@ -560,14 +560,15 @@ object TextDedup {
     * (narrow array_intersect) makes the output relational.
     */
   def containmentPairs(docs: DataFrame, n: Int, minContainment: Double): DataFrame = {
-    val sh = shingleRowsSized(docs, n)
+    val sets = shingleSetsPinned(docs, n)
+    val sh = rowsFromSets(sets)
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = dfPrefixRows(sh, freq, minContainment)
     val cands = prefix.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyContainment(docs, cands, n, minContainment)
+    verifyContainmentSets(sets, cands, minContainment)
   }
 
   /** Exact containment verification of ordered candidate pairs — narrow
@@ -623,8 +624,10 @@ object TextDedup {
     */
   def containmentPairsIncremental(existing: DataFrame, incoming: DataFrame,
       n: Int, minContainment: Double): DataFrame = {
-    val shNew = shingleRowsSized(incoming, n)
-    val shOld = shingleRowsSized(existing, n)
+    val setsNew = shingleSetsPinned(incoming, n)
+    val setsOld = shingleSetsPinned(existing, n)
+    val shNew = rowsFromSets(setsNew)
+    val shOld = rowsFromSets(setsOld)
     val freq = shNew.unionByName(shOld)
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val pNew = dfPrefixRows(shNew, freq, minContainment)
@@ -637,7 +640,7 @@ object TextDedup {
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val cands = newInAny.unionByName(oldInNew).dropDuplicates("id_a", "id_b")
-    verifyContainment(existing.unionByName(incoming), cands, n, minContainment)
+    verifyContainmentSets(setsNew.unionByName(setsOld), cands, minContainment)
   }
 
   /** Containment KEEP decision: drop any doc ≥ `minContainment` contained
@@ -765,14 +768,35 @@ object TextDedup {
     * window to rank shingles within each doc, a self-join on prefix
     * tokens only, then output-sized verification.
     */
+  /** One-pass shingle SETS table (doc_id, sh), eagerly pinned
+    * (localCheckpoint): the prefix/containment joins read the shingle
+    * computation 6–10× per query (frequency count, prefix projections,
+    * posting fabric on both join sides, exact verification on both
+    * endpoints) — pinning the NARROW per-doc array table makes every
+    * branch read one materialization instead of re-running
+    * scan+normalize+shingle per branch. r12 measured pinning the
+    * EXPLODED rows as a loss (corpus-sized row blocks); the sets table
+    * is the per-doc form — the same store-this-table shape
+    * DedupIndexStore persists, and the dsir/lmScore single-pass
+    * doctrine. At 100 TB this materialization is "write the shingle-set
+    * table once per job", which the index stores already institutionalize.
+    */
+  private def shingleSetsPinned(docs: DataFrame, n: Int): DataFrame =
+    Par.fan(docs).select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .localCheckpoint(true)
+
+  /** Sized shingle rows derived from a pinned sets table — same schema
+    * and values as `shingleRowsSized` (sz = the distinct-shingle array
+    * size), but the explode reads stored arrays instead of recomputing
+    * the shingle pass.
+    */
+  private def rowsFromSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("sh")).as("s"),
+      size(col("sh")).cast(LongType).as("sz"))
+
   def prefixFilterPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    // the shingle rows feed both the frequency count and the prefix
-    // ranking; the branches RECOMPUTE the narrow explode rather than
-    // localCheckpoint it — measured: the eager checkpoint's blocking job
-    // + row-format blocks cost more than re-running the codegen'd
-    // explode (4.2 s vs 2.7 s at sf0.1). Revisit only if the shingle
-    // pass itself becomes the bottleneck at scale.
-    val sh = shingleRowsSized(docs, n)
+    val sets = shingleSetsPinned(docs, n)
+    val sh = rowsFromSets(sets)
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = dfPrefixRows(sh, freq, minJaccard)
     val a = prefix.as("a"); val b = prefix.as("b")
@@ -780,7 +804,7 @@ object TextDedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyPairs(docs, cands, n, minJaccard)
+    verifyPairsSets(sets, cands, minJaccard)
   }
 
   /** Rarest-first prefix rows under a given document-frequency order:
@@ -818,8 +842,10 @@ object TextDedup {
     */
   def prefixFilterPairsIncremental(existing: DataFrame, incoming: DataFrame,
       n: Int, minJaccard: Double): DataFrame = {
-    val shNew = shingleRowsSized(incoming, n)
-    val shOld = shingleRowsSized(existing, n)
+    val setsNew = shingleSetsPinned(incoming, n)
+    val setsOld = shingleSetsPinned(existing, n)
+    val shNew = rowsFromSets(setsNew)
+    val shOld = rowsFromSets(setsOld)
     val freq = shNew.unionByName(shOld)
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val pNew = dfPrefixRows(shNew, freq, minJaccard)
@@ -833,7 +859,7 @@ object TextDedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
     val cands = newNew.unionByName(newOld).dropDuplicates("id_a", "id_b")
-    verifyPairs(existing.unionByName(incoming), cands, n, minJaccard)
+    verifyPairsSets(setsNew.unionByName(setsOld), cands, minJaccard)
   }
 
   // ───── stored cluster state (the deployment surface for incremental dedup) ─────
